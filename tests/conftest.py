@@ -1,0 +1,13 @@
+from __future__ import annotations
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from xgboost_ray_spark.session import get_spark
+
+    return get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)

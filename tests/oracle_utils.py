@@ -1,0 +1,78 @@
+"""Local twin of the driver's DuckDB-oracle comparison.
+
+Mirrors the t2 contract: run the Spark query and the oracle SQL on the same
+parquet tables, then compare row count, column-name set, and values after
+sorting columns by name and rows by all columns. Values must match EXACTLY
+(the driver hashes them) — floats included, which is why query builders
+route arithmetic through decimal accumulation + rounding.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import duckdb
+import pandas as pd
+
+from xgboost_ray_spark.catalog import TABLES, table_path
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _normalize_cell(v):
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if hasattr(v, "isoformat"):
+        # Unify date vs midnight-datetime (pandas coerces DATE columns to
+        # datetime64; Spark keeps datetime.date) — both sides normalize the
+        # same way, so comparison stays sound.
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    return v
+
+
+def normalize_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+
+
+def compare(spark_df, oracle: str, sf_dir: str) -> None:
+    spark_pdf = spark_df.toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        duck_pdf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"column mismatch: spark={sorted(spark_pdf.columns)} "
+        f"duck={sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    s_rows = normalize_frame(spark_pdf)
+    d_rows = normalize_frame(duck_pdf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(s_rows)} rows differ; first 3: {mismatches[:3]}"
+    )

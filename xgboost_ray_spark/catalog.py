@@ -1,0 +1,67 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+Loads the TPC-H-ish star schema + events / documents / embeddings tables
+(see /root/repo/TESTDATA.md) and registers them as temp views. All reads go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition-sized splits for free — at 100 TB these become real
+parquet row-group skips, not driver-side filtering.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as a long
+    (spark.sql.legacy.parquet.nanosAsLong). Convert ns -> us with integer
+    floor division — exactly DuckDB's nanos truncation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table lazily. No data moves until an action runs."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for the SQL API."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,39 @@
+"""Vector column functions over ``array<float>`` embeddings.
+
+JVM-side expressions (zip_with/aggregate) — no Python in the hot path; a
+vectorized Pandas-UDF fallback exists for ops that outgrow expression form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential-double dot product of two array columns (exact order)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+@F.pandas_udf(DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine for very wide vectors (numpy BLAS per batch)."""
+    am = np.stack(a.to_numpy())
+    bm = np.stack(b.to_numpy())
+    num = (am * bm).sum(axis=1)
+    den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+    return pd.Series(num / den)

@@ -1,0 +1,142 @@
+"""Role-tagged distributed matrix — the Spark-native ``RayDMatrix``.
+
+The reference's ``RayDMatrix`` (xgboost_ray/matrix.py:697-968) bundles a
+lazily-sharded 2-D feature matrix with per-row metadata roles (label, weight,
+base_margin, qid, label bounds) and load-time projection (``ignore``).  On
+Spark the distributed frame already exists — a ``pyspark.sql.DataFrame`` —
+so the matrix abstraction collapses to a *spec*: which columns play which
+role.  This mirrors the ``pyspark.ml`` Params convention (labelCol /
+weightCol / ...).
+
+Sharding (xgboost_ray/matrix.py:106-124, 1088-1110) maps onto Spark
+partitioning:
+
+  - ``INTERLEAVED`` (row i -> worker i mod n)  -> ``df.repartition(n)``
+    (round-robin/hash shuffle; statistically interleaved)
+  - ``BATCH`` (contiguous ranges)              -> range partitioning on a
+    monotonic row id (``df.repartitionByRange``)
+  - ``FIXED`` (locality-driven)                -> Spark scheduler locality;
+    ``df.coalesce(n)`` preserves existing partition placement
+
+``combine_data`` (xgboost_ray/matrix.py:1114-1157) re-assembled predictions
+into original row order after sharding.  DataFrame predictions stay a column
+joined to their rows, so the inverse shuffle is only needed when a caller
+insists on a local numpy array in input order — provided here for API parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ShardingMode(Enum):
+    """Parity with RayShardingMode (xgboost_ray/matrix.py:106-124)."""
+
+    INTERLEAVED = 1
+    BATCH = 2
+    FIXED = 3
+
+
+@dataclass(frozen=True)
+class MatrixSpec:
+    """Names the role columns inside a DataFrame (cf. matrix.py:787-807).
+
+    ``feature_cols=None`` means "every column not claimed by a role", in the
+    reference's column-order-preserving sense (matrix.py:345-347).
+    ``label_cols`` with >1 entry is the multi-label case
+    (matrix.py:405-425).  ``ignore`` drops columns at plan time — Catalyst
+    turns it into scan-level column pruning (matrix.py:744-745 analogue).
+    """
+
+    label_cols: tuple[str, ...] = ()
+    feature_cols: tuple[str, ...] | None = None
+    weight_col: str | None = None
+    base_margin_col: str | None = None
+    qid_col: str | None = None
+    label_lower_bound_col: str | None = None
+    label_upper_bound_col: str | None = None
+    feature_weights: tuple[float, ...] | None = None
+    missing: float | None = None
+    ignore: tuple[str, ...] = ()
+    enable_categorical: bool = False
+
+    def role_cols(self) -> set[str]:
+        roles = set(self.label_cols) | set(self.ignore)
+        for c in (
+            self.weight_col,
+            self.base_margin_col,
+            self.qid_col,
+            self.label_lower_bound_col,
+            self.label_upper_bound_col,
+        ):
+            if c:
+                roles.add(c)
+        return roles
+
+    def features_of(self, df: DataFrame) -> list[str]:
+        """Feature columns, input order preserved (matrix.py:345-347)."""
+        if self.feature_cols is not None:
+            return list(self.feature_cols)
+        roles = self.role_cols()
+        return [c for c in df.columns if c not in roles]
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Apply ``ignore`` projection and qid clustering.
+
+        The reference sorts each shard by qid before DMatrix construction
+        (ensure_sorted_by_qid, matrix.py:70-102).  Spark equivalent: hash
+        the frame by qid then sort within partitions — every query group
+        lands whole and contiguous in one partition, no global sort.
+        """
+        out = df.drop(*[c for c in self.ignore if c in df.columns])
+        if self.qid_col:
+            out = out.repartition(F.col(self.qid_col)).sortWithinPartitions(
+                self.qid_col
+            )
+        return out
+
+
+def shard(df: DataFrame, num_shards: int, mode: ShardingMode = ShardingMode.INTERLEAVED,
+          order_col: str | None = None) -> DataFrame:
+    """Partition ``df`` into ``num_shards`` per the sharding mode.
+
+    Parity with _get_sharding_indices (xgboost_ray/matrix.py:1088-1110),
+    re-expressed as Spark partitioning (no driver-side index math — the
+    shuffle service moves rows).
+    """
+    if mode is ShardingMode.INTERLEAVED:
+        return df.repartition(num_shards)
+    if mode is ShardingMode.BATCH:
+        col = order_col
+        out = df
+        if col is None:
+            col = "__row_id__"
+            out = df.withColumn(col, F.monotonically_increasing_id())
+        out = out.repartitionByRange(num_shards, F.col(col))
+        return out.drop("__row_id__") if order_col is None else out
+    # FIXED: trust current placement; only adjust the partition count.
+    return df.coalesce(num_shards)
+
+
+def combine_data(shards: list[np.ndarray], mode: ShardingMode) -> np.ndarray:
+    """Re-assemble per-shard outputs into original row order.
+
+    Parity with combine_data (xgboost_ray/matrix.py:1114-1157), including
+    the 2-D ``multi:softprob`` case.  Only needed for numpy round-trips;
+    DataFrame pipelines keep predictions joined to rows.
+    """
+    if mode is ShardingMode.BATCH or mode is ShardingMode.FIXED:
+        return np.concatenate(shards)
+    # INTERLEAVED: row i of shard s was original row s + i * n_shards.
+    n = sum(len(s) for s in shards)
+    first = shards[0]
+    out_shape = (n,) if first.ndim == 1 else (n, first.shape[1])
+    out = np.empty(out_shape, dtype=first.dtype)
+    for rank, s in enumerate(shards):
+        out[rank :: len(shards)] = s
+    return out

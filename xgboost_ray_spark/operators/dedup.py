@@ -1,0 +1,316 @@
+"""Deduplication operators over ``documents`` (and ``embeddings``).
+
+First-class 100TB-pipeline ops (SURVEY.md §2.2 S26 family):
+
+  - exact dedup            : hash-groupBy on content digest
+  - MinHash + LSH banding  : shingle -> k minhashes -> banded signatures ->
+                             bucket self-join for candidate near-dup pairs
+  - SimHash                : per-token hash bit votes -> 16-bit fingerprint
+  - n-gram Jaccard         : shared-shingle candidate join + exact Jaccard
+
+Cross-engine determinism: every hash is ``md5`` (bit-identical in Spark and
+DuckDB), minhashes compare lexicographically on the hex digest, so each
+operator here carries a full value-hash oracle — unusual for LSH ops, and
+it pins the semantics exactly.
+
+Scale design: all ops are explode -> groupBy -> join pipelines. The LSH
+band join shuffles on the band digest (uniform by construction); candidate
+pair sets stay near-linear in corpus size instead of O(n^2). The Jaccard op
+is quadratic per shared shingle — its docstring marks the LSH variant as
+the 100TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register
+
+N_HASHES = 8
+BAND_SIZE = 2
+N_BANDS = N_HASHES // BAND_SIZE
+SHINGLE_CHARS = 8
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "s26_dedup_exact",
+    oracle="""
+    SELECT
+      md5(text) AS text_hash,
+      MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: digest-groupBy keeps min doc_id per distinct text. At "
+        "scale, hashing first means the shuffle key is 32 bytes, not the "
+        "document body.",
+    tags=("dedup",),
+)
+def s26_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+def _shingle_expr(text_col: str = "text", n: int = SHINGLE_CHARS) -> str:
+    """Character n-gram shingles as a Spark SQL expression (no UDF)."""
+    return (
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """Per-doc k-wide MinHash signature.
+
+    The i-th hash family is ``md5(i || shingle)``; the minhash is the
+    lexicographic MIN of the hex digests (identical ordering in any engine).
+    Reference analogue: none — xgboost_ray has no dedup; this is the
+    north-star pipeline addition.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_expr())).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Fold the signature into banded digests: (doc_id, band_id, bv)."""
+    bands = None
+    for b in range(N_BANDS):
+        cols = [f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias("bv"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    return bands
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band."""
+    bands = lsh_bands(minhash_signatures(docs))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n      ".join(
+        f"MIN(md5('{i}' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5(h{b * BAND_SIZE} || h{b * BAND_SIZE + 1}) AS bv FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(length(text) - {SHINGLE_CHARS - 1}, 1)),
+               i -> substring(text, CAST(i AS INT), {SHINGLE_CHARS}))) AS sh
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "s26b_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc=f"MinHash({N_HASHES})+LSH({N_BANDS} bands of {BAND_SIZE}) near-dup "
+        "candidate pairs over char-8-gram shingles. Shuffles: one groupBy "
+        "doc_id (signatures), one self-join keyed on 32-byte band digests — "
+        "near-linear at corpus scale, vs O(n^2) all-pairs.",
+    tags=("dedup", "lsh"),
+)
+def s26b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_candidate_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble bit votes — fully oracle-checkable)
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """16-bit SimHash over word tokens.
+
+    bit_j(token) = bit j of the first 4 hex chars of md5(token); the doc
+    fingerprint sets bit j when the sum of (2*bit_j - 1) votes is positive.
+    Pure built-ins (explode + conditional sums); one shuffle on doc_id.
+    """
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = tok.withColumn("h4", F.substring(F.md5("w"), 1, bits // 4))
+    aggs = []
+    for j in range(bits):
+        ch = F.substring("h4", 1 + j // 4, 1)
+        nib = F.instr(F.lit(_HEX), ch) - 1
+        bit = F.shiftright(nib, 3 - j % 4) % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, 2**j).otherwise(0)
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def _simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n        ".join(
+        f"SUM(((strpos('{_HEX}', substring(h4, {1 + j // 4}, 1)) - 1)"
+        f" >> {3 - j % 4}) % 2 * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, substring(md5(unnest(regexp_split_to_array(text, ' '))), 1, {bits // 4}) AS h4
+      FROM documents
+    ), votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register(
+    "s26c_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash fingerprint per document (token bit votes). "
+        "Hamming-neighbor search at scale: index by rotated fingerprint "
+        "prefixes; here we emit the fingerprint itself, value-hash checked.",
+    tags=("dedup",),
+)
+def s26c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact, candidate join on shared shingles)
+# ---------------------------------------------------------------------------
+JACCARD_NGRAM = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = JACCARD_NGRAM, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for docs sharing >= 1 shingle.
+
+    inter(a,b) counted via equi-join on the shingle; |A|,|B| from per-doc
+    distinct counts; J = inter / (|A| + |B| - inter).  Quadratic in docs
+    per hot shingle — at 100 TB run s26b (MinHash-LSH) first and this op
+    only on its candidate pairs.
+    """
+    words = F.split("text", " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    sh = docs.select("doc_id", F.explode(grams).alias("g")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "s26d_ngram_jaccard",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(LEN(words) - {JACCARD_NGRAM - 1}, 1))) AS i
+      FROM (
+        SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+      )
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(words[CAST(i AS INT):CAST(i AS INT) + {JACCARD_NGRAM - 1}], ' ') AS g
+      FROM ex
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+    """,
+    doc=f"Exact word-{JACCARD_NGRAM}-gram Jaccard >= {JACCARD_THRESHOLD} over "
+        "shared-shingle candidates. 100TB path: MinHash-LSH prefilter "
+        "(s26b), then this as the verify stage.",
+    tags=("dedup",),
+)
+def s26d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs)

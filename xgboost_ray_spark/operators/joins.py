@@ -1,0 +1,300 @@
+"""Join surface: inner / outer / semi / anti / broadcast, plus an as-of join.
+
+SURVEY.md §2.2 S5-S8.  Strategy notes for 100 TB:
+
+  - Fact-fact joins (lineitem x orders) shuffle on the join key; we select
+    only the needed columns BEFORE the join so the shuffle carries minimal
+    bytes, and AQE picks sort-merge vs shuffled-hash at runtime.
+  - Dimension joins (nation, region, supplier, part at TPC-H proportions)
+    are broadcast explicitly — zero shuffle of the fact side.
+  - The as-of join (absent in Spark, common in event pipelines) composes
+    union + window last_value, one shuffle on the partition key — no
+    per-row UDFs, no cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import davg, dsum, register, sql_davg, sql_dsum
+
+
+# ---------------------------------------------------------------------------
+# S5 — Inner equi-join chain (lineitem ⋈ orders ⋈ customer) + agg
+# ---------------------------------------------------------------------------
+@register(
+    "s05_inner_join",
+    oracle=f"""
+    SELECT
+      c_mktsegment,
+      o_orderpriority,
+      COUNT(*) AS n_items,
+      {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    """,
+    doc="3-way inner equi-join; columns pruned pre-join so the shuffle "
+        "carries only join keys + 2 measures.",
+    tags=("join",),
+)
+def s05_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum(revenue, "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — Left / full outer joins
+# ---------------------------------------------------------------------------
+@register(
+    "s06_outer_join",
+    oracle="""
+    SELECT
+      c_custkey,
+      COUNT(o_orderkey) AS n_orders,
+      COALESCE(MAX(o_totalprice), 0.0) AS max_price
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 400000
+    GROUP BY c_custkey
+    """,
+    doc="LEFT OUTER with a join-side residual predicate; customers with no "
+        "qualifying orders survive with n_orders = 0.",
+    tags=("join",),
+)
+def s06_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_totalprice > 400000)
+    return (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "s06b_full_outer_join",
+    oracle="""
+    SELECT
+      COALESCE(c.k, s.k) AS nationkey,
+      COALESCE(c.n_cust, 0) AS n_cust,
+      COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.k = s.k
+    """,
+    doc="FULL OUTER join of two aggregates (nations with only customers or "
+        "only suppliers survive).",
+    tags=("join",),
+)
+def s06b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust.ck == supp.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — Semi / anti joins
+# ---------------------------------------------------------------------------
+@register(
+    "s07_semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS op, c_custkey AS k FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS op, c_custkey AS k FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS); semi/anti never "
+        "materialize the right side's columns — minimal shuffle width.",
+    tags=("join",),
+)
+def s07_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, cond, "left_semi").select(
+        F.lit("with_orders").alias("op"), F.col("c_custkey").alias("k")
+    )
+    anti = cust.join(orders, cond, "left_anti").select(
+        F.lit("without_orders").alias("op"), F.col("c_custkey").alias("k")
+    )
+    return semi.unionAll(anti)
+
+
+# ---------------------------------------------------------------------------
+# S8 — Broadcast dimension join (star-schema pattern)
+# ---------------------------------------------------------------------------
+@register(
+    "s08_broadcast_join",
+    oracle=f"""
+    SELECT
+      r_name,
+      n_name,
+      COUNT(*) AS n_cust,
+      {sql_davg("c_acctbal", "avg_bal")}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Explicit broadcast() of nation+region dims: the fact side never "
+        "shuffles for the join — the pattern that survives 1000 executors.",
+    tags=("join",),
+)
+def s08_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), davg(F.col("c_acctbal"), "avg_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator; Spark has no native one)
+# ---------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` within the same ``on`` key.
+
+    Implemented as union + window ``last_value(ignorenulls)`` ordered by
+    time: one shuffle on ``on``, linear scan within partitions — no range
+    cross-join blowup at scale.
+    """
+    # Align schemas: left rows carry null right_cols, right rows carry null left cols.
+    right_types = dict(right.dtypes)
+    left_types = dict(left.dtypes)
+    lt = left.select(
+        on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[c for c in left.columns if c != on],
+        *[F.lit(None).cast(right_types[c]).alias(c) for c in right_cols],
+    )
+    rt = right.select(
+        on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left.columns if c != on],
+        *right_cols,
+    )
+    merged = lt.unionByName(rt)
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in right_cols:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__t", "__side")
+
+
+@register(
+    "s08b_asof_join",
+    oracle="""
+    SELECT
+      e.event_id,
+      e.user_id,
+      (
+        SELECT MAX(o.o_orderkey)
+        FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND o.o_orderdate = (
+            SELECT MAX(o2.o_orderdate) FROM orders o2
+            WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts
+          )
+      ) AS last_orderkey
+    FROM events e
+    WHERE e.event_id < 500
+    """,
+    doc="As-of join: each event picks the most recent order (by date, "
+        "orderkey tiebreak) of the same user at or before the event time. "
+        "Window-based composition — no native Spark op exists.",
+    tags=("join", "custom"),
+)
+def s08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    # Deterministic as-of: latest o_orderdate <= ts, max orderkey on date ties.
+    lt = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("__t"),
+        F.lit(1).alias("__side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(None).cast("bigint").alias("okey"),
+    )
+    rt = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    w = (
+        W.partitionBy("k")
+        # right rows first within equal times; among equal-date orders keep
+        # max orderkey by ordering ascending (last wins)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("okey").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = lt.unionByName(rt).withColumn(
+        "last_orderkey", F.last("okey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("__side") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "last_orderkey"
+    )

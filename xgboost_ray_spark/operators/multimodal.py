@@ -1,0 +1,174 @@
+"""Multimodal column plumbing (SURVEY.md north-star addition).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` — the schema,
+partitioning, UDF signature and batch shape are real and tested; the actual
+codec step is STUBBED (this container ships no image/audio libs) behind
+``decode_image_real``, which raises ``NotImplementedError`` until PIL/ffmpeg
+are present.
+
+The deterministic fake "decoder" derives metadata purely from the payload
+bytes (md5 digest), so even the Python-UDF path is exactly DuckDB-oracle-
+checkable — proving the plumbing moves the same bytes Spark-side and
+Python-side.
+
+Scale: mapInPandas streams Arrow batches; binary payloads never pass
+through the driver, and ``spark.sql.files.maxPartitionBytes`` sizes splits
+so a partition of blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes int, header_hash string, width int, height int"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary column (md5 digest bytes of the text).
+
+    Stands in for a real image/audio payload column read from parquet; the
+    point is the ``binary`` dtype flowing through Arrow batches.
+    """
+    return docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real codec hook — STUB. Requires an image library absent from this
+    container; wire PIL/torchvision here in deployment."""
+    raise NotImplementedError(
+        "image decode requires PIL/libvips — not available in this environment"
+    )
+
+
+def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decode: metadata derived from payload bytes only."""
+    payloads = batch["payload"]
+    hex_digests = payloads.map(lambda b: bytes(b).hex())
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": payloads.map(len).astype("int32"),
+            "header_hash": hex_digests.str[:8],
+            "width": (
+                hex_digests.str[:2].map(lambda h: int(h, 16)) % 64 + 1
+            ).astype("int32"),
+            "height": (
+                hex_digests.str[2:4].map(lambda h: int(h, 16)) % 64 + 1
+            ).astype("int32"),
+        }
+    )
+
+
+def decode_images(frames: DataFrame) -> DataFrame:
+    """Arrow-batched decode over (doc_id, payload binary) frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield _fake_decode_batch(batch)
+
+    return frames.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+@register(
+    "s29b_multimodal_decode",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(16 AS INT) AS n_bytes,
+      substring(md5(text), 1, 8) AS header_hash,
+      CAST(('0x' || substring(md5(text), 1, 2))::BIGINT % 64 + 1 AS INT) AS width,
+      CAST(('0x' || substring(md5(text), 3, 2))::BIGINT % 64 + 1 AS INT) AS height
+    FROM documents
+    """,
+    doc="Binary-column decode plumbing: binary payload -> mapInPandas "
+        "(Arrow batches) -> typed metadata. Decode itself is a deterministic "
+        "fake (real codec stubbed); the oracle proves byte-exact transport.",
+    tags=("multimodal", "pandas-udf"),
+)
+def s29b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(with_binary_payload(docs))
+
+
+@register(
+    "s29_pandas_udf",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    doc="Scalar Pandas UDF (Arrow-vectorized) computing the charge "
+        "expression; oracle is the equivalent SQL — proves UDF/SQL parity. "
+        "(Production keeps this JVM-side; the UDF exists to test the path.)",
+    tags=("pandas-udf",),
+)
+def s29_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def charge(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        # No rounding inside the UDF: numpy rounds half-even, SQL engines
+        # round half-away — final rounding happens engine-side via F.round.
+        return price * (1 - discount) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@register(
+    "s29c_grouped_map",
+    oracle="""
+    SELECT l_returnflag,
+           l_orderkey,
+           l_extendedprice,
+           ROUND(l_extendedprice - avg_p, 4) AS price_dev
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_extendedprice,
+             AVG(l_extendedprice) OVER (PARTITION BY l_returnflag) AS avg_p
+      FROM lineitem WHERE l_orderkey <= 100
+    )
+    """,
+    doc="Grouped-map applyInPandas (per-group demeaning) — the UDAF/grouped "
+        "transform surface; oracle via window AVG.",
+    tags=("pandas-udf",),
+)
+def s29c_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .select("l_returnflag", "l_orderkey", "l_extendedprice")
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["price_dev"] = (
+            pdf["l_extendedprice"] - pdf["l_extendedprice"].mean()
+        ).round(4)
+        return pdf
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        demean,
+        schema="l_returnflag string, l_orderkey bigint, "
+        "l_extendedprice double, price_dev double",
+    )

@@ -1,0 +1,737 @@
+"""Core relational surface: scans, projection, filter, aggregation, rollup,
+distinct, sort/limit, set ops, scalar function families, JSON, time windows.
+
+SURVEY.md §2.2 S1-S4, S9-S12, S15, S17-S24.  Every query is declared through
+the DataFrame API so Catalyst plans it: filters/projections reach the parquet
+scan (PushedFilters/ReadSchema), aggregations get map-side partial combine,
+and AQE sizes the shuffles.  At 100 TB none of these collect to the driver —
+results are aggregates or bounded top-k sets.
+
+Numeric policy: see registry.dsum/davg — double arithmetic accumulates in
+DECIMAL so the DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import davg, dsum, register, sql_davg, sql_dsum
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+# ---------------------------------------------------------------------------
+# S1 — Parquet scan with pushdown
+# ---------------------------------------------------------------------------
+@register(
+    "s01_parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    doc="Parquet scan; predicate + projection pushed into the scan "
+        "(reference: data_sources/parquet.py:25-48 shard-by-file load).",
+    tags=("scan",),
+)
+def s01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — CSV scan (round-trip through a scratch CSV with explicit schema)
+# ---------------------------------------------------------------------------
+@register(
+    "s02_csv_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV source with header and explicit schema (no inferSchema in prod); "
+        "reference: data_sources/csv.py:25-47.",
+    tags=("scan",),
+)
+def s02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(_SCRATCH, "nation_csv")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.csv(out, header=True, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# S3 — Projection / rename / drop
+# ---------------------------------------------------------------------------
+@register(
+    "s03_projection",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    """,
+    doc="select/withColumnRenamed/drop; Catalyst prunes the scan to 3 columns "
+        "(reference 'ignore' projection: matrix.py:744-745).",
+)
+def s03_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.drop("c_acctbal", "c_nationkey")
+        .withColumnRenamed("c_custkey", "custkey")
+        .withColumnRenamed("c_name", "name")
+        .withColumnRenamed("c_mktsegment", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — Filter: =, <, >, IN, BETWEEN, LIKE, IS NULL, AND/OR/NOT
+# ---------------------------------------------------------------------------
+@register(
+    "s04_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_quantity > 45
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_linestatus IN ('F', 'O')
+      AND NOT (l_tax < 0.01 OR l_tax > 0.07)
+      AND l_shipdate IS NOT NULL
+      AND CAST(l_orderkey AS VARCHAR) LIKE '%7'
+    """,
+    doc="Compound predicate (=, >, BETWEEN, IN, NOT/OR, IS NULL, LIKE); "
+        "sargable parts push to the parquet scan.",
+)
+def s04_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 45)
+        & F.col("l_discount").between(0.05, 0.07)
+        & F.col("l_linestatus").isin("F", "O")
+        & ~((F.col("l_tax") < 0.01) | (F.col("l_tax") > 0.07))
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_orderkey").cast("string").like("%7")
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — Group-by aggregate (TPC-H Q1 shape; also the flagship entry query)
+# ---------------------------------------------------------------------------
+Q1_ORACLE = f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum("l_quantity", "sum_qty")},
+      {sql_dsum("l_extendedprice", "sum_base_price")},
+      {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+      {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+      {sql_davg("l_quantity", "avg_qty")},
+      {sql_davg("l_extendedprice", "avg_price")},
+      {sql_davg("l_discount", "avg_disc")},
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def pricing_summary(li: DataFrame) -> DataFrame:
+    """TPC-H Q1 pricing summary over lineitem (flagship query)."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "s09_groupby_agg",
+    oracle=Q1_ORACLE,
+    doc="TPC-H Q1: groupBy two low-cardinality keys + 8 aggregates; "
+        "map-side partial aggregation makes the shuffle tiny at any scale.",
+    tags=("agg", "flagship"),
+)
+def s09_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# S10 — Distinct & count distinct (exact); approx variant is rows-only
+# ---------------------------------------------------------------------------
+@register(
+    "s10_count_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact COUNT(DISTINCT) via expand+two-phase agg (Catalyst handles it).",
+    tags=("agg",),
+)
+def s10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "s10b_approx_count_distinct",
+    oracle=None,  # HLL implementations differ across engines; rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100TB-scale path for "
+        "distinct counting — constant memory per group, no expand.",
+    tags=("agg", "approx"),
+)
+def s10b_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "s10c_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM ("
+           "SELECT l_returnflag, l_linestatus, "
+           "CASE WHEN l_linenumber % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS l_shipmode "
+           "FROM lineitem)",
+    doc="Row-level DISTINCT (shuffle on all columns).",
+)
+def s10c_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.when(F.col("l_linenumber") % 2 == 0, "EVEN")
+            .otherwise("ODD")
+            .alias("l_shipmode"),
+        ).distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "s11_rollup",
+    oracle=f"""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      {sql_dsum("l_quantity", "sum_qty")},
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with GROUPING() markers (hierarchical subtotals in one pass).",
+    tags=("agg",),
+)
+def s11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+    )
+
+
+@register(
+    "s11b_cube",
+    oracle=f"""
+    SELECT
+      l_returnflag, l_linestatus,
+      {sql_dsum("l_extendedprice", "sum_price")},
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^k grouping combinations in one shuffle.",
+    tags=("agg",),
+)
+def s11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_extendedprice"), "sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 — HAVING
+# ---------------------------------------------------------------------------
+@register(
+    "s12_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum("o_totalprice", "total_spend")}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+    doc="Post-aggregation filter (HAVING = .agg().filter()).",
+    tags=("agg",),
+)
+def s12_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15 — Multi-key sort + limit (deterministic total order)
+# ---------------------------------------------------------------------------
+@register(
+    "s15_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    doc="ORDER BY (desc/asc mix) + LIMIT: Spark plans TakeOrderedAndProject — "
+        "a per-partition top-k then a k-row merge, never a full global sort.",
+)
+def s15_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "s15b_sort_nulls",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, v
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey < 2000
+    )
+    ORDER BY v DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+    doc="NULLS FIRST/LAST ordering semantics.",
+)
+def s15b_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 0, None)
+            .otherwise(F.col("o_totalprice"))
+            .alias("v"),
+        )
+        .orderBy(F.col("v").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# S17 — Set operations, all four flavors tagged into one result
+# ---------------------------------------------------------------------------
+@register(
+    "s17_setops",
+    oracle="""
+    SELECT 'union_all' AS op, n_nationkey AS k FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer WHERE c_custkey <= 50
+        UNION ALL
+        SELECT s_nationkey FROM supplier WHERE s_suppkey <= 50
+    )
+    UNION ALL
+    SELECT 'union_distinct' AS op, n_nationkey AS k FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, n_nationkey AS k FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, n_nationkey AS k FROM (
+        SELECT c_nationkey AS n_nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
+    """,
+    doc="UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT over nation keys.",
+)
+def s17_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c_keys = cust.select(F.col("c_nationkey").alias("k"))
+    s_keys = supp.select(F.col("s_nationkey").alias("k"))
+    ua = (
+        cust.filter(F.col("c_custkey") <= 50)
+        .select(F.col("c_nationkey").alias("k"))
+        .unionAll(
+            supp.filter(F.col("s_suppkey") <= 50).select(
+                F.col("s_nationkey").alias("k")
+            )
+        )
+        .select(F.lit("union_all").alias("op"), "k")
+    )
+    ud = c_keys.union(s_keys).distinct().select(
+        F.lit("union_distinct").alias("op"), "k"
+    )
+    it = c_keys.intersect(s_keys).select(F.lit("intersect").alias("op"), "k")
+    ex = c_keys.subtract(s_keys).select(F.lit("except").alias("op"), "k")
+    return ua.unionAll(ud).unionAll(it).unionAll(ex)
+
+
+# ---------------------------------------------------------------------------
+# S18 — String functions
+# ---------------------------------------------------------------------------
+@register(
+    "s18_string_funcs",
+    oracle=r"""
+    SELECT
+      p_partkey,
+      LOWER(p_name) AS lname,
+      UPPER(p_brand) AS ubrand,
+      TRIM(CONCAT('  ', p_type, ' ')) AS ttype,
+      SUBSTRING(p_name, 1, 5) AS name5,
+      p_brand || '#' || p_type AS brand_type,
+      LEN(regexp_split_to_array(p_type, ' ')) AS n_type_words,
+      REGEXP_EXTRACT(p_type, '^[a-z]+') AS first_word,
+      LENGTH(p_name) AS name_len,
+      REPLACE(p_brand, 'Brand', 'B') AS brand_short,
+      STRPOS(p_type, ' ') AS first_space
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+    doc="lower/upper/trim/substring/concat/split/regexp_extract/length/"
+        "replace/instr — all JVM-codegen built-ins, no UDFs.",
+    tags=("functions",),
+)
+def s18_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("ttype"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.size(F.split("p_type", " ")).alias("n_type_words"),
+        F.regexp_extract("p_type", r"^[a-z]+", 0).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_brand", "Brand", "B").alias("brand_short"),
+        F.instr(F.col("p_type"), " ").alias("first_space"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S19 — Date/time functions
+# ---------------------------------------------------------------------------
+@register(
+    "s19_date_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(YEAR(o_orderdate) AS INT) AS yr,
+      CAST(MONTH(o_orderdate) AS INT) AS mo,
+      CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+      CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+      DATE_TRUNC('month', o_orderdate) AS month_start,
+      DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+      CAST(o_orderdate AS DATE) AS odate,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    doc="year/month/day/quarter/date_trunc/datediff/to_date/date_add.",
+    tags=("functions",),
+)
+def s19_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.year(od).cast("int").alias("yr"),
+        F.month(od).cast("int").alias("mo"),
+        F.dayofmonth(od).cast("int").alias("dom"),
+        F.quarter(od).cast("int").alias("qtr"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od.cast("date")).alias(
+            "days_to_eoy"
+        ),
+        od.cast("date").alias("odate"),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S20 — Math functions
+# ---------------------------------------------------------------------------
+@register(
+    "s20_math_funcs",
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber,
+      ROUND(l_extendedprice, 1) AS price_r1,
+      CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+      CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+      ABS(l_discount - 0.05) AS disc_dev,
+      ROUND(SQRT(l_quantity), 4) AS qty_sqrt,
+      ROUND(LN(l_extendedprice), 4) AS price_ln,
+      ROUND(POW(1 + l_tax, 2), 6) AS tax_sq,
+      CAST(l_quantity AS INT) % 5 AS qty_mod5
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    """,
+    doc="round/floor/ceil/abs/sqrt/ln/pow/mod; transcendentals rounded to "
+        "absorb libm last-ulp differences across engines.",
+    tags=("functions",),
+)
+def s20_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 400).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_quantity").cast("int") % 5).alias("qty_mod5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S21 — Conditional expressions
+# ---------------------------------------------------------------------------
+@register(
+    "s21_conditional",
+    oracle="""
+    SELECT
+      c_custkey,
+      CASE
+        WHEN c_acctbal < 0 THEN 'debt'
+        WHEN c_acctbal < 5000 THEN 'low'
+        WHEN c_acctbal < 8000 THEN 'mid'
+        ELSE 'high'
+      END AS bal_bucket,
+      COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+      CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE -c_acctbal END AS signed_bal
+    FROM customer
+    """,
+    doc="CASE WHEN / COALESCE / NULLIF.",
+    tags=("functions",),
+)
+def s21_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("seg_masked"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal"))
+        .otherwise(-F.col("c_acctbal"))
+        .alias("signed_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S22 — Array functions over the embeddings table
+# ---------------------------------------------------------------------------
+@register(
+    "s22_array_funcs",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, LEN(embedding))) AS i
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT
+      vec_id,
+      CAST(i - 1 AS INT) AS pos,
+      CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val,
+      CAST(LEN(embedding) AS INT) AS dim
+    FROM flat
+    """,
+    doc="size/posexplode over ArrayType(Float) embedding column; generates "
+        "(vec_id, pos, val) rows — Catalyst Generate node, no Python.",
+    tags=("functions", "arrays"),
+)
+def s22_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("pos", "valf"),
+            F.size("embedding").alias("dim"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("valf").cast("double").alias("val"),
+            F.col("dim").cast("int").alias("dim"),
+        )
+        .select("vec_id", "pos", "val", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S23 — JSON extraction from events.props
+# ---------------------------------------------------------------------------
+@register(
+    "s23_json",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      {sql_dsum("CAST(json_extract_string(props, '$.k') AS BIGINT)", "sum_k")}
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="get_json_object path extraction on a JSON string column + agg.",
+    tags=("functions", "json"),
+)
+def s23_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        dsum(k, "sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S24 — Tumbling time windows (batch) + gap sessionization
+# ---------------------------------------------------------------------------
+@register(
+    "s24_tumbling_window",
+    oracle=f"""
+    SELECT
+      DATE_TRUNC('hour', ts) AS wstart,
+      event_type,
+      COUNT(*) AS n,
+      {sql_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="1-hour tumbling windows over events.ts via F.window — the batch "
+        "twin of the streaming S25 query.",
+    tags=("events",),
+)
+def s24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "s24b_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT
+        user_id, ts,
+        CASE
+          WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR epoch_us(ts)
+               - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               > 30 * 60 * 1000000
+          THEN 1 ELSE 0
+        END AS is_new
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag over a per-user "
+        "window + cumulative new-session flags. Scales as one shuffle on "
+        "user_id — session logic stays within partitions.",
+    tags=("events",),
+)
+def s24b_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Exact microsecond gap comparison so the DuckDB oracle (epoch_us) agrees.
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,262 @@
+"""Text analysis over ``documents`` (SURVEY.md §2.2 S28 + north-star ops):
+token statistics, language ID (stopword-hit heuristic), quality scoring,
+document fingerprinting, TF-IDF top terms.
+
+All pure built-in column expressions (split/explode/agg) — zero Python UDFs,
+so every op rides whole-stage codegen and scales linearly with one shuffle
+per groupBy. Each is exactly DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register, sql_davg
+
+# Heuristic "stopword" lists over the synthetic corpus vocabulary; a real
+# deployment swaps per-language function words here.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "sql": ("select", "join", "group", "order", "filter"),
+    "data": ("table", "row", "batch", "stream", "key"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+@register(
+    "s28_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(LEN(regexp_split_to_array(text, ' ')) AS INT) AS n_tokens,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(LEN(list_distinct(regexp_split_to_array(text, ' '))) AS INT) AS n_distinct,
+      ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+            / LEN(regexp_split_to_array(text, ' ')), 4) AS avg_word_len
+    FROM documents
+    """,
+    doc="Whitespace tokenization: token/char/distinct counts + mean word "
+        "length — per-row expressions, no shuffle at all.",
+    tags=("text",),
+)
+def s28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(words)).cast("int").alias("n_distinct"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(words),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-hit argmax)
+# ---------------------------------------------------------------------------
+def _marker_hits(words_col, markers: tuple[str, ...]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(words_col, lambda w: F.array_contains(arr, w))
+    )
+
+
+@register(
+    "s28b_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        LEN(list_filter(regexp_split_to_array(text, ' '),
+            w -> list_contains({list(LANG_MARKERS['en'])}, w))) AS hits_en,
+        LEN(list_filter(regexp_split_to_array(text, ' '),
+            w -> list_contains({list(LANG_MARKERS['sql'])}, w))) AS hits_sql,
+        LEN(list_filter(regexp_split_to_array(text, ' '),
+            w -> list_contains({list(LANG_MARKERS['data'])}, w))) AS hits_data
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+      CASE
+        WHEN hits_en >= hits_sql AND hits_en >= hits_data THEN 'en'
+        WHEN hits_sql >= hits_data THEN 'sql'
+        ELSE 'data'
+      END AS predicted_lang,
+      CAST(hits_en AS INT) AS hits_en,
+      CAST(hits_sql AS INT) AS hits_sql,
+      CAST(hits_data AS INT) AS hits_data
+    FROM scored
+    """,
+    doc="N-gram/marker-list language-ID heuristic: count marker-word hits "
+        "per language, argmax with a fixed preference order.",
+    tags=("text",),
+)
+def s28b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    hits = {k: _marker_hits(words, v) for k, v in LANG_MARKERS.items()}
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].cast("int").alias("hits_en"),
+        hits["sql"].cast("int").alias("hits_sql"),
+        hits["data"].cast("int").alias("hits_data"),
+    )
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_sql"))
+            & (F.col("hits_en") >= F.col("hits_data")),
+            "en",
+        )
+        .when(F.col("hits_sql") >= F.col("hits_data"), "sql")
+        .otherwise("data")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", pred.alias("predicted_lang"),
+        "hits_en", "hits_sql", "hits_data",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "s28c_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+        LENGTH(text) AS n_chars,
+        LEN(regexp_split_to_array(text, ' ')) AS n_tokens,
+        LEN(list_filter(regexp_split_to_array(text, ' '),
+            w -> list_contains({list(STOPWORDS)}, w))) AS n_stop,
+        LEN(list_distinct(regexp_split_to_array(text, ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id,
+      ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+      ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+      ROUND(LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0), 6) AS length_score,
+      ROUND(
+        0.4 * LEAST(CAST(n_chars AS DOUBLE) / 400, 1.0)
+        + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        + 0.3 * (1 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+    FROM feats
+    """,
+    doc="Document quality score: length / stopword-ratio / lexical-"
+        "diversity blend (the C4/Gopher-style filtering features).",
+    tags=("text",),
+)
+def s28c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(words).cast("double")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+        "double"
+    )
+    n_distinct = F.size(F.array_distinct(words)).cast("double")
+    length_score = F.least(n_chars / 400, F.lit(1.0))
+    stop_ratio = n_stop / n_tokens
+    distinct_ratio = n_distinct / n_tokens
+    quality = 0.4 * length_score + 0.3 * distinct_ratio + 0.3 * (1 - stop_ratio)
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (normalized content digest)
+# ---------------------------------------------------------------------------
+@register(
+    "s28d_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct(
+        regexp_split_to_array(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-insensitive document fingerprint: md5 of the sorted distinct "
+        "token set — catches shuffled/duplicated-content documents that "
+        "exact hashing misses.",
+    tags=("text", "dedup"),
+)
+def s28d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))),
+            )
+        ).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "s28e_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rk FROM scored
+    )
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF: tf per (doc, term), df per term, idf = ln(N/df); top-3 "
+        "terms per doc. Two shuffles (doc-term, term) + broadcast of N; "
+        "the df table is tiny relative to the corpus at any scale.",
+    tags=("text",),
+)
+def s28e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; at scale use a broadcast single-row join
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

@@ -1,0 +1,169 @@
+"""Window functions: ranking, analytic frames, top-k per group.
+
+SURVEY.md §2.2 S13, S14, S16.  Determinism policy: any function whose value
+depends on exact row order (row_number, ntile, lag/lead, running frames)
+gets a TOTAL order (unique key tiebreak); rank/dense_rank additionally get a
+coarse key so real ties exercise their semantics.
+
+Scale notes: a window partitioned by a high-cardinality key (custkey) is one
+shuffle + in-partition sort; running-sum frames accumulate in DECIMAL so the
+DuckDB oracle (segment-tree evaluation, different add order) still matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import DEC, register
+
+
+# ---------------------------------------------------------------------------
+# S13 — Ranking functions
+# ---------------------------------------------------------------------------
+@register(
+    "s13_window_rank",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY CAST(FLOOR(o_totalprice) AS INT) DESC, o_orderkey
+      ) AS BIGINT) AS rn,
+      CAST(RANK() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY CAST(FLOOR(o_totalprice / 10000) AS INT) DESC
+      ) AS BIGINT) AS rnk,
+      CAST(DENSE_RANK() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY CAST(FLOOR(o_totalprice / 10000) AS INT) DESC
+      ) AS BIGINT) AS drnk,
+      CAST(NTILE(4) OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY CAST(FLOOR(o_totalprice) AS INT) DESC, o_orderkey
+      ) AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_orderkey <= 4000
+    """,
+    doc="row_number/rank/dense_rank/ntile; rank keys are coarsened so true "
+        "ties exercise rank-vs-dense_rank semantics deterministically.",
+    tags=("window",),
+)
+def s13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    total = W.partitionBy("o_orderpriority").orderBy(
+        F.floor("o_totalprice").cast("int").desc(), F.col("o_orderkey")
+    )
+    coarse = W.partitionBy("o_orderpriority").orderBy(
+        F.floor(F.col("o_totalprice") / 10000).cast("int").desc()
+    )
+    return orders.filter(F.col("o_orderkey") <= 4000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(total).cast("bigint").alias("rn"),
+        F.rank().over(coarse).cast("bigint").alias("rnk"),
+        F.dense_rank().over(coarse).cast("bigint").alias("drnk"),
+        F.ntile(4).over(total).cast("bigint").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14 — Analytic functions with frames
+# ---------------------------------------------------------------------------
+@register(
+    "s14_window_analytic",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_totalprice,
+      LAG(o_totalprice) OVER w AS prev_price,
+      LEAD(o_totalprice) OVER w AS next_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS moving_avg3,
+      FIRST_VALUE(o_orderkey) OVER w AS first_order
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead/first_value + running & moving frames (rowsBetween); "
+        "frame sums accumulate in DECIMAL for cross-engine bit-stability.",
+    tags=("window",),
+)
+def s14_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = w.rowsBetween(-2, W.currentRow)
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return orders.filter(F.col("o_custkey") <= 200).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        (
+            F.sum(price_dec).over(mov).cast("double") / F.count("*").over(mov)
+        ).alias("moving_avg3"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16 — Top-k per group
+# ---------------------------------------------------------------------------
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Generic top-k per group via row_number ≤ k.
+
+    One shuffle on the group key; at scale Spark evaluates the rank with a
+    partial sort, and AQE handles group-key skew.  ``order_cols`` must be a
+    total order for deterministic output.
+    """
+    w = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+@register(
+    "s16_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT
+        o_orderpriority, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey
+        ) AS BIGINT) AS rk
+      FROM orders
+    )
+    WHERE rk <= 5
+    """,
+    doc="Top-5 orders per priority class (window row_number <= k).",
+    tags=("window",),
+)
+def s16_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )

@@ -1,0 +1,80 @@
+"""Registry entries for the streaming surface (S25).
+
+The oracle is the BATCH answer: a complete-mode streaming aggregation over
+a finite replay must equal the equivalent batch GROUP BY — the
+batch-equivalence pattern the reference's parity tests use for training
+(distributed == single-node, tests/test_end_to_end.py:162-211), transposed
+to streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xgboost_ray_spark.registry import register, sql_dsum
+from xgboost_ray_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_counts,
+)
+
+
+@register(
+    "s25_stream_tumbling",
+    oracle=f"""
+    SELECT
+      DATE_TRUNC('hour', ts) AS wstart,
+      event_type,
+      COUNT(*) AS n,
+      {sql_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling 1-hour window over the events "
+        "replay, complete mode -> memory sink; equals the batch answer "
+        "(s24) exactly.",
+    tags=("streaming",),
+)
+def s25_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_counts(read_events_stream(spark, sf_dir), "1 hour")
+    return run_stream_to_memory(agg, spark)
+
+
+@register(
+    "s25b_stream_sliding",
+    oracle=f"""
+    WITH offs AS (SELECT unnest([0, 30]) AS off_min), win AS (
+      SELECT
+        DATE_TRUNC('hour', ts - to_minutes(off_min)) + to_minutes(off_min) AS wstart,
+        event_type, value
+      FROM events, offs
+    )
+    SELECT wstart, event_type, COUNT(*) AS n, {sql_dsum("value", "sum_value")}
+    FROM win
+    GROUP BY 1, 2
+    """,
+    doc="Sliding window (1 hour every 30 min): each event lands in 2 "
+        "overlapping windows; oracle expands the two slide offsets.",
+    tags=("streaming",),
+)
+def s25b_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_counts(
+        read_events_stream(spark, sf_dir), "1 hour", slide="30 minutes"
+    )
+    return run_stream_to_memory(agg, spark)
+
+
+@register(
+    "s25c_stream_watermark_append",
+    oracle=None,  # append-mode emission depends on watermark progress; rows-only
+    doc="Append-mode tumbling window WITH a 10-minute watermark: the "
+        "production late-data configuration. Finalized windows (window end "
+        "<= max event time - delay) are emitted; the tail window stays in "
+        "state — hence no exact batch oracle.",
+    tags=("streaming",),
+)
+def s25c_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_counts(
+        read_events_stream(spark, sf_dir), "1 hour", watermark="10 minutes"
+    )
+    return run_stream_to_memory(agg, spark, output_mode="append")

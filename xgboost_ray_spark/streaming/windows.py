@@ -1,0 +1,88 @@
+"""Structured Streaming operators (SURVEY.md §2.2 S25).
+
+The events table replays as a file-source stream; aggregations use event-time
+tumbling/sliding windows. ``run_stream_to_memory`` drives a query to
+completion synchronously (processAllAvailable against a memory sink) so the
+batch-equivalence oracle can hash the result — the pattern from the public
+Spark docs for deterministic streaming tests.
+
+Watermarks: ``windowed_counts`` takes a watermark delay for the append-mode
+production path (late data dropped after the delay); the oracle-checked
+variants run in complete mode, where the final state equals the batch
+answer by construction.
+
+Scale: streaming state lives in the state store keyed by (window, group);
+watermarks bound state size. At 100 TB/day the same plan runs against Kafka
+with checkpointing — the file source here swaps out, the plan does not.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table with the batch schema.
+
+    The raw file stores TIMESTAMP(NANOS) (read as long under
+    nanosAsLong); the same ns->us conversion as the batch catalog keeps
+    stream and batch plans identical downstream.
+    """
+    from xgboost_ray_spark.catalog import normalize_event_ts
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # The file-stream source needs a directory; scope it to the events file
+    # with a glob filter.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(stream)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide``) event-time window aggregation."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n", "sum_value")
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming aggregation to completion into a memory sink."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the sink table goes away.
+    out = spark.table(name)
+    out = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(name)
+    return out
