@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the reference harness's shape (tests/release/benchmark_cpu_gpu.py:
+84-106,178-197: per-run wall-clock rows) on the project's BASELINE.md terms.
+Each query executes through the same registry entry the correctness gate
+checks, so the timed plan is the verified plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "s09_groupby_agg",        # TPC-H Q1 aggregation
+    "s05_inner_join",         # 3-way fact join
+    "s08_broadcast_join",     # star-schema dims
+    "s13_window_rank",        # ranking windows
+    "s16_topk_per_group",     # top-k
+    "s24_tumbling_window",    # event-time windows (batch)
+    "s24b_sessionization",    # gap sessionization
+    "s23_json",               # JSON extraction
+    "s26_dedup_exact",        # exact dedup
+    "s26b_minhash_lsh",       # MinHash LSH near-dup
+    "s26c_simhash",           # SimHash fingerprints
+    "s27_cosine_topk",        # brute-force ANN
+    "s27b_lsh_topk",          # LSH-bucketed ANN
+    "s28e_tfidf_top_terms",   # TF-IDF
+    "s28c_quality_score",     # quality filtering
+    "s30_gbt_train_predict",  # distributed GBT train+predict
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+
+    from xgboost_ray_spark.registry import all_queries
+    from xgboost_ray_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+
+    # Warm the JVM/codegen path outside timing (tiny query).
+    specs["s09_groupby_agg"].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].build(spark, sf_dir)
+        # Force full execution without driver materialization overhead.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -106,59 +106,77 @@ def s27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH random-hyperplane bucketing
 # ---------------------------------------------------------------------------
-def plane_signs(spark: SparkSession, dim: int, n_planes: int = N_PLANES) -> DataFrame:
-    """(plane, pos, sign ±1) — md5-derived pseudo-random hyperplane signs."""
-    planes = spark.range(n_planes).select(F.col("id").alias("plane"))
-    poss = spark.range(dim).select(F.col("id").alias("pos"))
-    cell = planes.crossJoin(poss)
-    nib = F.instr(
-        F.lit(_HEX), F.substring(F.md5(F.concat_ws("_", "plane", "pos")), 1, 1)
-    ) - 1
-    return cell.select(
-        "plane", "pos", F.when(nib >= 8, 1).otherwise(-1).alias("sign")
-    )
+def plane_sign_values(dim: int, n_planes: int = N_PLANES) -> list[list[int]]:
+    """±1 hyperplane signs derived from md5 — computed at plan-build time.
+
+    sign(p, i) = +1 iff the first hex nibble of md5(f"{p}_{i}") >= 8;
+    identical to the SQL-side derivation in the oracle (md5 is md5), so the
+    Spark plan can embed the signs as literals with zero runtime cost.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_expr(dim: int, n_planes: int = N_PLANES, col: str = "embedding") -> F.Column:
+    """Per-row bucket id as a single JVM expression — no explode, no shuffle.
+
+    Each plane's projection accumulates in DECIMAL(28,12) (exact, engine-
+    independent), so bucket assignment is bit-stable vs the DuckDB oracle.
+    At 100 TB this is the difference between a narrow map stage and a
+    2.5M-row-per-5k-vectors explode + two shuffles.
+    """
+    signs = plane_sign_values(dim, n_planes)
+    bucket = None
+    for p in range(n_planes):
+        arr = "array(" + ",".join(str(s) for s in signs[p]) + ")"
+        proj = (
+            f"aggregate(zip_with({col}, {arr},"
+            f" (v, s) -> cast(cast(v as double) * s as decimal(28,12))),"
+            f" cast(0 as decimal(28,12)),"
+            f" (acc, x) -> cast(acc + x as decimal(28,12)))"
+        )
+        term = F.when(F.expr(proj) >= 0, 2**p).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
 
 
 def lsh_buckets(spark: SparkSession, vectors: DataFrame) -> DataFrame:
-    """(vec_id, bucket): sign-bit bucket of each vector under N_PLANES
-    hyperplanes. Projections accumulate in DECIMAL(28,12) — bit-stable in
-    any engine, so bucket assignment is deterministic everywhere.
-    """
-    dim = 64  # embeddings fixture dim; production: F.size(embedding) probe
-    signs = plane_signs(spark, dim)
-    flat = vectors.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    )
-    proj = (
-        flat.join(F.broadcast(signs), "pos")
-        .groupBy("vec_id", "plane")
-        .agg(
-            F.sum(
-                (F.col("v").cast("double") * F.col("sign")).cast("decimal(28,12)")
-            ).alias("proj")
-        )
-    )
-    return (
-        proj.withColumn("bit", F.when(F.col("proj") >= 0, 1).otherwise(0))
-        .withColumn("term", F.expr("bit * shiftleft(1, cast(plane as int))"))
-        .groupBy("vec_id")
-        .agg(F.sum("term").cast("int").alias("bucket"))
+    """(vec_id, bucket) under N_PLANES md5-derived hyperplanes."""
+    dim = 64  # embeddings fixture dim; production: probe len(first row)
+    return vectors.select(
+        "vec_id", lsh_bucket_expr(dim).alias("bucket")
     )
 
 
 def lsh_cosine_topk(
     spark: SparkSession, queries: DataFrame, corpus: DataFrame, k: int = TOP_K
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket."""
-    qb = lsh_buckets(spark, queries).withColumnRenamed("vec_id", "query_id")
-    cb = lsh_buckets(spark, corpus).withColumnRenamed("vec_id", "neighbor_id")
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    cand = (
-        qb.join(cb, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    One pass over the corpus computing buckets inline, broadcast-joined to
+    the (small) bucketed query set — a single scan, no corpus shuffle.
+    """
+    qb = lsh_buckets(spark, queries).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qside = qb.join(q, "query_id")
+    cside = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        lsh_bucket_expr(64).alias("bucket"),
+    )
+    cand = cside.join(F.broadcast(qside), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     sim = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
     w = W.partitionBy("query_id").orderBy(F.col("sim_full").desc(), F.col("neighbor_id"))

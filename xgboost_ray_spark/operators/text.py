@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.operators.dedup import fan_out
 from xgboost_ray_spark.registry import register, sql_davg
 
 # Heuristic "stopword" lists over the synthetic corpus vocabulary; a real
@@ -240,7 +241,7 @@ def s28d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s28e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tok = fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; at scale use a broadcast single-row join
