@@ -144,16 +144,35 @@ def train(
     if spec.weight_col and est.hasParam("weightCol"):
         est = est.setParams(weightCol="__w__")
 
+    # GBT makes one full pass per boosting round; without an explicit
+    # persist every round re-reads the source and re-runs the assembler
+    # (the reference keeps shards resident in the object store for the same
+    # reason — matrix.py:882-885). MEMORY_AND_DISK so a 100TB run spills
+    # instead of OOMing.
+    from pyspark import StorageLevel
+
+    # Iterative training wants every core busy each round; a few large input
+    # splits (common for single-file small-SF inputs) would serialize the
+    # whole fit. One up-front round-robin shuffle is amortized over all
+    # rounds (reference analogue: repartition to num_actors, main.py:1161).
+    sc = dtrain.sparkSession.sparkContext
+    target = max(gbt.num_workers, sc.defaultParallelism)
+    if assembled.rdd.getNumPartitions() < target:
+        assembled = assembled.repartition(target)
+    assembled = assembled.persist(StorageLevel.MEMORY_AND_DISK)
     start = time.perf_counter()
     attempts = gbt.max_restarts + 1
     last_err: Exception | None = None
     model = None
-    for _ in range(attempts):
-        try:
-            model = est.fit(assembled)
-            break
-        except Exception as err:  # pragma: no cover - failure-injection path
-            last_err = err
+    try:
+        for _ in range(attempts):
+            try:
+                model = est.fit(assembled)
+                break
+            except Exception as err:  # pragma: no cover - failure-injection path
+                last_err = err
+    finally:
+        assembled.unpersist()
     if model is None:
         raise RuntimeError(
             f"training failed after {attempts} attempts"

@@ -47,15 +47,21 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFr
     is broadcast; ranking uses full-precision sim with vec_id tiebreak, the
     emitted sim is rounded for cross-engine hash stability.
     """
+    # Norms are computed ONCE per vector before the join (a narrow
+    # projection), not per pair — at |Q|*|corpus| pairs that is a 3x cut in
+    # per-pair expression work, and at 100 TB corpus norms would be a
+    # precomputed column of the index anyway.
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
     )
-    sim = _dot("qe", "ce") / (
-        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
-    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim_full", sim)
@@ -127,21 +133,19 @@ def plane_sign_values(dim: int, n_planes: int = N_PLANES) -> list[list[int]]:
 def lsh_bucket_expr(dim: int, n_planes: int = N_PLANES, col: str = "embedding") -> F.Column:
     """Per-row bucket id as a single JVM expression — no explode, no shuffle.
 
-    Each plane's projection accumulates in DECIMAL(28,12) (exact, engine-
-    independent), so bucket assignment is bit-stable vs the DuckDB oracle.
+    Each plane's projection is a sequential-double dot product of the vector
+    with a ±1.0 literal array. Spark's ``aggregate(zip_with(...))`` and
+    DuckDB's ``list_dot_product`` both fold left-to-right over identical
+    IEEE-754 doubles, so the sign of the projection (hence the bucket) is
+    bit-stable across engines with no DECIMAL arithmetic in the hot path.
     At 100 TB this is the difference between a narrow map stage and a
     2.5M-row-per-5k-vectors explode + two shuffles.
     """
     signs = plane_sign_values(dim, n_planes)
     bucket = None
     for p in range(n_planes):
-        arr = "array(" + ",".join(str(s) for s in signs[p]) + ")"
-        proj = (
-            f"aggregate(zip_with({col}, {arr},"
-            f" (v, s) -> cast(cast(v as double) * s as decimal(28,12))),"
-            f" cast(0 as decimal(28,12)),"
-            f" (acc, x) -> cast(acc + x as decimal(28,12)))"
-        )
+        arr = "array(" + ",".join(f"{s:.1f}D" for s in signs[p]) + ")"
+        proj = _DOT.format(a=col, b=arr)
         term = F.when(F.expr(proj) >= 0, 2**p).otherwise(0)
         bucket = term if bucket is None else bucket + term
     return bucket.cast("int")
@@ -167,18 +171,21 @@ def lsh_cosine_topk(
         F.col("vec_id").alias("query_id"), "bucket"
     )
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
     )
     qside = qb.join(q, "query_id")
     cside = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
         lsh_bucket_expr(64).alias("bucket"),
     )
     cand = cside.join(F.broadcast(qside), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("query_id").orderBy(F.col("sim_full").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("sim_full", sim)
@@ -189,31 +196,21 @@ def lsh_cosine_topk(
 
 
 def _lsh_oracle() -> str:
+    # Sign lists are embedded as literals (same md5 derivation as the Spark
+    # plan, executed here at query-build time); each projection is a
+    # sequential-double list_dot_product — bit-identical to Spark's
+    # aggregate(zip_with(...)) fold.
+    signs = plane_sign_values(64, N_PLANES)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{s:.1f}" for s in signs[p])
+        + f"]) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
     return f"""
-    WITH signs AS (
-      SELECT p.plane, s.pos,
-             CASE WHEN strpos('{_HEX}',
-                    substring(md5(CAST(p.plane AS VARCHAR) || '_' || CAST(s.pos AS VARCHAR)), 1, 1)) - 1 >= 8
-                  THEN 1 ELSE -1 END AS sign
-      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane) p,
-           (SELECT unnest(generate_series(0, 63)) AS pos) s
-    ), ex AS (
-      SELECT vec_id, embedding,
-             unnest(generate_series(1, LEN(embedding))) AS i
+    WITH bucket AS (
+      SELECT vec_id, CAST({bucket_terms} AS INT) AS bucket
       FROM embeddings
-    ), flat AS (
-      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-      FROM ex
-    ), proj AS (
-      SELECT vec_id, plane,
-             SUM(CAST(v * sign AS DECIMAL(28,12))) AS proj
-      FROM flat JOIN signs USING (pos)
-      GROUP BY vec_id, plane
-    ), bucket AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN proj >= 0 THEN 1 ELSE 0 END * (1 << CAST(plane AS INT))) AS INT) AS bucket
-      FROM proj GROUP BY vec_id
     ), qb AS (
       SELECT vec_id AS query_id, bucket FROM bucket WHERE vec_id < 10
     ), cand AS (
@@ -246,9 +243,9 @@ def _lsh_oracle() -> str:
     "s27b_lsh_topk",
     oracle=_lsh_oracle(),
     doc=f"LSH (random-hyperplane, {N_PLANES} planes) bucketed approximate "
-        "top-5 — deterministic md5-derived planes + DECIMAL projections make "
-        "even the approximate path exactly oracle-checkable. 100TB path: "
-        "bucket join prunes the corpus ~2^planes-fold per query.",
+        "top-5 — deterministic md5-derived planes + sequential-double "
+        "projections make even the approximate path exactly oracle-checkable. "
+        "100TB path: bucket join prunes the corpus ~2^planes-fold per query.",
     tags=("similarity", "lsh"),
 )
 def s27b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,9 +278,17 @@ def s27c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 150)
         .select("vec_id", "embedding")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"))
-    sim = _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
+    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("sim_full", sim)
