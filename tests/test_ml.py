@@ -1,0 +1,270 @@
+"""ML-layer tests — the reference's own test strategy (SURVEY.md §5).
+
+The core oracle pattern is ported from the reference's end-to-end suite
+(xgboost_ray tests/test_end_to_end.py:96-211): a deterministic, perfectly
+learnable mapping must be learned to 100% accuracy by *distributed*
+training — i.e. distributed == logically single-node. Matrix-role tests
+mirror tests/test_matrix.py (column ordering :64-72, qid handling
+:451-505); sharding round-trips mirror :74-113.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.matrix import MatrixSpec, ShardingMode, combine_data, shard
+from xgboost_ray_spark.ml.estimators import (
+    SparkXGBClassifier,
+    SparkXGBRanker,
+    SparkXGBRegressor,
+    SparkXGBRFClassifier,
+    SparkXGBRFRegressor,
+)
+from xgboost_ray_spark.ml.params import GBTParams
+from xgboost_ray_spark.ml.train import predict, train
+
+
+def learnable_frame(spark, repeat: int = 64):
+    """Deterministic greedy-learnable binary mapping (label = x1 AND x2),
+    repeated so every partition sees every pattern — the shape of the
+    reference's fixture (test_end_to_end.py:72-86: each split has positive
+    marginal gain, so a depth-2 tree learns it exactly)."""
+    rows = [(0.0, 0.0, 0), (0.0, 1.0, 0), (1.0, 0.0, 0), (1.0, 1.0, 1)]
+    data = rows * repeat
+    return spark.createDataFrame(data, ["x1", "x2", "label"])
+
+
+def fourclass_frame(spark, repeat: int = 8):
+    """The reference's exact 4-row / 4-class fixture
+    (test_end_to_end.py:72-86): f0 -> 0, f1 -> 1, f2+f3 -> 2, f2+!f3 -> 3."""
+    rows = [
+        (1.0, 0.0, 0.0, 0.0, 0),
+        (0.0, 1.0, 0.0, 0.0, 1),
+        (0.0, 0.0, 1.0, 1.0, 2),
+        (0.0, 0.0, 1.0, 0.0, 3),
+    ]
+    return spark.createDataFrame(rows * repeat, ["f0", "f1", "f2", "f3", "label"])
+
+
+# ---------------------------------------------------------------------------
+# The parity oracle: distributed training learns the mapping exactly
+# ---------------------------------------------------------------------------
+def test_distributed_train_learns_mapping(spark):
+    df = learnable_frame(spark)
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("x1", "x2"))
+    result = train(
+        {"objective": "binary:logistic", "max_depth": 3, "eta": 0.5},
+        df,
+        spec,
+        num_boost_round=20,
+        gbt_params=GBTParams(num_workers=2, seed=7),
+    )
+    scored = predict(result, df, spec)
+    wrong = scored.filter(F.col("prediction") != F.col("label")).count()
+    assert wrong == 0, "distributed GBT must learn the deterministic mapping"
+    assert result.train_time_s > 0
+    assert result.backend in ("mllib", "xgb")
+
+
+def test_regressor_learns_linear_map(spark):
+    pdf = [(float(i), float(i) * 2.0) for i in range(256)]
+    df = spark.createDataFrame(pdf, ["x", "y"])
+    est = SparkXGBRegressor(n_estimators=30, max_depth=4)
+    est.fit(df, "y", feature_cols=["x"])
+    scored = est.predict(df)
+    rmse = math.sqrt(
+        scored.select(F.avg((F.col("prediction") - F.col("y")) ** 2)).first()[0]
+    )
+    assert rmse < 20.0  # range is 0..510; tree regressor approximates well
+
+
+def test_classifier_proba_and_nclasses(spark):
+    df = learnable_frame(spark)
+    est = SparkXGBClassifier(n_estimators=20, max_depth=3, learning_rate=0.5)
+    est.fit(df, "label", feature_cols=["x1", "x2"])
+    assert est.n_classes_ == 2
+    proba = est.predict_proba(df)
+    row = proba.select("probability_arr").first()[0]
+    assert len(row) == 2
+    assert abs(sum(row) - 1.0) < 1e-6
+
+
+def test_multiclass_learns_reference_fixture(spark):
+    """The reference's own multi-class oracle (test_end_to_end.py:96-103):
+    100% accuracy on the deterministic 4-class mapping."""
+    df = fourclass_frame(spark)
+    est = SparkXGBClassifier(n_estimators=8, max_depth=3)
+    est.fit(df, "label", feature_cols=["f0", "f1", "f2", "f3"])
+    assert est.n_classes_ == 4
+    wrong = (
+        est.predict(df)
+        .filter(F.col("prediction") != F.col("label"))
+        .count()
+    )
+    assert wrong == 0
+
+
+def test_rf_variants_fit_predict(spark):
+    df = learnable_frame(spark)
+    for cls in (SparkXGBRFClassifier, SparkXGBRFRegressor):
+        est = cls(n_estimators=16, max_depth=4)
+        est.fit(df, "label", feature_cols=["x1", "x2"])
+        assert est.predict(df).count() == df.count()
+
+
+def test_ranker_requires_qid_and_orders_groups(spark):
+    rows = []
+    for qid in range(16):
+        for rel in (0, 1, 2):
+            rows.append((float(rel) + 0.01 * qid, float(qid % 3), qid, rel))
+    df = spark.createDataFrame(rows, ["f1", "f2", "qid", "rel"])
+    est = SparkXGBRanker(n_estimators=20, max_depth=3)
+    with pytest.raises(ValueError, match="qid_col"):
+        est.fit(df, "rel")
+    est.fit(df, "rel", qid_col="qid")
+    scored = est.predict(df)
+    # Within each query group the higher-relevance doc must outscore the
+    # lower one (the reference's monotone-AUC check, test_end_to_end.py:374-424).
+    agg = (
+        scored.groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("rel") == 2, F.col("prediction"))).alias("hi"),
+            F.max(F.when(F.col("rel") == 0, F.col("prediction"))).alias("lo"),
+        )
+        .filter(F.col("hi") <= F.col("lo"))
+        .count()
+    )
+    assert agg == 0
+
+
+def test_eval_sets_recorded(spark):
+    df = learnable_frame(spark)
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("x1", "x2"))
+    result = train(
+        {"objective": "binary:logistic"},
+        df,
+        spec,
+        num_boost_round=5,
+        evals=[(df, "train")],
+    )
+    assert "train" in result.evals_result
+    (metric_vals,) = result.evals_result["train"].values()
+    assert 0.0 <= metric_vals[0] <= 1.0
+
+
+def test_checkpoint_save_and_reload(spark, tmp_path):
+    df = learnable_frame(spark)
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("x1", "x2"))
+    ckpt = os.path.join(str(tmp_path), "gbt_ckpt")
+    result = train(
+        {"objective": "binary:logistic", "eta": 0.5},
+        df,
+        spec,
+        num_boost_round=10,
+        gbt_params=GBTParams(checkpoint_path=ckpt, seed=7),
+    )
+    assert os.path.isdir(ckpt)
+    from pyspark.ml.classification import GBTClassificationModel
+
+    reloaded = GBTClassificationModel.load(ckpt)
+    scored = predict(reloaded, df, spec)
+    orig = predict(result, df, spec)
+    assert (
+        scored.select("prediction").collect()
+        == orig.select("prediction").collect()
+    )
+
+
+def test_weight_col_accepted(spark):
+    df = learnable_frame(spark).withColumn("w", F.lit(1.0))
+    spec = MatrixSpec(
+        label_cols=("label",), feature_cols=("x1", "x2"), weight_col="w"
+    )
+    result = train({"objective": "binary:logistic"}, df, spec, num_boost_round=3)
+    assert predict(result, df, spec).count() == df.count()
+
+
+# ---------------------------------------------------------------------------
+# MatrixSpec role handling (reference tests/test_matrix.py)
+# ---------------------------------------------------------------------------
+def test_feature_order_preserved(spark):
+    """Column order invariant — reference test_matrix.py:64-72."""
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 0)], ["b", "a", "c", "label"])
+    spec = MatrixSpec(label_cols=("label",))
+    assert spec.features_of(df) == ["b", "a", "c"]
+
+
+def test_ignore_drops_columns(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 0)], ["keep", "junk", "label"])
+    spec = MatrixSpec(label_cols=("label",), ignore=("junk",))
+    out = spec.prepare(df)
+    assert "junk" not in out.columns
+    assert spec.features_of(df) == ["keep"]
+
+
+def test_role_cols_union(spark):
+    spec = MatrixSpec(
+        label_cols=("y",), weight_col="w", qid_col="q", ignore=("i",)
+    )
+    assert spec.role_cols() == {"y", "w", "q", "i"}
+
+
+def test_qid_groups_land_whole_per_partition(spark):
+    """qid clustering — the reference's sort-by-qid invariant
+    (matrix.py:70-102): every query group contiguous in one shard."""
+    rows = [(i % 10, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["qid", "f"])
+    spec = MatrixSpec(qid_col="qid")
+    prepared = spec.prepare(df)
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf):
+                # sorted within partition
+                assert (pdf["qid"].values == np.sort(pdf["qid"].values)).all()
+                yield pd.DataFrame({"qid": pdf["qid"].unique()})
+
+    seen = prepared.mapInPandas(check, "qid int").groupBy("qid").count()
+    assert seen.filter(F.col("count") > 1).count() == 0  # no group split
+
+
+# ---------------------------------------------------------------------------
+# Sharding round-trips (reference test_matrix.py:74-113, combine :1114-1157)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("mode", [ShardingMode.INTERLEAVED, ShardingMode.BATCH])
+def test_shard_preserves_rows(spark, mode):
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    sharded = shard(df, 4, mode)
+    assert sharded.rdd.getNumPartitions() == 4
+    assert sorted(r.id for r in sharded.collect()) == list(range(1000))
+
+
+def test_combine_data_interleaved_roundtrip():
+    orig = np.arange(10)
+    shards = [orig[r::3] for r in range(3)]
+    out = combine_data(shards, ShardingMode.INTERLEAVED)
+    np.testing.assert_array_equal(out, orig)
+
+
+def test_combine_data_batch_roundtrip():
+    orig = np.arange(12, dtype=float)
+    shards = np.array_split(orig, 3)
+    np.testing.assert_array_equal(
+        combine_data(list(shards), ShardingMode.BATCH), orig
+    )
+
+
+def test_combine_data_2d_softprob():
+    """multi:softprob 2-D case (matrix.py:1141-1157)."""
+    shards = [np.full((2, 3), r, dtype=float) for r in range(2)]
+    out = combine_data(shards, ShardingMode.INTERLEAVED)
+    assert out.shape == (4, 3)
+    np.testing.assert_array_equal(out[0], 0)
+    np.testing.assert_array_equal(out[1], 1)

@@ -1,0 +1,102 @@
+"""Source-reader tests — the reference's per-source creation harness
+(xgboost_ray tests/test_matrix.py:74-113: build from every source type,
+load back, compare to the original)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import SF_SMOKE
+from xgboost_ray_spark.sources.readers import (
+    from_numpy,
+    from_pandas,
+    read_csv,
+    read_json,
+    read_parquet,
+)
+
+
+def test_read_parquet_columns_pushdown(spark):
+    df = read_parquet(
+        spark, f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    assert df.columns == ["n_nationkey", "n_name"]
+    assert df.count() == 25
+
+
+def test_read_parquet_ignore_projection(spark):
+    df = read_parquet(spark, f"{SF_SMOKE}/nation.parquet", ignore=["n_name"])
+    assert "n_name" not in df.columns
+    assert df.count() == 25
+
+
+def test_read_parquet_multiple_paths(spark):
+    p = f"{SF_SMOKE}/region.parquet"
+    df = read_parquet(spark, [p, p])
+    assert df.count() == 2 * read_parquet(spark, p).count()
+
+
+def test_read_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    nation = read_parquet(spark, f"{SF_SMOKE}/nation.parquet")
+    nation.coalesce(1).write.option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+
+def test_read_csv_infers_without_schema(spark, tmp_path):
+    out = str(tmp_path / "csv2")
+    spark.range(10).withColumn("v", F.col("id") * 1.5).coalesce(1).write.option(
+        "header", True
+    ).csv(out)
+    back = read_csv(spark, out)
+    assert dict(back.dtypes)["v"] == "double"
+    assert back.count() == 10
+
+
+def test_read_json_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "json")
+    spark.range(5).withColumn("s", F.concat(F.lit("x"), F.col("id"))).coalesce(
+        1
+    ).write.json(out)
+    assert read_json(spark, out).count() == 5
+
+
+def test_from_pandas_arrow(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = from_pandas(spark, pdf)
+    assert df.columns == ["a", "b"]
+    assert df.count() == 3
+
+
+def test_from_numpy_column_names(spark):
+    """Synthesized f{i} names — reference data_sources/numpy.py:32."""
+    arr = np.arange(12, dtype=float).reshape(4, 3)
+    df = from_numpy(spark, arr)
+    assert df.columns == ["f0", "f1", "f2"]
+    assert df.count() == 4
+
+
+def test_from_numpy_1d_promotes(spark):
+    df = from_numpy(spark, np.array([1.0, 2.0]))
+    assert df.columns == ["f0"]
+    assert df.count() == 2
+
+
+def test_from_numpy_ignore(spark):
+    arr = np.zeros((2, 3))
+    df = from_numpy(spark, arr, ignore=["f1"])
+    assert df.columns == ["f0", "f2"]

@@ -91,6 +91,7 @@ def _mllib_estimator(params: dict, num_boost_round: int, gbt: GBTParams):
 
         common.pop("stepSize")
         common.pop("subsamplingRate")
+        common.pop("maxIter")
         common["numTrees"] = max(num_boost_round * 4, 64)
         common["maxDepth"] = max(params.get("max_depth", 6), 8)
         return RandomForestClassifier(**common), "classification"

@@ -292,6 +292,32 @@ def s11b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s11c_grouping_sets",
+    oracle=f"""
+    SELECT
+      l_returnflag, l_linestatus,
+      {sql_dsum("l_quantity", "sum_qty")},
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (disjoint subtotal lattices in one shuffle; "
+        "DataFrame.groupingSets, Spark 4).",
+    tags=("agg",),
+)
+def s11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S12 — HAVING
 # ---------------------------------------------------------------------------
