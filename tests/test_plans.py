@@ -1,0 +1,115 @@
+"""Physical-plan audits — the performance contract, checked not assumed.
+
+Every assertion here is a property the 100 TB deployment depends on:
+filters and projections must reach the parquet scan (no full-table reads),
+dimension joins must broadcast (no shuffle of the fact table against a
+25-row dim), and hot relational paths must stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from xgboost_ray_spark.plans.explain import (
+    codegen_stage_count,
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema,
+)
+from xgboost_ray_spark.registry import all_queries
+
+
+def _build(spark, name):
+    return all_queries()[name].build(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _build(spark, "s01_parquet_scan")
+    assert has_pushed_filters(df), "l_orderkey < 1000 must push to parquet"
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = _build(spark, "s01_parquet_scan")
+    read = set(scan_read_schema(df))
+    assert read == {"l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"}, (
+        f"scan must read exactly the projected columns, got {read}"
+    )
+
+
+def test_projection_query_prunes(spark):
+    df = _build(spark, "s03_projection")
+    read = set(scan_read_schema(df))
+    assert "c_acctbal" not in read and "c_nationkey" not in read
+
+
+def test_compound_filter_pushes_sargable_parts(spark):
+    assert has_pushed_filters(_build(spark, "s04_filter"))
+
+
+def test_dim_join_broadcasts(spark):
+    """Star-schema dims must broadcast — a shuffle join against a 25-row
+    nation table would shuffle the full fact side at 100 TB."""
+    assert has_broadcast_join(_build(spark, "s08_broadcast_join"))
+
+
+def test_small_dim_autobroadcasts_without_hint(spark):
+    """AQE/threshold should broadcast nation automatically."""
+    from xgboost_ray_spark.catalog import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nat = load_table(spark, SF_SMOKE, "nation")
+    j = cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+    assert has_broadcast_join(j)
+
+
+def test_flagship_agg_stays_in_codegen(spark):
+    df = _build(spark, "s09_groupby_agg")
+    assert codegen_stage_count(df) >= 1
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan, "group-by must hash-aggregate"
+    # partial (map-side) + final aggregate = two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2, "missing map-side partial agg"
+
+
+def test_no_cartesian_in_joins(spark):
+    for name in ("s05_inner_join", "s06_outer_join", "s07_semi_anti_join"):
+        plan = formatted_plan(_build(spark, name))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian join"
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    plan = formatted_plan(_build(spark, "s16_topk_per_group"))
+    assert "Window" in plan
+
+
+def test_sort_limit_uses_takeordered_or_limit(spark):
+    plan = formatted_plan(_build(spark, "s15_sort_limit"))
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, (
+        "ORDER BY + LIMIT must not materialize a full global sort"
+    )
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    """The query side must broadcast: shuffling the corpus to the query
+    set's partitioning is the scale failure mode."""
+    plan = formatted_plan(_build(spark, "s27_cosine_topk"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_topk_broadcast_bucket_join(spark):
+    plan = formatted_plan(_build(spark, "s27b_lsh_topk"))
+    assert "BroadcastHashJoin" in plan, (
+        "LSH candidate join must broadcast the bucketed query set"
+    )
+
+
+def test_minhash_no_cartesian(spark):
+    plan = formatted_plan(_build(spark, "s26b_minhash_lsh"))
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    plan = formatted_plan(_build(spark, "s26_dedup_exact"))
+    assert "HashAggregate" in plan or "SortAggregate" in plan

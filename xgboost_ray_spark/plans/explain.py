@@ -50,5 +50,36 @@ def has_broadcast_join(df: DataFrame) -> bool:
     )
 
 
+def simple_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final physical plan string. Under AQE the pre-execution explain is
+    ``isFinalPlan=false`` with no codegen markers, so this materializes the
+    frame first (test-scale inputs only)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Distinct WholeStageCodegen spans in the executed plan (the formatted
+    pre-execution mode stopped printing codegen markers in Spark 4)."""
+    plan = executed_plan(df)
+    if "== Final Plan ==" in plan:  # ignore the duplicated initial plan
+        plan = plan.split("== Initial Plan ==")[0]
+    stages = set()
+    idx = 0
+    while True:
+        idx = plan.find("*(", idx)
+        if idx < 0:
+            break
+        end = plan.find(")", idx)
+        stage = plan[idx + 2 : end]
+        if stage.isdigit():
+            stages.add(int(stage))
+        idx = end
+    return len(stages)

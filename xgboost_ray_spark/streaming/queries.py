@@ -78,3 +78,52 @@ def s25c_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), "1 hour", watermark="10 minutes"
     )
     return run_stream_to_memory(agg, spark, output_mode="append")
+
+
+@register(
+    "s25d_stateful_sessions",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+        CASE
+          WHEN LAG(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000
+          THEN 1 ELSE 0
+        END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start,
+             MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             {sql_dsum("value", "sum_value")}
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg
+    WHERE sid < (SELECT MAX(a2.sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+       -- plus open sessions closed by the event-time timeout: after the
+       -- single data batch, watermark = floor(max_ts/1ms) - 10min, and the
+       -- no-data batch fires timeouts with timeout_ms < watermark_ms
+       OR FLOOR((epoch_us(session_end) + 30 * 60 * 1000000) / 1000)
+          < (SELECT FLOOR(MAX(epoch_us(ts)) / 1000) - 600000 FROM events)
+    """,
+    doc="Custom stateful operator: applyInPandasWithState gap sessionization "
+        "(30-min inactivity, event-time timeout, append mode). The one-file "
+        "replay arrives as a single microbatch, so the emitted set is exactly "
+        "'every closed session, plus open sessions whose event-time timeout "
+        "fires under the final watermark' — giving the stateful path an "
+        "exact SQL oracle.",
+    tags=("streaming", "stateful"),
+)
+def s25d_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.streaming.stateful import sessionize_stream
+
+    sessions = sessionize_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(sessions, spark, output_mode="append")
