@@ -25,8 +25,10 @@ HEADLINE = [
     "s08_broadcast_join",     # star-schema dims
     "s13_window_rank",        # ranking windows
     "s16_topk_per_group",     # top-k
+    "s11c_grouping_sets",     # subtotal lattices
     "s24_tumbling_window",    # event-time windows (batch)
     "s24b_sessionization",    # gap sessionization
+    "s25d_stateful_sessions", # stateful streaming sessionization
     "s23_json",               # JSON extraction
     "s26_dedup_exact",        # exact dedup
     "s26b_minhash_lsh",       # MinHash LSH near-dup
@@ -35,6 +37,7 @@ HEADLINE = [
     "s27b_lsh_topk",          # LSH-bucketed ANN
     "s28e_tfidf_top_terms",   # TF-IDF
     "s28c_quality_score",     # quality filtering
+    "s29e_frame_sample",      # multimodal frame sampling (mapInPandas)
     "s30_gbt_train_predict",  # distributed GBT train+predict
 ]
 

@@ -102,6 +102,115 @@ def s29b_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(with_binary_payload(docs))
 
 
+RESIZE_MAX_DIM = 32
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int"
+)
+
+
+def resize_images(decoded: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Aspect-preserving resize over decoded metadata (real resize stubbed;
+    the integer dimension math is the testable part — pure int arithmetic so
+    both engines floor identically)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            long_side = b[["width", "height"]].max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "width": b["width"],
+                    "height": b["height"],
+                    "out_w": (b["width"] * max_dim // long_side).astype("int32"),
+                    "out_h": (b["height"] * max_dim // long_side).astype("int32"),
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+@register(
+    "s29d_multimodal_resize",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+        CAST(('0x' || substring(md5(text), 1, 2))::BIGINT % 64 + 1 AS INT) AS width,
+        CAST(('0x' || substring(md5(text), 3, 2))::BIGINT % 64 + 1 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+      CAST(width * {RESIZE_MAX_DIM} // GREATEST(width, height) AS INT) AS out_w,
+      CAST(height * {RESIZE_MAX_DIM} // GREATEST(width, height) AS INT) AS out_h
+    FROM meta
+    """,
+    doc="Aspect-preserving image resize plumbing (decode -> mapInPandas "
+        "dimension math); codec stubbed, integer math oracle-exact.",
+    tags=("multimodal", "pandas-udf"),
+)
+def s29d_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(decode_images(with_binary_payload(docs)))
+
+
+FRAME_STRIDE = 7
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+
+
+def sample_frames(frames: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for video-like payloads: n_frames derives from the
+    payload bytes (deterministic fake; real demuxer stubbed), one output row
+    per sampled frame — mapInPandas doing row EXPANSION, the shape a real
+    frame extractor needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                digest = bytes(payload).hex()
+                n_frames = int(digest[8:10], 16) + 1  # 1..256
+                for idx in range(0, n_frames, stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_hash"].append(
+                        hashlib.md5(f"{digest}_{idx}".encode()).hexdigest()[:16]
+                    )
+            if rows["doc_id"]:
+                out = pd.DataFrame(rows)
+                out["frame_idx"] = out["frame_idx"].astype("int32")
+                yield out
+
+    return frames.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register(
+    "s29e_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, md5(text) AS digest,
+             ('0x' || substring(md5(text), 9, 2))::BIGINT + 1 AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           substring(md5(digest || '_' || CAST(f AS VARCHAR)), 1, 16) AS frame_hash
+    FROM v, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), {FRAME_STRIDE})) AS f
+    )
+    """,
+    doc=f"Video frame-sampling plumbing: payload -> every-{FRAME_STRIDE}th "
+        "frame rows via mapInPandas row expansion (demuxer stubbed, "
+        "deterministic fake frame ids).",
+    tags=("multimodal", "pandas-udf"),
+)
+def s29e_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs))
+
+
 @register(
     "s29_pandas_udf",
     oracle="""

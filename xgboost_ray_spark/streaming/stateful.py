@@ -15,11 +15,15 @@ structure that survives a Kafka source at production rates.
 
 Determinism: the test/oracle path replays the events table as ONE microbatch
 (single input file, no maxFilesPerTrigger), so every user's full history is
-in the first invocation; the emitted rows are then exactly "all sessions
-except each user's last" — SQL-expressible, hence the DuckDB oracle in
-queries.py. Money-sum policy: per-event values quantize to DECIMAL micros
-and sum exactly (order-independent), matching SUM(CAST(value AS
-DECIMAL(28,6))) on the oracle side.
+in the first invocation; the emitted rows are then exactly "all closed
+sessions, plus open sessions whose event-time timeout fires under the final
+watermark" — SQL-expressible, hence the DuckDB oracle in queries.py.
+
+Money-sum policy: per-event values quantize to integer micros and sum in
+int64 — exact and order-independent, matching SUM(CAST(value AS
+DECIMAL(28,6))) on the oracle side. The quantization is vectorized
+(np.rint of value*1e6) with a Decimal fallback only for values within
+float-error distance of a .5-micro rounding boundary.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from __future__ import annotations
 from decimal import Decimal
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -44,33 +49,40 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# Open-session running aggregates; the decimal sum rides as a string so the
-# state store schema stays primitive.
+# Open-session running aggregates (value sum carried as exact micros).
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("sum_str", T.StringType()),
+        T.StructField("sum_micros", T.LongType()),
     ]
 )
 
 
-def _dec_sum(values) -> Decimal:
-    total = Decimal(0)
-    for v in values:
-        total += Decimal(v).quantize(_Q6)
-    return total
+def _value_micros(values: np.ndarray) -> np.ndarray:
+    """value -> round(value * 1e6) as int64, bit-matching a DECIMAL(28,6)
+    cast. Vectorized float rounding, with a Decimal recomputation for the
+    (measure-zero) values whose *1e6 image lands within float error of a
+    .5 boundary."""
+    scaled = values * 1e6
+    frac = scaled - np.floor(scaled)
+    risky = np.abs(frac - 0.5) < 1e-5
+    out = np.rint(scaled)
+    if risky.any():
+        for i in np.nonzero(risky)[0]:
+            out[i] = float(Decimal(float(values[i])).quantize(_Q6) * 1_000_000)
+    return out.astype(np.int64)
 
 
-def _emit_frame(user_id: int, sessions: list[Tuple[int, int, int, Decimal]]) -> pd.DataFrame:
+def _emit_frame(user_id: int, sessions: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
-            "user_id": [user_id] * len(sessions),
-            "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
-            "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
-            "n_events": [s[2] for s in sessions],
-            "sum_value": [float(s[3]) for s in sessions],
+            "user_id": np.full(len(sessions), user_id, dtype=np.int64),
+            "session_start": pd.to_datetime(sessions["start"], unit="us"),
+            "session_end": pd.to_datetime(sessions["end"], unit="us"),
+            "n_events": sessions["n"].to_numpy(),
+            "sum_value": sessions["mic"].to_numpy() / 1e6,
         }
     )
 
@@ -82,40 +94,66 @@ def close_user_sessions(
     (user_id,) = key
 
     if state.hasTimedOut:
-        start_us, last_us, n, sum_str = state.get
+        start_us, last_us, n, sum_mic = state.get
         state.remove()
-        yield _emit_frame(user_id, [(start_us, last_us, n, Decimal(sum_str))])
+        yield _emit_frame(
+            user_id,
+            pd.DataFrame(
+                {"start": [start_us], "end": [last_us], "n": [n], "mic": [sum_mic]}
+            ),
+        )
         return
 
     pdf = pd.concat(list(pdfs), ignore_index=True)
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
     ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-    values = pdf["value"].to_numpy()
+    mic = _value_micros(pdf["value"].to_numpy(dtype=np.float64))
 
-    # Running aggregates carried over from the open session, if any.
+    # Vectorized session split: new session where the gap exceeds GAP_US.
+    is_new = np.concatenate([[True], np.diff(ts_us) > GAP_US])
     if state.exists:
-        start_us, last_us, n, sum_str = state.get
-        cur = [int(start_us), int(last_us), int(n), Decimal(sum_str)]
-    else:
-        cur = None
+        start_us, last_us, n0, mic0 = state.get
+        # The first incoming event continues the open session unless the gap
+        # from its last event exceeds GAP_US.
+        is_new[0] = ts_us[0] - last_us > GAP_US
+    sid = np.cumsum(is_new)
 
-    closed: list[Tuple[int, int, int, Decimal]] = []
-    for t, v in zip(ts_us, values):
-        t = int(t)
-        if cur is not None and t - cur[1] > GAP_US:
-            closed.append(tuple(cur))
-            cur = None
-        if cur is None:
-            cur = [t, t, 0, Decimal(0)]
-        cur[1] = max(cur[1], t)
-        cur[2] += 1
-        cur[3] += Decimal(float(v)).quantize(_Q6)
+    g = pd.DataFrame({"sid": sid, "ts": ts_us, "mic": mic}).groupby("sid")
+    sess = pd.DataFrame(
+        {
+            "start": g["ts"].first(),
+            "end": g["ts"].last(),
+            "n": g.size(),
+            "mic": g["mic"].sum(),
+        }
+    )
+    if state.exists and not is_new[0]:
+        # Merge carried aggregates into the first session of this batch.
+        sess.iloc[0, sess.columns.get_loc("start")] = min(
+            int(start_us), int(sess.iloc[0]["start"])
+        )
+        sess.iloc[0, sess.columns.get_loc("end")] = max(
+            int(last_us), int(sess.iloc[0]["end"])
+        )
+        sess.iloc[0, sess.columns.get_loc("n")] += int(n0)
+        sess.iloc[0, sess.columns.get_loc("mic")] += int(mic0)
+    elif state.exists:
+        # Gap closed the carried session: emit it ahead of this batch's.
+        carried = pd.DataFrame(
+            {"start": [start_us], "end": [last_us], "n": [n0], "mic": [mic0]}
+        )
+        sess = pd.concat([carried, sess], ignore_index=True)
 
-    state.update((cur[0], cur[1], cur[2], str(cur[3])))
+    open_row = sess.iloc[-1]
+    state.update(
+        (int(open_row["start"]), int(open_row["end"]), int(open_row["n"]),
+         int(open_row["mic"]))
+    )
     # Close the open session once event time passes last_ts + gap.
-    state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)
+    state.setTimeoutTimestamp((int(open_row["end"]) + GAP_US) // 1000)
 
-    if closed:
+    closed = sess.iloc[:-1]
+    if len(closed):
         yield _emit_frame(user_id, closed)
 
 

