@@ -189,6 +189,52 @@ def test_weight_col_accepted(spark):
     assert predict(result, df, spec).count() == df.count()
 
 
+def test_distributed_callbacks_fire_in_order(spark):
+    """Lifecycle hook ordering — the reference's distributed-callback test
+    (test_end_to_end.py:279-305): init -> load -> train, and put_queue
+    items reach the driver with the result."""
+    from xgboost_ray_spark.ml.callback import DistributedCallback
+
+    events: list[str] = []
+
+    class Probe(DistributedCallback):
+        def on_init(self, ctx, **kw):
+            events.append("init")
+
+        def before_data_loading(self, ctx, **kw):
+            events.append("before_load")
+
+        def after_data_loading(self, ctx, **kw):
+            events.append("after_load")
+
+        def before_train(self, ctx, **kw):
+            events.append("before_train")
+
+        def after_train(self, ctx, result=None, **kw):
+            events.append("after_train")
+            ctx.put_queue(("rank", ctx.rank))
+
+    df = learnable_frame(spark)
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("x1", "x2"))
+    result = train(
+        {"objective": "binary:logistic"},
+        df,
+        spec,
+        num_boost_round=2,
+        callbacks=[Probe()],
+    )
+    assert events == [
+        "init", "before_load", "after_load", "before_train", "after_train"
+    ]
+    assert result.queued == [("rank", 0)]
+
+
+def test_get_worker_rank_outside_barrier():
+    from xgboost_ray_spark.ml.callback import get_worker_rank
+
+    assert get_worker_rank() == 0
+
+
 # ---------------------------------------------------------------------------
 # MatrixSpec role handling (reference tests/test_matrix.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,124 @@
+"""Streaming-specific tests beyond the oracle harness: multi-microbatch
+state carry-over for the stateful sessionizer (the production path where a
+user's events span many batches), and watermark-driven timeout emission."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.streaming.stateful import sessionize_stream
+from xgboost_ray_spark.streaming.windows import run_stream_to_memory
+
+TS = pd.Timestamp("2026-01-01 00:00:00")
+
+
+def _mk_events(spark, rows):
+    """rows: (user_id, minutes_offset, event_id, value)"""
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [TS + pd.Timedelta(minutes=r[1]) for r in rows],
+            "event_id": [r[2] for r in rows],
+            "value": [float(r[3]) for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _run_batches(spark, tmp_path, batches):
+    """Write each batch as one parquet file; replay with maxFilesPerTrigger=1
+    so each file arrives as its own microbatch, in order."""
+    src = str(tmp_path / "stream_src")
+    for i, rows in enumerate(batches):
+        _mk_events(spark, rows).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = sessionize_stream(stream)
+    return run_stream_to_memory(sessions, spark, output_mode="append")
+
+
+def test_session_continues_across_batches(spark, tmp_path):
+    """Events 10 minutes apart across two microbatches are ONE session; the
+    carried state must merge, not emit two fragments."""
+    out = _run_batches(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, 1.5), (1, 10, 2, 2.5)],
+            # batch 2: continues (gap 10m), then a >30m gap opens session 2,
+            # and a final event far ahead closes session 2 via gap
+            [(1, 20, 3, 3.0), (1, 70, 4, 4.0), (1, 200, 5, 5.0)],
+        ],
+    )
+    rows = sorted(out.collect(), key=lambda r: r.session_start)
+    # session 1: minutes 0-20 (3 events, sum 7.0); session 2: minute 70
+    assert len(rows) == 2
+    s1, s2 = rows
+    assert s1.n_events == 3 and abs(s1.sum_value - 7.0) < 1e-9
+    assert s1.session_start == TS and s1.session_end == TS + pd.Timedelta(minutes=20)
+    assert s2.n_events == 1 and abs(s2.sum_value - 4.0) < 1e-9
+
+
+def test_gap_across_batches_closes_carried_session(spark, tmp_path):
+    """A >30m gap between batch 1's last event and batch 2's first event
+    must close the carried session and emit it."""
+    out = _run_batches(
+        spark,
+        tmp_path,
+        [
+            [(7, 0, 1, 1.0)],
+            [(7, 45, 2, 2.0), (7, 300, 3, 3.0)],
+        ],
+    )
+    rows = sorted(out.collect(), key=lambda r: r.session_start)
+    assert len(rows) == 2
+    assert rows[0].n_events == 1 and abs(rows[0].sum_value - 1.0) < 1e-9
+    assert rows[1].n_events == 1 and abs(rows[1].sum_value - 2.0) < 1e-9
+    assert rows[1].session_start == TS + pd.Timedelta(minutes=45)
+
+
+def test_timeout_emits_open_session(spark, tmp_path):
+    """A second user's much-later event advances the watermark past the
+    first user's open-session timeout, forcing a timeout emission."""
+    out = _run_batches(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, 1.0)],
+            # user 2 at minute 600 pushes watermark to ~590m; user 1's
+            # timeout (0 + 30m) is far behind it -> timeout fires
+            [(2, 600, 2, 9.0)],
+        ],
+    )
+    rows = [r for r in out.collect() if r.user_id == 1]
+    assert len(rows) == 1
+    assert rows[0].n_events == 1 and abs(rows[0].sum_value - 1.0) < 1e-9
+
+
+def test_multiple_users_isolated(spark, tmp_path):
+    """State is per-user: interleaved users never share sessions."""
+    out = _run_batches(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, 1.0), (2, 1, 2, 10.0), (1, 5, 3, 2.0), (2, 6, 4, 20.0)],
+            [(1, 100, 5, 0.5), (2, 101, 6, 0.25)],
+        ],
+    )
+    rows = out.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {1, 2}
+    (u1,) = by_user[1]
+    (u2,) = by_user[2]
+    assert u1.n_events == 2 and abs(u1.sum_value - 3.0) < 1e-9
+    assert u2.n_events == 2 and abs(u2.sum_value - 30.0) < 1e-9

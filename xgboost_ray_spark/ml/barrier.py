@@ -49,11 +49,16 @@ def train_barrier(
     num_boost_round: int,
     gbt: GBTParams,
     evals: list[tuple[DataFrame, str]] | None = None,
+    callbacks: list | None = None,
 ):
     """Barrier-mode ``xgb.train`` with collective allreduce across tasks."""
     import xgboost as xgb
     from xgboost.tracker import RabitTracker
 
+    from xgboost_ray_spark.ml.callback import (
+        DistributedCallbackContainer,
+        WorkerContext,
+    )
     from xgboost_ray_spark.ml.train import TrainResult
 
     num_workers = gbt.num_workers
@@ -87,10 +92,17 @@ def train_barrier(
 
         ctx = BarrierTaskContext.get()
         rank = ctx.partitionId()
+        # Per-worker lifecycle hooks with the true rank (callback.py:14-58).
+        container = DistributedCallbackContainer(callbacks)
+        cb_ctx = WorkerContext(rank=rank, num_workers=num_workers)
+        container.on_init(cb_ctx)
         if cpus:
             os.environ["OMP_NUM_THREADS"] = str(cpus)  # main.py:355-362
+        container.before_data_loading(cb_ctx)
         pdf = pd.concat(list(iterator), ignore_index=True) if iterator else None
+        container.after_data_loading(cb_ctx)
         ctx.barrier()
+        container.before_train(cb_ctx)
         with xgb.collective.CommunicatorContext(**tracker_args):
             dmat = xgb.DMatrix(
                 pdf[feats],
@@ -107,8 +119,9 @@ def train_barrier(
                 evals_result=evals_result,
                 xgb_model=pickle.loads(prev_model_bytes) if prev_model_bytes else None,
             )
+        container.after_train(cb_ctx, result=None)
         if rank == 0:
-            yield pickle.dumps((booster, evals_result))
+            yield pickle.dumps((booster, evals_result, cb_ctx.queued))
 
     start = time.perf_counter()
     arrow_rdd = prepared.rdd.mapPartitions(
@@ -116,7 +129,7 @@ def train_barrier(
     )
     results = arrow_rdd.barrier().mapPartitions(run_partition).collect()
     elapsed = time.perf_counter() - start
-    booster, evals_result = pickle.loads(results[0])
+    booster, evals_result, queued = pickle.loads(results[0])
 
     if ckpt:
         with open(ckpt, "wb") as fh:
@@ -128,6 +141,7 @@ def train_barrier(
         train_time_s=elapsed,
         backend="xgb",
         num_workers=num_workers,
+        queued=queued,
     )
 
 

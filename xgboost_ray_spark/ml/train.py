@@ -51,6 +51,9 @@ class TrainResult:
     train_time_s: float = 0.0
     backend: str = "mllib"
     num_workers: int = 1
+    # Items callbacks put_queue'd — delivered at stage end (the reference's
+    # live queue drain, main.py:902-922, becomes stage-end delivery).
+    queued: list = field(default_factory=list)
 
 
 def assemble_features(df: DataFrame, spec: MatrixSpec) -> tuple[DataFrame, list[str]]:
@@ -117,6 +120,7 @@ def train(
     evals: list[tuple[DataFrame, str]] | None = None,
     gbt_params: GBTParams | None = None,
     backend: str | None = None,
+    callbacks: list | None = None,
 ) -> TrainResult:
     """Distributed GBT training (parity: xgboost_ray/main.py:1341-1747).
 
@@ -124,7 +128,17 @@ def train(
     on failure we retry up to ``gbt_params.max_restarts`` times — Spark
     already re-runs failed stages internally, so a retry here corresponds
     to the reference's whole-training restart from checkpoint.
+
+    ``callbacks``: DistributedCallback lifecycle hooks (reference
+    callback.py:14-58). Under the mllib backend hooks run driver-side
+    around load/fit (MLlib workers are opaque); under the xgb backend they
+    run inside each barrier task with the true worker rank.
     """
+    from xgboost_ray_spark.ml.callback import (
+        DistributedCallbackContainer,
+        WorkerContext,
+    )
+
     gbt = (gbt_params or GBTParams()).validated()
     backend = backend or ("xgb" if HAS_XGBOOST else "mllib")
     if not spec.label_cols:
@@ -133,8 +147,15 @@ def train(
     if backend == "xgb":
         from xgboost_ray_spark.ml.barrier import train_barrier
 
-        return train_barrier(params, dtrain, spec, num_boost_round, gbt, evals)
+        return train_barrier(
+            params, dtrain, spec, num_boost_round, gbt, evals,
+            callbacks=callbacks,
+        )
 
+    container = DistributedCallbackContainer(callbacks)
+    cb_ctx = WorkerContext(rank=0, num_workers=gbt.num_workers)
+    container.on_init(cb_ctx)
+    container.before_data_loading(cb_ctx)
     assembled, _ = assemble_features(dtrain, spec)
     assembled = assembled.withColumn(
         "__label__", F.col(spec.label_cols[0]).cast("double")
@@ -161,6 +182,8 @@ def train(
     if assembled.rdd.getNumPartitions() < target:
         assembled = assembled.repartition(target)
     assembled = assembled.persist(StorageLevel.MEMORY_AND_DISK)
+    container.after_data_loading(cb_ctx)
+    container.before_train(cb_ctx)
     start = time.perf_counter()
     attempts = gbt.max_restarts + 1
     last_err: Exception | None = None
@@ -179,6 +202,7 @@ def train(
             f"training failed after {attempts} attempts"
         ) from last_err
     elapsed = time.perf_counter() - start
+    container.after_train(cb_ctx, result=model)
 
     evals_result: dict = {}
     if evals:
@@ -213,6 +237,7 @@ def train(
         train_time_s=elapsed,
         backend=backend,
         num_workers=gbt.num_workers,
+        queued=cb_ctx.queued,
     )
 
 
