@@ -235,6 +235,44 @@ def test_get_worker_rank_outside_barrier():
     assert get_worker_rank() == 0
 
 
+def test_grid_search_selects_learnable_config(spark):
+    """Hyperparameter search (reference tune.py:60-126 analogue): the grid
+    point deep enough to learn the mapping must win."""
+    from xgboost_ray_spark.ml.tuning import grid_search, param_grid
+
+    df = learnable_frame(spark, repeat=128)
+    # Single boosting round so depth decides: one depth-1 stump cannot
+    # express x1 AND x2 (its ambiguous leaf ties class-0/1 rows), one
+    # depth-4 tree learns it exactly.
+    grid = param_grid(max_depth=[1, 4], n_estimators=[1])
+    res = grid_search(
+        SparkXGBClassifier,
+        df,
+        "label",
+        grid,
+        feature_cols=["x1", "x2"],
+        metric="auc",
+    )
+    assert len(res.trials) == 2
+    assert res.best_params["max_depth"] == 4
+    assert res.best_metric >= 0.99
+    # the winning model predicts the mapping exactly
+    wrong = (
+        res.best_model.predict(df)
+        .filter(F.col("prediction") != F.col("label"))
+        .count()
+    )
+    assert wrong == 0
+
+
+def test_param_grid_cross_product():
+    from xgboost_ray_spark.ml.tuning import param_grid
+
+    g = param_grid(a=[1, 2], b=["x", "y", "z"])
+    assert len(g) == 6
+    assert {"a": 2, "b": "y"} in g
+
+
 # ---------------------------------------------------------------------------
 # MatrixSpec role handling (reference tests/test_matrix.py)
 # ---------------------------------------------------------------------------

@@ -122,8 +122,12 @@ def minhash_signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
     Reference analogue: none — xgboost_ray has no dedup; this is the
     north-star pipeline addition.
     """
+    # array_distinct before explode: min-hash is set-based, so repeated
+    # shingles within a doc only waste md5 work — drop them in the array
+    # domain (no shuffle) before the explode.
     sh = fan_out(docs).select(
-        "doc_id", F.explode(F.expr(_shingle_expr())).alias("sh")
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_shingle_expr()))).alias("sh"),
     )
     x = (
         F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
