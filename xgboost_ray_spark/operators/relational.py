@@ -169,6 +169,35 @@ def pricing_summary(li: DataFrame) -> DataFrame:
 
 
 @register(
+    "s09b_stats_agg",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      ROUND(var_samp(l_discount), 6) AS var_disc,
+      ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: sample stddev/variance, exact interpolated "
+        "percentiles (median, p90), Pearson correlation — single-pass "
+        "map-side-combinable moments plus a percentile shuffle.",
+    tags=("agg", "stats"),
+)
+def s09b_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@register(
     "s09_groupby_agg",
     oracle=Q1_ORACLE,
     doc="TPC-H Q1: groupBy two low-cardinality keys + 8 aggregates; "

@@ -71,6 +71,39 @@ def _marker_hits(words_col, markers: tuple[str, ...]):
     )
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "s28f_regex_tokens",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST(LEN(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_tokens,
+      CAST(LEN(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+                           t -> regexp_full_match(t, '[a-z]+'))) AS INT) AS n_word,
+      CAST(LEN(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}'))) AS INT)
+        AS n_distinct
+    FROM documents
+    """,
+    doc="BPE-style regex token counting (word runs | digit runs | single "
+        "non-alnum): total, word-class and distinct token counts — the "
+        "pre-tokenizer split LLM pipelines budget tokens with. Pure per-row "
+        "expressions, no shuffle.",
+    tags=("text",),
+)
+def s28f_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("int")
+        .alias("n_word"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+    )
+
+
 @register(
     "s28b_lang_id",
     oracle=f"""
