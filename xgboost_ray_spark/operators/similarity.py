@@ -253,6 +253,152 @@ def s27b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(spark, emb.filter(F.col("vec_id") < 10), emb)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse cells + probed search
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell): each vector's nearest centroid by cosine.
+
+    One broadcast nested-loop against K centroids + a window argmax — a
+    narrow map-side pass at any corpus size. Production swaps the
+    deterministic centroid choice for k-means; the inverted-file structure
+    and probing are identical.
+    """
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot("embedding", "embedding")).alias("n"),
+    )
+    sim = _dot("e", "ce") / (F.col("n") * F.col("cn"))
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        c.join(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` cells whose
+    centroids are nearest each query. The corpus is scanned once for
+    assignment (amortizable: persist as the index) and candidates shuffle
+    only within probed cells."""
+    centroids = corpus.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
+    )
+    assign = ivf_assign(corpus, centroids)
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    )
+    qsim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    wq = W.partitionBy("query_id").orderBy(F.col("qcsim").desc(), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("qcsim", qsim)
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qe", "qn", F.col("cid").alias("cell"))
+    )
+
+    cside = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.sqrt(_dot("embedding", "embedding")).alias("nn"),
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    cand = cside.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = _dot("qe", "ne") / (F.col("qn") * F.col("nn"))
+    w = W.partitionBy("query_id").orderBy(F.col("sim_full").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("sim_full", sim)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_full", 4).alias("sim"), "rk")
+    )
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce, n AS cn FROM emb WHERE vec_id < {N_CENTROIDS}
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, c.ce) / (v.n * c.cn) DESC, c.cid
+               ) AS rk
+        FROM emb v, cent c
+      ) WHERE rk = 1
+    ), probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.e, c.ce) / (q.n * c.cn) DESC, c.cid
+               ) AS prk
+        FROM emb q, cent c
+        WHERE q.vec_id < 10
+      ) WHERE prk <= {N_PROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE p.query_id != a.vec_id
+    ), sims AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qe.e, ne.e) / (qe.n * ne.n) AS sim_full
+      FROM cand
+      JOIN emb qe ON qe.vec_id = query_id
+      JOIN emb ne ON ne.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_full, 4) AS sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim_full DESC, neighbor_id
+      ) AS rk
+      FROM sims
+    )
+    WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "s27d_ivf_topk",
+    oracle=_ivf_oracle(),
+    doc=f"IVF approximate top-5: {N_CENTROIDS} deterministic coarse cells "
+        f"(lowest-id vectors as centroids; k-means in production), "
+        f"nprobe={N_PROBE} — queries search only their 2 nearest cells. "
+        "Assignment is one broadcast pass (persistable as the index); "
+        "candidates shuffle per-cell only. Exactly oracle-checked.",
+    tags=("similarity", "ivf"),
+)
+def s27d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, emb.filter(F.col("vec_id") < 10), emb)
+
+
 @register(
     "s27c_embedding_neardup",
     oracle="""

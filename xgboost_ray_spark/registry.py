@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        skew,
         text,
         windows,
     )
