@@ -10,4 +10,6 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     from xgboost_ray_spark.session import get_spark
 
-    return get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    # local[8,2]: 8 threads, maxFailures=2 — lets the fault-tolerance tests
+    # exercise real task retries (the reference's kill-and-resume pattern).
+    return get_spark(app_name="tests", master="local[8,2]", shuffle_partitions=8)

@@ -320,6 +320,59 @@ def test_qid_groups_land_whole_per_partition(spark):
 
 
 # ---------------------------------------------------------------------------
+# Fault tolerance (reference tests/test_fault_tolerance.py: kill an actor
+# mid-run, training must still complete with correct results)
+# ---------------------------------------------------------------------------
+def test_task_failure_recovers_via_retry(spark):
+    """A task that dies on its first attempt must be re-run by Spark and the
+    job complete with full, correct results — the engine's analogue of the
+    reference's die-and-respawn actor test (test_fault_tolerance.py:90-123).
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    df = spark.range(1000).repartition(4)
+
+    def flaky(batches):
+        ctx = TaskContext.get()
+        if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected task failure (attempt 0)")
+        for pdf in batches:
+            yield pdf
+
+    out = df.mapInPandas(flaky, "id long")
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+
+
+def test_training_survives_task_failure(spark):
+    """End-to-end: distributed training completes and still learns the
+    mapping when a first-attempt task failure is injected into the input."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    base = learnable_frame(spark).repartition(4)
+
+    def flaky(batches):
+        ctx = TaskContext.get()
+        if ctx.partitionId() == 1 and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected failure before training")
+        for pdf in batches:
+            yield pdf
+
+    df = base.mapInPandas(flaky, "x1 double, x2 double, label long")
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("x1", "x2"))
+    result = train(
+        {"objective": "binary:logistic", "eta": 0.5},
+        df,
+        spec,
+        num_boost_round=10,
+        gbt_params=GBTParams(num_workers=2, seed=7),
+    )
+    scored = predict(result, df, spec)
+    assert scored.filter(F.col("prediction") != F.col("label")).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # Sharding round-trips (reference test_matrix.py:74-113, combine :1114-1157)
 # ---------------------------------------------------------------------------
 @pytest.mark.parametrize("mode", [ShardingMode.INTERLEAVED, ShardingMode.BATCH])
