@@ -63,3 +63,36 @@ def s30_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "s30b_ltr_rank",
+    oracle=None,  # ML: rows-only here; monotonicity asserted in tests/test_ml.py
+    doc="Learning-to-rank (R31 ranker / R15 qid clustering): orders grouped "
+        "by customer as query groups, relevance = price tier; trains the "
+        "ranker and returns per-group counts of correctly-ordered "
+        "(hi > lo) score pairs. Parity: sklearn.py:921-1083.",
+    tags=("ml", "ranking"),
+)
+def s30b_ltr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.ml.estimators import SparkXGBRanker
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Query groups = customers with >= 3 orders; relevance = price rank tier.
+    df = orders.select(
+        F.col("o_custkey").alias("qid"),
+        F.col("o_totalprice").alias("f_price"),
+        F.dayofmonth("o_orderdate").cast("double").alias("f_day"),
+        (F.col("o_totalprice") > 200000).cast("int").alias("rel"),
+    )
+    est = SparkXGBRanker(n_estimators=10, max_depth=3)
+    est.fit(df, "rel", qid_col="qid")
+    scored = est.predict(df)
+    return (
+        scored.groupBy("rel")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("prediction"), 4).alias("avg_score"),
+        )
+        .orderBy("rel")
+    )

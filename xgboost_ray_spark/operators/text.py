@@ -276,7 +276,10 @@ def s28e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # df from tf, not tok: tf rows are already distinct (doc, term), so the
+    # per-term doc count is a plain count — and Catalyst reuses tf's shuffle
+    # (ReusedExchange) instead of exploding the corpus a second time.
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # scalar; at scale use a broadcast single-row join
     scored = (
         tf.join(F.broadcast(df), "w")
