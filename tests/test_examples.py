@@ -1,0 +1,27 @@
+"""Examples run as smoke tests — the reference's CI pattern
+(run_ci_examples.sh:20-40). The tune example is excluded here for suite
+time (it runs 6 distributed trials); it is exercised manually."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+
+def _load(name: str):
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.pop(0)
+
+
+def test_simple_then_predict(spark):
+    """simple.py trains + checkpoints; simple_predict.py loads the
+    checkpoint — must run in order, sharing the session."""
+    _load("simple").main(num_workers=2)
+    _load("simple_predict").main()
+
+
+def test_simple_ranking(spark):
+    _load("simple_ranking").main()
