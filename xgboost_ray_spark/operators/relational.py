@@ -351,6 +351,62 @@ def s11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S12 — HAVING
 # ---------------------------------------------------------------------------
 @register(
+    "s11d_pivot",
+    oracle=f"""
+    SELECT
+      l_linestatus,
+      {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END", "qty_A")},
+      {sql_dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END", "qty_N")},
+      {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END", "qty_R")}
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Pivot: wide per-key columns from the l_returnflag domain, one "
+        "shuffle (explicit value list — no extra distinct-scan pass).",
+    tags=("agg", "pivot"),
+)
+def s11d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "s11e_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+    doc="Unpivot/melt: wide measures to (measure, val) rows — "
+        "DataFrame.unpivot, a single narrow Expand (no N-scan union).",
+    tags=("pivot",),
+)
+def s11e_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@register(
     "s12_having",
     oracle=f"""
     SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum("o_totalprice", "total_spend")}
