@@ -113,3 +113,40 @@ def test_minhash_no_cartesian(spark):
 def test_exact_dedup_partial_aggregates(spark):
     plan = formatted_plan(_build(spark, "s26_dedup_exact"))
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_pivot_two_level_aggregate_no_distinct_scan(spark):
+    """Explicit value-list pivot: the standard two-level aggregate (pair agg
+    then pivot agg) and NO extra job to collect distinct pivot values."""
+    plan = formatted_plan(_build(spark, "s11d_pivot"))
+    # one exchange per aggregate level, nothing more (count the "(n) Exchange"
+    # detail headers — the tree section repeats every node name)
+    assert plan.count(") Exchange") <= 2
+    assert "CollectLimit" not in plan
+
+
+def test_unpivot_uses_expand_not_union(spark):
+    """unpivot must be one Expand over one scan, not an N-way union of
+    scans (which would read the source N times)."""
+    plan = formatted_plan(_build(spark, "s11e_unpivot"))
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_salted_agg_two_phases(spark):
+    """Salted aggregation must plan two aggregate levels: (key, salt) then
+    (key) — the fan-out that spreads a hot key across tasks."""
+    plan = formatted_plan(_build(spark, "s09c_salted_agg"))
+    assert plan.count("HashAggregate") >= 3  # partial+final per level
+
+
+def test_salted_join_no_broadcast_of_fact(spark):
+    """The salted join replicates the dim via explode; the fact side must
+    not be broadcast (the whole point is hash-partitioning hot keys)."""
+    plan = formatted_plan(_build(spark, "s05b_salted_join"))
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    plan = formatted_plan(_build(spark, "s27d_ivf_topk"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -361,8 +361,9 @@ def s11c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_linestatus
     """,
-    doc="Pivot: wide per-key columns from the l_returnflag domain, one "
-        "shuffle (explicit value list — no extra distinct-scan pass).",
+    doc="Pivot: wide per-key columns from the l_returnflag domain; explicit "
+        "value list avoids the extra distinct-collection job, leaving the "
+        "standard two-level pivot aggregate.",
     tags=("agg", "pivot"),
 )
 def s11d_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
