@@ -81,6 +81,32 @@ def s25c_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s25e_stream_dedup",
+    oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    doc="Streaming exact dedup: dropDuplicates on the content digest over "
+        "the documents replay, append mode — each distinct document emits "
+        "once, state holds only 32-byte digests. The streaming twin of s26 "
+        "(at production scale: withWatermark bounds state retention).",
+    tags=("streaming", "dedup"),
+)
+def s25e_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.catalog import table_path
+
+    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select(F.md5("text").alias("text_hash")).dropDuplicates(
+        ["text_hash"]
+    )
+    return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
+@register(
     "s25d_stateful_sessions",
     oracle=f"""
     WITH gaps AS (
