@@ -236,6 +236,70 @@ def asof_join(
     return merged.filter(F.col("__side") == 1).drop("__t", "__side")
 
 
+# ---------------------------------------------------------------------------
+# Range (interval) join — custom operator; naive Spark planning would be a
+# BroadcastNestedLoopJoin with a per-row range scan
+# ---------------------------------------------------------------------------
+DISCOUNT_BANDS = [
+    ("none", 0.00, 0.02),
+    ("low", 0.02, 0.03),
+    ("mid", 0.03, 0.07),
+    ("high", 0.07, 0.12),
+]
+_BIN_W = 0.01  # bin width for the fan-out equi-join
+
+
+def range_join_bands(fact: DataFrame, value_col: str) -> DataFrame:
+    """Interval join via bin fan-out: each band explodes to the fixed-width
+    bins it overlaps; the fact side computes its bin directly — so the join
+    is a broadcast EQUI-join on bin plus a residual range filter, instead of
+    a nested-loop range probe per row. Works for arbitrary (unequal,
+    overlapping) intervals; bin width trades fan-out vs residual
+    selectivity."""
+    spark = fact.sparkSession
+    rows = []
+    for name, lo, hi in DISCOUNT_BANDS:
+        b = int(lo / _BIN_W)
+        while b * _BIN_W < hi:
+            rows.append((name, lo, hi, b))
+            b += 1
+    bands = spark.createDataFrame(rows, ["band", "lo", "hi", "bin"])
+    f = fact.withColumn("bin", F.floor(F.col(value_col) / _BIN_W).cast("bigint"))
+    return (
+        f.join(F.broadcast(bands), "bin")
+        .filter((F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi")))
+        .drop("bin", "lo", "hi")
+    )
+
+
+@register(
+    "s08c_range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in DISCOUNT_BANDS)}
+    )
+    SELECT band, COUNT(*) AS n, {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem JOIN bands
+      ON l_discount >= lo AND l_discount < hi
+    GROUP BY band
+    """,
+    doc="Range/interval join (custom; no native Spark op): discount bands "
+        "of unequal width attach via bin fan-out + residual filter — a "
+        "broadcast equi-join on the bin instead of a nested-loop range "
+        "probe. At 100 TB the fact side never shuffles.",
+    tags=("join", "custom"),
+)
+def s08c_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_extendedprice"
+    )
+    joined = range_join_bands(li, "l_discount")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
 @register(
     "s08b_asof_join",
     oracle="""
