@@ -307,6 +307,85 @@ def s26c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hamming-neighbor search over SimHash fingerprints (multi-index blocks)
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 2  # pairs within this many differing bits
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_dist: int = HAMMING_MAX) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ by <= max_dist
+    bits — the multi-index technique: split the 16-bit fingerprint into 3
+    blocks (6/5/5 bits); by pigeonhole, any pair within distance 2 agrees
+    exactly on >= 1 block, so candidates come from 3 equi-buckets instead of
+    an all-pairs scan. Bucket-grouped pair generation (one pass over the
+    fingerprints, like the MinHash path) + an exact bit_count residual.
+
+    At 100 TB: the bucket join is keyed on <= 6-bit block values per block
+    id — add blocks/rotations to shrink buckets as the corpus grows.
+    """
+    fp = simhash(docs)  # (doc_id, simhash)
+    blocks = F.array(
+        F.shiftright("simhash", 10),  # top 6 bits
+        F.shiftright("simhash", 5) % 32,  # middle 5
+        F.col("simhash") % 32,  # low 5
+    )
+    keyed = fp.select(
+        "doc_id", "simhash", F.posexplode(blocks).alias("block_id", "bv")
+    )
+    buckets = (
+        keyed.groupBy("block_id", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))),"
+                " p -> p.a.doc_id < p.b.doc_id)"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.simhash").alias("fa"),
+        F.col("p.b.simhash").alias("fb"),
+    ).distinct()
+    dist = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def _hamming_oracle() -> str:
+    # Reuse the simhash derivation; the oracle checks ALL pairs directly —
+    # semantically identical to the blocked candidate set by pigeonhole.
+    simhash_sql = _simhash_oracle()
+    return f"""
+    WITH s AS ({simhash_sql})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+@register(
+    "s26e_hamming_pairs",
+    oracle=_hamming_oracle(),
+    doc=f"SimHash Hamming-neighbor pairs (distance <= {HAMMING_MAX}): "
+        "3-block multi-index (6/5/5 bits) — pigeonhole guarantees recall, "
+        "bucket-grouped pair generation keeps it one pass; exact all-pairs "
+        "oracle.",
+    tags=("dedup", "similarity"),
+)
+def s26e_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_hamming_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup (exact, candidate join on shared shingles)
 # ---------------------------------------------------------------------------
 JACCARD_NGRAM = 3
