@@ -1,0 +1,156 @@
+"""Deterministic sampling & dataset-split operators (training-pipeline S31).
+
+A 100 TB training corpus needs reproducible splits and samples: the split a
+document lands in must be a pure function of its key, not of partitioning,
+executor count, or RNG seeding — so re-running the pipeline (or running it
+on a different cluster) assigns every row identically. All three operators
+key on ``md5`` of a stable id (the one hash bit-identical in Spark and
+DuckDB), making them exactly oracle-checkable, and all are pure built-in
+column expressions: whole-stage codegen, one shuffle per groupBy/window,
+no Python.
+
+Reference analogue: xgboost_ray shards rows with ``_get_sharding_indices``
+(reference ``matrix.py:1088-1110``) and builds eval sets from separate
+matrices (``main.py:704-706``); it has no split/sample utility — callers
+pre-split in pandas. At Spark scale the split must happen inside the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register, sql_davg
+
+# md5(key) folded to 15 hex chars (60 bits, sign-safe in a BIGINT) — the
+# shared Spark/DuckDB idiom used by the dedup family.
+_SPARK_BUCKET = (
+    lambda col: F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+    .cast("bigint") % 100
+)
+
+
+def _sql_bucket(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+
+# ---------------------------------------------------------------------------
+# Train / valid / test split (80/10/10) by key hash
+# ---------------------------------------------------------------------------
+def hash_split(df: DataFrame, key: str, train: int = 80, valid: int = 10) -> DataFrame:
+    """Add a ``split`` column assigning each row train/valid/test by the md5
+    bucket of ``key``. Stable under repartitioning and cluster size; a row's
+    split never changes when the corpus grows (per-key property)."""
+    bucket = _SPARK_BUCKET(F.col(key))
+    split = (
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + valid, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+@register(
+    "s31_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT n_chars,
+             {_sql_bucket("doc_id")} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           {sql_davg("n_chars", "avg_chars")}
+    FROM b
+    GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/valid/test split of documents by "
+        "md5(doc_id) bucket; per-split count + exact decimal-avg doc length. "
+        "Pure column expressions — the split is computed inside the scan "
+        "stage, no shuffle beyond the final 3-group agg.",
+    tags=("sampling", "pipeline"),
+)
+def s31_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sum_dec = F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (sum_dec / F.count("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-stratum rates, deterministic membership
+# ---------------------------------------------------------------------------
+def stratified_sample(df: DataFrame, key: str, rates: dict[str, int],
+                      stratum: str, default_pct: int) -> DataFrame:
+    """Keep ~pct% of each stratum, membership decided by md5(key) bucket —
+    the downsample-overrepresented-languages step of a corpus pipeline.
+    ``rates`` maps stratum value -> percentage kept."""
+    threshold = F.lit(default_pct)
+    for value, pct in rates.items():
+        threshold = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(threshold)
+    return df.filter(_SPARK_BUCKET(F.col(key)) < threshold)
+
+
+@register(
+    "s31b_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_sql_bucket("doc_id")}
+          < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+    """,
+    doc="Deterministic stratified sample: keep 10% of 'en' docs, 40% of "
+        "every other language, membership = md5(doc_id) bucket < rate. "
+        "The filter is a pure scan-stage predicate (no shuffle at all).",
+    tags=("sampling", "pipeline"),
+)
+def s31b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", {"en": 10}, "lang", 40)
+
+
+# ---------------------------------------------------------------------------
+# k-per-group deterministic sample (hash-ordered window)
+# ---------------------------------------------------------------------------
+K_PER_GROUP = 3
+
+
+@register(
+    "s31c_group_sample",
+    oracle=f"""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {K_PER_GROUP}
+    """,
+    doc=f"Deterministic {K_PER_GROUP}-per-source sample: row_number over an "
+        "md5-ordered window — a reproducible 'few examples per source' "
+        "inspection sample. One shuffle on source; at scale the window "
+        "partial-aggregates per partition before the shuffle via the "
+        "rank-limit pushdown (Spark WindowGroupLimit).",
+    tags=("sampling", "pipeline"),
+)
+def s31c_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    rn = F.row_number().over(W.partitionBy("source").orderBy(*order))
+    return (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") <= K_PER_GROUP)
+        .select("source", "doc_id")
+    )

@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         joins,
         multimodal,
         relational,
+        sampling,
         similarity,
         skew,
         text,

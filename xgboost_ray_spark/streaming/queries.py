@@ -107,6 +107,56 @@ def s25e_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s25f_stream_static_join",
+    oracle=f"""
+    SELECT
+      DATE_TRUNC('hour', e.ts) AS wstart,
+      n.n_name,
+      COUNT(*) AS n,
+      {sql_dsum("e.value", "sum_value")}
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: the events replay joined to the static "
+        "customer->nation dimension (broadcast — no stream-side shuffle), "
+        "then a tumbling 1-hour window per nation, complete mode. The "
+        "standard streaming-enrichment topology; equals the batch join "
+        "exactly.",
+    tags=("streaming", "join"),
+)
+def s25f_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.catalog import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    enriched = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_name", "n", "sum_value")
+    )
+    return run_stream_to_memory(agg, spark)
+
+
+@register(
     "s25d_stateful_sessions",
     oracle=f"""
     WITH gaps AS (
