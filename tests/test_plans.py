@@ -150,3 +150,43 @@ def test_salted_join_no_broadcast_of_fact(spark):
 def test_ivf_assignment_broadcasts_centroids(spark):
     plan = formatted_plan(_build(spark, "s27d_ivf_topk"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_scan_stage_only(spark):
+    """The stratified-sample predicate is a pure per-row expression: the
+    plan must contain NO shuffle at all, and the lang IS NOT NULL-free
+    residual must still let the scan prune columns to (doc_id, lang)."""
+    df = _build(spark, "s31b_stratified_sample")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 0
+    assert has_pushed_filters(df)
+
+
+def test_hash_split_single_agg_shuffle(spark):
+    """Split assignment happens inside the scan stage; the only exchange
+    is the final 3-group aggregate."""
+    plan = formatted_plan(_build(spark, "s31_hash_split"))
+    assert plan.count(") Exchange") == 1
+
+
+def test_group_sample_uses_window_group_limit(spark):
+    """k-per-group sampling must trigger Spark's rank-limit pushdown
+    (WindowGroupLimit): each map task keeps only k rows per group BEFORE
+    the shuffle — without it, the full table shuffles to the window."""
+    plan = formatted_plan(_build(spark, "s31c_group_sample"))
+    assert "WindowGroupLimit" in plan
+    assert plan.count(") Exchange") == 1
+
+
+def test_array_hof_no_shuffle(spark):
+    """Higher-order array functions are per-row JVM lambdas: zero
+    exchanges, zero Python nodes."""
+    plan = formatted_plan(_build(spark, "s22b_array_hof"))
+    assert plan.count(") Exchange") == 0
+    assert "Python" not in plan
+
+
+def test_range_frame_single_window_shuffle(spark):
+    plan = formatted_plan(_build(spark, "s14b_range_frame"))
+    assert plan.count(") Exchange") == 1
+    assert "Window" in plan

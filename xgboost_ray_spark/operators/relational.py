@@ -742,6 +742,38 @@ def s22_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s22b_array_hof",
+    oracle="""
+    SELECT
+      vec_id,
+      CAST(LEN(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS l2sq,
+      CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val
+    FROM embeddings
+    """,
+    doc="Higher-order array functions over the embedding column: "
+        "filter (positive-component count), aggregate+zip_with "
+        "(sequential-double sum of squares — bit-identical to DuckDB's "
+        "list_dot_product fold), array_max. All lambda expressions execute "
+        "JVM-side per row — zero shuffle, zero Python.",
+    tags=("functions", "arrays"),
+)
+def s22b_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2sq = F.expr(
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+        l2sq.alias("l2sq"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S23 — JSON extraction from events.props
 # ---------------------------------------------------------------------------

@@ -118,6 +118,50 @@ def s14_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND = 1000  # price-range frame half-width
+
+
+@register(
+    "s14b_range_frame",
+    oracle=f"""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_totalprice,
+      COUNT(*) OVER w AS n_in_band,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        AS sum_in_band
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_totalprice
+      RANGE BETWEEN {BAND} PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc=f"RANGE window frame: per customer, orders within {BAND} price "
+        "units below the current order (value-based frame, peers included "
+        "— well-defined under ties, unlike ROWS). DECIMAL accumulation "
+        "keeps the frame sum bit-stable across engines. One shuffle on "
+        "o_custkey; the frame scan is an in-partition sliding pointer.",
+    tags=("window",),
+)
+def s14b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-BAND, W.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") <= 200).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+        .alias("sum_in_band"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S16 — Top-k per group
 # ---------------------------------------------------------------------------
