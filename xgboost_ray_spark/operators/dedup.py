@@ -469,3 +469,63 @@ def ngram_jaccard_pairs(
 def s26d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return ngram_jaccard_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection over duplicate clusters
+# ---------------------------------------------------------------------------
+@register(
+    "s26f_canonical_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+        md5(array_to_string(list_sort(list_distinct(
+          regexp_split_to_array(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents
+    ), r AS (
+      SELECT fingerprint, doc_id, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id
+        ) AS rn,
+        COUNT(*) OVER (PARTITION BY fingerprint) AS n_cluster
+      FROM fp
+    )
+    SELECT fingerprint, doc_id AS canonical_doc,
+           CAST(n_cluster AS BIGINT) AS n_cluster
+    FROM r WHERE rn = 1
+    """,
+    doc="Canonical selection: cluster documents by the order-insensitive "
+        "token-set fingerprint (s28d), keep the longest (then lowest-id) "
+        "member of each cluster — the 'which duplicate do we keep' policy "
+        "step of a dedup pipeline, expressed as one fingerprint projection "
+        "+ one window shuffle. At scale the same rank-over-cluster works "
+        "for MinHash cluster ids.",
+    tags=("dedup", "pipeline"),
+)
+def s26f_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+            )
+        ).alias("fingerprint"),
+    )
+    w = W.partitionBy("fingerprint")
+    ranked = fp.select(
+        "fingerprint",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_cluster"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "fingerprint", F.col("doc_id").alias("canonical_doc"), "n_cluster"
+    )

@@ -803,6 +803,29 @@ def s23_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s23b_from_json",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    doc="Schema-enforced JSON parse: from_json(props, 'k BIGINT') to a "
+        "typed struct, field access, typed predicate. Unlike per-path "
+        "get_json_object (s23), one parse serves every field, and the "
+        "schema rejects drift to NULL instead of silently stringifying.",
+    tags=("functions", "json"),
+)
+def s23b_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return (
+        ev.select("event_id", "event_type", parsed.getField("k").alias("k"))
+        .filter(F.col("k") >= 50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # S24 — Tumbling time windows (batch) + gap sessionization
 # ---------------------------------------------------------------------------
