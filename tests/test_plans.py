@@ -190,3 +190,21 @@ def test_range_frame_single_window_shuffle(spark):
     plan = formatted_plan(_build(spark, "s14b_range_frame"))
     assert plan.count(") Exchange") == 1
     assert "Window" in plan
+
+
+def test_argmax_aggregates_without_window(spark):
+    """struct-max argmax must plan as one aggregation shuffle (partial +
+    final), never a Window over the full event set."""
+    plan = formatted_plan(_build(spark, "s09d_argmax"))
+    assert "Window" not in plan
+    assert plan.count(") Exchange") == 1
+
+
+def test_profile_single_pass_no_window(spark):
+    """The column profile is one aggregation pass: multi-distinct plans as
+    Expand + two aggregate levels (2 exchanges max), never per-column jobs
+    or a Window."""
+    plan = formatted_plan(_build(spark, "s32_profile"))
+    assert "Window" not in plan
+    assert "Expand" in plan
+    assert plan.count(") Exchange") <= 2

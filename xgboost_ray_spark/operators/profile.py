@@ -1,0 +1,109 @@
+"""Dataset profiling (training-pipeline S32): per-column statistics in one
+distributed pass — the "describe at scale" a corpus pipeline runs before
+training (null screening, cardinality checks, range sanity).
+
+Everything is a single ``agg`` over the table (map-side combinable, one
+shuffle to a single reduce group) followed by a JVM-side explode into one
+row per column — no driver-side collect, no per-column jobs. Exact
+``count_distinct`` is used here for oracle-checkability; the 100 TB knob is
+swapping in ``approx_count_distinct`` (see s10b) per column.
+
+Reference analogue: xgboost_ray validates shards only structurally
+(column presence/order, reference ``matrix.py:283-358``); content
+profiling happens ad hoc in pandas. Here it is a first-class operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register
+
+# (column, numeric?) — o_orderdate profiles via a fixed-format string
+# rendering (lexicographic == chronological for this format).
+_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+    ("o_orderdate_s", False),
+)
+
+
+def profile(df: DataFrame, cols: tuple[tuple[str, bool], ...]) -> DataFrame:
+    """One-pass column profile: rows (column, n, n_null, n_distinct,
+    min_num, max_num, min_str, max_str)."""
+    aggs = []
+    for c, is_num in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            (F.min(c).cast("double") if is_num else F.lit(None).cast("double")
+             ).alias(f"{c}__minn"),
+            (F.max(c).cast("double") if is_num else F.lit(None).cast("double")
+             ).alias(f"{c}__maxn"),
+            (F.lit(None).cast("string") if is_num else F.min(c).cast("string")
+             ).alias(f"{c}__mins"),
+            (F.lit(None).cast("string") if is_num else F.max(c).cast("string")
+             ).alias(f"{c}__maxs"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__minn").alias("min_num"),
+            F.col(f"{c}__maxn").alias("max_num"),
+            F.col(f"{c}__mins").alias("min_str"),
+            F.col(f"{c}__maxs").alias("max_str"),
+        )
+        for c, _ in cols
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, is_num in _PROFILE_COLS:
+        minn = f"CAST(MIN({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        maxn = f"CAST(MAX({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mins = "CAST(NULL AS VARCHAR)" if is_num else f"CAST(MIN({c}) AS VARCHAR)"
+        maxs = "CAST(NULL AS VARCHAR)" if is_num else f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               COUNT({c}) AS n,
+               COUNT(*) - COUNT({c}) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {minn} AS min_num, {maxn} AS max_num,
+               {mins} AS min_str, {maxs} AS max_str
+        FROM src""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+    WITH src AS (
+      SELECT *, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+      FROM orders
+    )
+    {union}
+    """
+
+
+@register(
+    "s32_profile",
+    oracle=_profile_oracle(),
+    doc="One-pass distributed data profile of orders: count / nulls / "
+        "exact distinct / min / max per column, emitted as one row per "
+        "column via a JVM-side explode (no driver collect, no per-column "
+        "jobs). 100 TB variant swaps count_distinct for HLL sketches.",
+    tags=("profile", "pipeline"),
+)
+def s32_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_s", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    return profile(orders, _PROFILE_COLS)

@@ -208,6 +208,39 @@ def s09_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+@register(
+    "s09d_argmax",
+    oracle="""
+    SELECT event_type, max_value, arg_event
+    FROM (
+      SELECT event_type, value AS max_value, event_id AS arg_event,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Argmax without a window: max(struct(value, event_id)) per group — "
+        "one map-side-combinable aggregation instead of a full shuffle + "
+        "in-partition sort of every row. The struct's lexicographic order "
+        "makes the tiebreak (highest event_id) deterministic, so the "
+        "window-based oracle matches exactly.",
+    tags=("agg",),
+)
+def s09d_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    top = F.max(F.struct("value", "event_id")).alias("t")
+    return (
+        ev.groupBy("event_type")
+        .agg(top)
+        .select(
+            "event_type",
+            F.col("t.value").alias("max_value"),
+            F.col("t.event_id").alias("arg_event"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # S10 — Distinct & count distinct (exact); approx variant is rows-only
 # ---------------------------------------------------------------------------

@@ -139,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         joins,
         multimodal,
+        profile,
         relational,
         sampling,
         similarity,
