@@ -154,3 +154,54 @@ def s31c_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K_PER_GROUP)
         .select("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (greedy fill per source)
+# ---------------------------------------------------------------------------
+TOKEN_BUDGET = 512
+
+
+@register(
+    "s33_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (run - n_tokens) // {TOKEN_BUDGET} AS chunk_id
+    FROM r
+    """,
+    doc=f"Sequence packing: greedy-fill documents (doc_id order) into "
+        f"~{TOKEN_BUDGET}-token training chunks per source — chunk_id = "
+        "floor(tokens-before-me / budget) over a running window sum. The "
+        "batch-construction step of an LLM data pipeline; integer-only "
+        "arithmetic, exact. One shuffle on source; packing is an "
+        "in-partition scan.",
+    tags=("sampling", "pipeline"),
+)
+def s33_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    run = F.sum("n_tokens").over(
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before_me = run - F.col("n_tokens")  # tokens already packed in my source
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(before_me / TOKEN_BUDGET).cast("bigint").alias("chunk_id"),
+    )

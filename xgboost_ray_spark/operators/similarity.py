@@ -441,3 +441,70 @@ def s27c_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_full") >= 0.6)
         .select("vec_a", "vec_b", F.round("sim_full", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classification over the embedding corpus
+# ---------------------------------------------------------------------------
+@register(
+    "s27e_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT query_id, neighbor_id, label,
+             list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+               AS sim_full
+      FROM q, c WHERE query_id != neighbor_id
+    ), top AS (
+      SELECT query_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim_full DESC, neighbor_id
+        ) AS rk
+        FROM sims
+      ) WHERE rk <= {TOP_K}
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes
+      FROM top GROUP BY 1, 2
+    )
+    SELECT query_id, label AS pred_label, n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY n_votes DESC, label
+      ) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    doc=f"kNN classification: majority label of the top-{TOP_K} cosine "
+        "neighbors (smallest label wins vote ties), composed from the "
+        "broadcast top-k kernel + a window-free struct-max argmax — the "
+        "label-propagation / weak-labeling step of a curation pipeline. "
+        "Reference analogue: distributed predict (main.py:1750-1806) with "
+        "the model replaced by the corpus itself.",
+    tags=("similarity", "ml"),
+)
+def s27e_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = cosine_topk(emb.filter(F.col("vec_id") < 10), emb)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    # Window-free argmax (s09d pattern): max votes, then smallest label.
+    best = F.max(F.struct(F.col("n_votes"), (-F.col("label")).alias("neg")))
+    return (
+        votes.groupBy("query_id")
+        .agg(best.alias("t"))
+        .select(
+            "query_id",
+            (-F.col("t.neg")).cast("int").alias("pred_label"),
+            F.col("t.n_votes").alias("n_votes"),
+        )
+    )
