@@ -434,6 +434,33 @@ def ngram_jaccard_pairs(
     )
 
 
+_JACCARD_PAIRS_SQL = f"""
+    WITH ex AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(LEN(words) - {JACCARD_NGRAM - 1}, 1))) AS i
+      FROM (
+        SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+      )
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(words[CAST(i AS INT):CAST(i AS INT) + {JACCARD_NGRAM - 1}], ' ') AS g
+      FROM ex
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 @register(
     "s26d_ngram_jaccard",
     oracle=f"""
@@ -529,3 +556,93 @@ def s26f_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select(
         "fingerprint", F.col("doc_id").alias("canonical_doc"), "n_cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components duplicate clustering (iterative min-label propagation)
+# ---------------------------------------------------------------------------
+CC_MAX_ITER = 20
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Connected components over an undirected pair graph: every doc gets
+    the smallest doc_id reachable from it (cluster_root).
+
+    Iterative min-label propagation — the standard distributed CC
+    algorithm: each round every node takes min(own label, neighbors'
+    labels); converges in O(graph diameter) rounds (dup clusters are
+    near-cliques, so 2-3 in practice). Driver coordination is one
+    constant-size ``changed`` count per round; all data stays distributed.
+    In production: persist edges, checkpoint labels every few rounds to
+    truncate lineage, and pre-shrink with per-partition union-find.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_root"))
+
+
+@register(
+    "s26g_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    e AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM e
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+    )
+    SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_root
+    FROM reach GROUP BY s
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+        "n-gram-Jaccard pair graph (s26d) via iterative distributed "
+        "min-label propagation; each doc maps to the smallest doc_id in "
+        "its transitive duplicate cluster. Oracle = recursive-CTE "
+        "transitive closure. The grouping step that turns pairwise "
+        "near-dup hits into keep-one-per-cluster decisions (see s26f).",
+    tags=("dedup", "iterative"),
+)
+def s26g_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    return dup_clusters(pairs)
