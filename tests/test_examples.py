@@ -25,3 +25,8 @@ def test_simple_then_predict(spark):
 
 def test_simple_ranking(spark):
     _load("simple_ranking").main()
+
+
+def test_corpus_pipeline(spark):
+    summary = _load("corpus_pipeline").main()
+    assert set(summary) == {"train", "valid", "test"}
