@@ -208,3 +208,14 @@ def test_profile_single_pass_no_window(spark):
     assert "Window" not in plan
     assert "Expand" in plan
     assert plan.count(") Exchange") <= 2
+
+
+def test_funnel_windows_share_one_shuffle(spark):
+    """All three funnel stages window over the same user_id partitioning:
+    one exchange + one sort serves all Window nodes, and the per-user
+    groupBy reuses that partitioning — the only other exchange is the
+    single-row final gather."""
+    plan = formatted_plan(_build(spark, "s24c_funnel"))
+    assert plan.count(") Window") == 3
+    assert plan.count(") Sort") == 1
+    assert plan.count(") Exchange") <= 2

@@ -935,3 +935,65 @@ def s24b_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "s24c_funnel",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), per2 AS (
+      SELECT p.user_id, p.t1,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > p.t1
+                      THEN e.ts END) AS t2
+      FROM per p JOIN events e USING (user_id)
+      GROUP BY p.user_id, p.t1
+    ), per3 AS (
+      SELECT p.user_id, p.t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > p.t2
+                      THEN e.ts END) AS t3
+      FROM per2 p JOIN events e USING (user_id)
+      GROUP BY p.user_id, p.t2
+    )
+    SELECT COUNT(p.t1) AS n_view,
+           COUNT(p2.t2) AS n_view_click,
+           COUNT(p3.t3) AS n_full_funnel
+    FROM per p
+    JOIN per2 p2 USING (user_id)
+    JOIN per3 p3 USING (user_id)
+    """,
+    doc="Sequential-conversion funnel view -> click -> purchase: each "
+        "stage's timestamp must be strictly after the previous stage's "
+        "first occurrence. Three chained min-if windows over ONE user_id "
+        "partitioning — Spark reuses the single exchange+sort across all "
+        "three Window nodes, so the whole funnel costs one shuffle "
+        "(the SQL oracle needs three self-joins for the same answer).",
+    tags=("events",),
+)
+def s24c_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t
+    d = ev.withColumn("t1", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+    d = d.withColumn(
+        "t2",
+        F.min(F.when(is_("click") & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(is_("purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
