@@ -219,3 +219,14 @@ def test_funnel_windows_share_one_shuffle(spark):
     assert plan.count(") Window") == 3
     assert plan.count(") Sort") == 1
     assert plan.count(") Exchange") <= 2
+
+
+def test_tpch_q3_broadcasts_and_takeordered(spark):
+    """Q3's pruned customer side must broadcast (fact never shuffles for
+    that join) and the global top-10 must plan as TakeOrderedAndProject,
+    never a full sort."""
+    df = _build(spark, "s05c_tpch_q3")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_pushed_filters(df)

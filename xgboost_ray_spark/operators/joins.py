@@ -362,3 +362,64 @@ def s08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("__side") == 1).select(
         "event_id", F.col("k").alias("user_id"), "last_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority): selective 3-way join + agg + global top-10
+# ---------------------------------------------------------------------------
+Q3_CUTOFF = "1998-06-01"
+
+
+@register(
+    "s05c_tpch_q3",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (o_orderpriority standing in for o_shippriority): "
+        "segment + date filters push to both scans, the pruned customer "
+        "side broadcasts, and the final top-10 plans as "
+        "TakeOrderedAndProject (per-partition top-k, 10-row merge) — the "
+        "composite selective-join-aggregate every BI workload runs. "
+        "Deterministic: l_orderkey tiebreak on equal revenue.",
+    tags=("join", "agg"),
+)
+def s05c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
