@@ -36,6 +36,11 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); externally created sessions
+        # (e.g. a harness passing its own SparkSession) reject it without this
+        # runtime-settable conf. Set it defensively on every events read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_event_ts(df)

@@ -67,7 +67,24 @@ def train_barrier(
     cols = list(feats) + [label_col] + (
         [spec.weight_col] if spec.weight_col else []
     )
-    prepared = spec.prepare(dtrain).select(*cols).repartition(num_workers)
+    # Train + every eval set ride the same barrier stage: tag each frame,
+    # union, and shard all of them across the same num_workers tasks — the
+    # reference hands each actor its train shard plus an eval shard per set
+    # (main.py:704-739). The tag column is the only overhead.
+    tagged = spec.prepare(dtrain).select(*cols).withColumn(
+        "__set__", F.lit("train")
+    )
+    eval_names: list[str] = []
+    for eval_df, eval_name in evals or []:
+        if eval_name == "train":
+            raise ValueError("eval set name 'train' is reserved")
+        eval_names.append(eval_name)
+        tagged = tagged.unionByName(
+            spec.prepare(eval_df).select(*cols).withColumn(
+                "__set__", F.lit(eval_name)
+            )
+        )
+    prepared = tagged.repartition(num_workers)
 
     # Resume from checkpoint: decrement remaining rounds like the reference
     # (main.py:1604-1612).
@@ -86,7 +103,10 @@ def train_barrier(
     cpus = gbt.cpus_per_worker or 0
     weight_col = spec.weight_col
 
-    def run_partition(iterator):
+    def run_partition(batches):
+        # ``batches`` is an iterator of Arrow-backed pandas frames — the
+        # JVM->Python hop stays columnar (mapInPandas), matching
+        # predict_barrier; no per-row asDict conversion anywhere.
         from pyspark import BarrierTaskContext
         import pandas as pd
 
@@ -99,37 +119,50 @@ def train_barrier(
         if cpus:
             os.environ["OMP_NUM_THREADS"] = str(cpus)  # main.py:355-362
         container.before_data_loading(cb_ctx)
-        pdf = pd.concat(list(iterator), ignore_index=True) if iterator else None
+        parts = list(batches)
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=cols + ["__set__"])
+        )
         container.after_data_loading(cb_ctx)
         ctx.barrier()
         container.before_train(cb_ctx)
         with xgb.collective.CommunicatorContext(**tracker_args):
-            dmat = xgb.DMatrix(
-                pdf[feats],
-                label=pdf[label_col],
-                weight=pdf[weight_col] if weight_col else None,
-                missing=spec.missing,
-            )
+
+            def make_dmatrix(frame):
+                return xgb.DMatrix(
+                    frame[feats],
+                    label=frame[label_col],
+                    weight=frame[weight_col] if weight_col else None,
+                    missing=spec.missing,
+                )
+
+            dmat = make_dmatrix(pdf[pdf["__set__"] == "train"])
+            watchlist = [(dmat, "train")] + [
+                (make_dmatrix(pdf[pdf["__set__"] == n]), n) for n in eval_names
+            ]
             evals_result: dict = {}
             booster = xgb.train(
                 params,
                 dmat,
                 num_boost_round=rounds_left,
-                evals=[(dmat, "train")],
+                evals=watchlist,
                 evals_result=evals_result,
                 xgb_model=pickle.loads(prev_model_bytes) if prev_model_bytes else None,
             )
         container.after_train(cb_ctx, result=None)
         if rank == 0:
-            yield pickle.dumps((booster, evals_result, cb_ctx.queued))
+            yield pd.DataFrame(
+                {"result": [pickle.dumps((booster, evals_result, cb_ctx.queued))]}
+            )
 
     start = time.perf_counter()
-    arrow_rdd = prepared.rdd.mapPartitions(
-        lambda rows: iter([__rows_to_pdf(rows, cols)])
-    )
-    results = arrow_rdd.barrier().mapPartitions(run_partition).collect()
+    results = prepared.mapInPandas(
+        run_partition, schema="result binary", barrier=True
+    ).collect()
     elapsed = time.perf_counter() - start
-    booster, evals_result, queued = pickle.loads(results[0])
+    booster, evals_result, queued = pickle.loads(results[0]["result"])
 
     if ckpt:
         with open(ckpt, "wb") as fh:
@@ -137,19 +170,11 @@ def train_barrier(
 
     return TrainResult(
         model=booster,
-        evals_result={"train": evals_result.get("train", {})},
+        evals_result=evals_result,
         train_time_s=elapsed,
         backend="xgb",
         num_workers=num_workers,
         queued=queued,
-    )
-
-
-def __rows_to_pdf(rows, cols):
-    import pandas as pd
-
-    return pd.DataFrame.from_records(
-        [r.asDict() for r in rows], columns=cols
     )
 
 

@@ -30,6 +30,31 @@ QUERIES: dict[str, QuerySpec] = {}
 
 _SHIPPED_APPS: set[str] = set()
 
+# Runtime-settable confs every builder needs regardless of who constructed the
+# SparkSession (the driver harness passes a bare one). Anything requiring a
+# JVM restart (driver memory, UI) stays in session.get_spark; these are the
+# correctness-critical subset that spark.conf.set can apply live.
+_RUNTIME_CONF = {
+    # events.parquet stores TIMESTAMP(NANOS) — unreadable without this.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Bit-stable timestamps vs the DuckDB oracle on any host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> None:
+    """Apply runtime-settable engine confs to an externally built session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be restricted on some deployments; never fail a query
+
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
     """Ship this package to Python workers via ``addPyFile``.
@@ -75,6 +100,7 @@ def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...]
             raise ValueError(f"duplicate query name {name!r}")
 
         def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare_session(spark)
             ensure_workers_can_import(spark)
             return fn(spark, sf_dir)
 
