@@ -138,6 +138,13 @@ class SparkXGBClassifier(_BaseEstimator):
             self._objective = "multi:softprob"
         return super().fit(df, label_col, **kw)
 
+    def _xgb_params(self) -> dict:
+        p = super()._xgb_params()
+        # xgboost requires num_class alongside any multi:* objective.
+        if p["objective"].startswith("multi:"):
+            p.setdefault("num_class", getattr(self, "n_classes_", 3))
+        return p
+
     def predict_proba(self, df: DataFrame) -> DataFrame:
         return _predict_proba(self.model_, df, self._spec)
 
@@ -160,10 +167,12 @@ class SparkXGBRFClassifier(SparkXGBClassifier):
     _is_rf = True
 
     def _xgb_params(self) -> dict:
+        # Keep the detected objective (binary:logistic / multi:softprob with
+        # num_class) so the xgb backend trains a real probabilistic forest;
+        # num_parallel_tree alone selects the RandomForest translation in the
+        # MLlib backend (reference: sklearn.py:908-914).
         p = super()._xgb_params()
         p["num_parallel_tree"] = self.n_estimators
-        # Force the RandomForest translation in the MLlib backend.
-        p["objective"] = "multi:softmax"
         return p
 
 

@@ -83,6 +83,27 @@ def _mllib_estimator(params: dict, num_boost_round: int, gbt: GBTParams):
         subsamplingRate=params.get("subsample", 1.0),
         seed=gbt.seed,
     )
+    # Random-forest mode (num_parallel_tree > 1, reference sklearn.py:631-637,
+    # :908-914): n parallel trees in one round maps to MLlib RandomForest with
+    # numTrees = num_parallel_tree — NOT a 1-iteration GBT, which would be a
+    # single tree pretending to be a forest.
+    n_parallel = int(params.get("num_parallel_tree", 1))
+    if n_parallel > 1:
+        rf_common = dict(
+            featuresCol=FEATURES_COL,
+            labelCol="__label__",
+            numTrees=n_parallel,
+            maxDepth=params.get("max_depth", 6),
+            subsamplingRate=params.get("subsample", 1.0),
+            seed=gbt.seed,
+        )
+        if objective in _BINARY_OBJECTIVES or objective in _MULTI_OBJECTIVES:
+            from pyspark.ml.classification import RandomForestClassifier
+
+            return RandomForestClassifier(**rf_common), "classification"
+        from pyspark.ml.regression import RandomForestRegressor
+
+        return RandomForestRegressor(**rf_common), "regression"
     if objective in _BINARY_OBJECTIVES:
         from pyspark.ml.classification import GBTClassifier
 

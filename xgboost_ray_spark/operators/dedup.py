@@ -159,21 +159,40 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+MAX_BUCKET_DOCS = 100  # mega-bucket guard: a bucket above this pairs O(n^2)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, max_bucket: int = MAX_BUCKET_DOCS, observation=None
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
 
     Bucket-grouped pair generation instead of a band self-join: a self-join
     would execute the whole minhash pipeline once per side; grouping runs it
     once and emits in-bucket pairs from the collected id list. Bucket sizes
-    are small by LSH construction (band collision prob = J^BAND_SIZE); a
-    production deployment additionally drops pathological mega-buckets
-    before pairing (boilerplate-dominated corpora).
+    are small by LSH construction (band collision prob = J^BAND_SIZE), but a
+    boilerplate-dominated corpus can still skew one bucket — buckets above
+    ``max_bucket`` docs are dropped before pairing, because pairing one
+    mega-bucket is a single straggler task doing an O(n^2) explode. The drop
+    is not silent: every execution emits ``mega_buckets_dropped`` and
+    ``max_bucket_size`` through ``observe()`` (computed inside the main job,
+    zero extra scans; pass an ``Observation`` to read them, or watch the
+    named metric from a QueryExecutionListener). The DuckDB oracle applies
+    the identical HAVING cap, so results match at every scale.
     """
     bands = lsh_bands(minhash_signatures(docs))
     buckets = (
         bands.groupBy("band_id", "bv")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
+        .observe(
+            observation if observation is not None else "minhash_lsh_buckets",
+            F.sum(
+                F.when(F.size("ds") > max_bucket, 1).otherwise(0)
+            ).alias("mega_buckets_dropped"),
+            F.max(F.size("ds")).alias("max_bucket_size"),
+        )
+        .filter(F.size("ds") <= max_bucket)
     )
     pairs = buckets.select(
         F.explode(
@@ -219,11 +238,17 @@ def _minhash_oracle() -> str:
       FROM sh GROUP BY doc_id
     ), bands AS (
       {band_selects}
+    ), buckets AS (
+      SELECT band_id, bv FROM bands
+      GROUP BY band_id, bv
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_DOCS}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b
       ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    JOIN buckets k
+      ON a.band_id = k.band_id AND a.bv = k.bv
     """
 
 

@@ -280,14 +280,17 @@ def s28e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-term doc count is a plain count — and Catalyst reuses tf's shuffle
     # (ReusedExchange) instead of exploding the corpus a second time.
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # scalar; at scale use a broadcast single-row join
+    # N as a broadcast single-row cross join — stays inside the one job
+    # instead of a second driver-side scan of the corpus.
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             F.col("w").alias("term"),
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )
