@@ -1,0 +1,110 @@
+"""Mega-bucket guards for the bucketed pair generators (MinHash LSH bands,
+SimHash Hamming blocks).
+
+These pin the skew guard as executable behavior, not a docstring claim:
+the cap actually drops oversized buckets, the ``observe()`` metrics report
+the drop in-job (zero extra scans), and default observation names are
+unique so the operator composes with itself in one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    simhash64,
+    simhash_hamming_pairs,
+)
+
+
+def _docs(spark, n=None):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    return docs.limit(n) if n else docs
+
+
+def test_minhash_observe_metrics_report(spark):
+    obs = Observation("mh_guard")
+    pairs = minhash_candidate_pairs(_docs(spark), observation=obs)
+    pairs.count()
+    got = obs.get
+    assert got["mega_buckets_dropped"] >= 0
+    assert got["max_bucket_size"] >= 2  # fixture has real duplicate docs
+
+
+def test_minhash_cap_drops_mega_buckets(spark):
+    # Cap of 2: any band bucket with >2 docs must be dropped AND counted.
+    obs = Observation("mh_guard_tight")
+    docs = _docs(spark, n=200)
+    capped = minhash_candidate_pairs(docs, max_bucket=2, observation=obs)
+    n_capped = capped.count()
+    dropped = obs.get["mega_buckets_dropped"]
+    n_full = minhash_candidate_pairs(docs).count()
+    assert dropped > 0, "fixture duplicates must exceed a cap of 2"
+    assert n_capped < n_full, "capped run must emit fewer candidate pairs"
+
+
+def test_hamming_observe_metrics_report(spark):
+    obs = Observation("hm_guard")
+    pairs = simhash_hamming_pairs(_docs(spark), observation=obs)
+    pairs.count()
+    got = obs.get
+    assert got["hamming_mega_buckets_dropped"] >= 0
+    assert got["hamming_max_bucket_size"] >= 2
+
+
+def test_hamming_cap_drops_mega_buckets(spark):
+    # A 16-bit fingerprint's 6-bit top block has only 64 values — a tight
+    # cap must trigger on the fixture and shrink the pair set.
+    obs = Observation("hm_guard_tight")
+    docs = _docs(spark, n=300)
+    capped = simhash_hamming_pairs(docs, max_bucket=3, observation=obs)
+    n_capped = capped.count()
+    dropped = obs.get["hamming_mega_buckets_dropped"]
+    n_full = simhash_hamming_pairs(docs).count()
+    assert dropped > 0
+    assert n_capped < n_full
+
+
+def test_default_observation_names_compose(spark):
+    # Two instances of the same operator in one plan: default observe()
+    # names must not collide (fixed names raise AnalysisException).
+    docs = _docs(spark, n=100)
+    a = minhash_candidate_pairs(docs)
+    b = minhash_candidate_pairs(docs)
+    assert a.union(b).count() >= a.count()
+    ha = simhash_hamming_pairs(docs)
+    hb = simhash_hamming_pairs(docs)
+    assert ha.union(hb).count() >= ha.count()
+
+
+def test_simhash64_pairs_recall_vs_bruteforce(spark):
+    """Blocked 64-bit candidate generation must equal brute-force all-pairs
+    at distance <= 2 (pigeonhole guarantee, no capped buckets at n=150)."""
+    docs = _docs(spark, n=150)
+    fp = simhash64(docs).cache()
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_hamming_pairs(
+            docs, bits=64, fingerprints=fp
+        ).collect()
+    }
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    fp.unpersist()
+    assert blocked == brute

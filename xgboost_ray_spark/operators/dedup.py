@@ -22,11 +22,22 @@ the 100TB path.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
 from xgboost_ray_spark.registry import register
+
+# observe() names must be unique within a query plan; composing the same
+# operator twice with the default name would raise AnalysisException, so
+# auto-generated names carry a process-wide counter.
+_obs_counter = itertools.count()
+
+
+def _obs_name(prefix: str) -> str:
+    return f"{prefix}_{next(_obs_counter)}"
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -178,7 +189,9 @@ def minhash_candidate_pairs(
     ``max_bucket_size`` through ``observe()`` (computed inside the main job,
     zero extra scans; pass an ``Observation`` to read them, or watch the
     named metric from a QueryExecutionListener). The DuckDB oracle applies
-    the identical HAVING cap, so results match at every scale.
+    the identical HAVING cap, so results match at every scale — but note the
+    oracle hardcodes ``MAX_BUCKET_DOCS``: parity holds only for the default
+    ``max_bucket``; non-default callers get the cap without the oracle.
     """
     bands = lsh_bands(minhash_signatures(docs))
     buckets = (
@@ -186,7 +199,7 @@ def minhash_candidate_pairs(
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
         .observe(
-            observation if observation is not None else "minhash_lsh_buckets",
+            observation if observation is not None else _obs_name("minhash_lsh_buckets"),
             F.sum(
                 F.when(F.size("ds") > max_bucket, 1).otherwise(0)
             ).alias("mega_buckets_dropped"),
@@ -335,25 +348,88 @@ def s26c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hamming-neighbor search over SimHash fingerprints (multi-index blocks)
 # ---------------------------------------------------------------------------
 HAMMING_MAX = 2  # pairs within this many differing bits
+HAMMING_MAX_BUCKET = 100  # per-block bucket cap, same guard as MinHash LSH
 
 
-def simhash_hamming_pairs(docs: DataFrame, max_dist: int = HAMMING_MAX) -> DataFrame:
-    """All document pairs whose SimHash fingerprints differ by <= max_dist
-    bits — the multi-index technique: split the 16-bit fingerprint into 3
-    blocks (6/5/5 bits); by pigeonhole, any pair within distance 2 agrees
-    exactly on >= 1 block, so candidates come from 3 equi-buckets instead of
-    an all-pairs scan. Bucket-grouped pair generation (one pass over the
-    fingerprints, like the MinHash path) + an exact bit_count residual.
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash via ``xxhash64`` token bit votes — the production
+    fingerprint for corpus-scale Hamming search.
 
-    At 100 TB: the bucket join is keyed on <= 6-bit block values per block
-    id — add blocks/rotations to shrink buckets as the corpus grows.
+    bit_j(token) = bit j of xxhash64(token); the fingerprint sets bit j when
+    the sum of (2*bit_j - 1) votes over the doc's tokens is positive. All
+    JVM built-ins (xxhash64 is Spark-native and far cheaper than md5); one
+    shuffle on doc_id. 64 bits gives 2^21-value block keys (vs 2^6 for the
+    16-bit md5 variant), so block buckets stay small at any corpus size.
+    Not oracle-checked (DuckDB has no xxhash64); the registered s26e entry
+    uses the md5-derived 16-bit fingerprint for bit-identical parity and the
+    same blocked+capped pair generator.
     """
-    fp = simhash(docs)  # (doc_id, simhash)
-    blocks = F.array(
-        F.shiftright("simhash", 10),  # top 6 bits
-        F.shiftright("simhash", 5) % 32,  # middle 5
-        F.col("simhash") % 32,  # low 5
+    tok = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(F.shiftrightunsigned("h", j) % 2 * 2 - 1).alias(f"v{j}")
+        for j in range(64)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    # 2**63 overflows signed int64 as a sum term; build the sign bit with
+    # shiftleft (two's complement makes the addition exact).
+    fp = None
+    for j in range(64):
+        weight = F.shiftleft(F.lit(1).cast("long"), j)
+        term = F.when(F.col(f"v{j}") > 0, weight).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def _block_splits(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) per block, widths as balanced as possible."""
+    base, extra = divmod(bits, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    splits, shift = [], bits
+    for w in widths:
+        shift -= w
+        splits.append((shift, w))
+    return splits
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_dist: int = HAMMING_MAX,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int = HAMMING_MAX_BUCKET,
+    observation=None,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """All document pairs whose SimHash fingerprints differ by <= max_dist
+    bits — the multi-index technique: split the fingerprint into
+    ``max_dist + 1`` blocks; by pigeonhole, any pair within distance
+    ``max_dist`` agrees exactly on >= 1 block, so candidates come from
+    equi-buckets instead of an all-pairs scan. Bucket-grouped pair
+    generation (one pass over the fingerprints, like the MinHash path) + an
+    exact bit_count residual.
+
+    Mega-bucket guard (implemented, not aspirational): a popular block value
+    — boilerplate docs, or the few-valued blocks of a narrow fingerprint —
+    makes one bucket's pair explode O(n^2) in a single straggler task.
+    Buckets above ``max_bucket`` docs are dropped before pairing, and the
+    drop is observable in-job via ``observe()`` metrics
+    (``hamming_mega_buckets_dropped``, ``hamming_max_bucket_size``) — pass
+    an ``Observation`` to read them. The DuckDB oracle applies the identical
+    per-block HAVING cap, so parity holds at every scale. Pairs agreeing
+    only on a dropped block are lost on both sides identically — the cap
+    trades bounded recall loss in degenerate buckets for a bounded task.
+
+    At 100 TB: use ``fingerprints=simhash64(docs)`` with ``bits=64`` —
+    3 blocks of ~21 bits key the shuffle on 2M+ values, and the same cap
+    bounds the residual skew.
+    """
+    fp = fingerprints if fingerprints is not None else simhash(docs, bits)
+    mask = lambda shift, width: F.shiftrightunsigned("simhash", shift).bitwiseAND(
+        F.lit((1 << width) - 1)
+    )
+    blocks = F.array(*[mask(s, w) for s, w in _block_splits(bits, max_dist + 1)])
     keyed = fp.select(
         "doc_id", "simhash", F.posexplode(blocks).alias("block_id", "bv")
     )
@@ -361,6 +437,14 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = HAMMING_MAX) -> DataF
         keyed.groupBy("block_id", "bv")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
         .filter(F.size("ds") > 1)
+        .observe(
+            observation if observation is not None else _obs_name("hamming_blocks"),
+            F.sum(
+                F.when(F.size("ds") > max_bucket, 1).otherwise(0)
+            ).alias("hamming_mega_buckets_dropped"),
+            F.max(F.size("ds")).alias("hamming_max_bucket_size"),
+        )
+        .filter(F.size("ds") <= max_bucket)
     )
     pairs = buckets.select(
         F.explode(
@@ -384,14 +468,33 @@ def simhash_hamming_pairs(docs: DataFrame, max_dist: int = HAMMING_MAX) -> DataF
 
 
 def _hamming_oracle() -> str:
-    # Reuse the simhash derivation; the oracle checks ALL pairs directly —
-    # semantically identical to the blocked candidate set by pigeonhole.
+    # Reuse the simhash derivation; the oracle replicates the blocked
+    # candidate generation INCLUDING the per-block bucket cap, so a dropped
+    # mega-bucket loses the same pairs on both sides. Oracle parity holds
+    # only for the default max_bucket/max_dist/bits.
     simhash_sql = _simhash_oracle()
+    block_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS block_id,"
+        f" (simhash >> {shift}) & {(1 << width) - 1} AS bv FROM s"
+        for i, (shift, width) in enumerate(
+            _block_splits(SIMHASH_BITS, HAMMING_MAX + 1)
+        )
+    )
     return f"""
-    WITH s AS ({simhash_sql})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH s AS ({simhash_sql}), blocks AS (
+      {block_rows}
+    ), ok AS (
+      SELECT block_id, bv FROM blocks
+      GROUP BY block_id, bv
+      HAVING COUNT(*) BETWEEN 2 AND {HAMMING_MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    FROM blocks a
+    JOIN blocks b
+      ON a.block_id = b.block_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    JOIN ok k
+      ON a.block_id = k.block_id AND a.bv = k.bv
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """
 
@@ -400,9 +503,10 @@ def _hamming_oracle() -> str:
     "s26e_hamming_pairs",
     oracle=_hamming_oracle(),
     doc=f"SimHash Hamming-neighbor pairs (distance <= {HAMMING_MAX}): "
-        "3-block multi-index (6/5/5 bits) — pigeonhole guarantees recall, "
-        "bucket-grouped pair generation keeps it one pass; exact all-pairs "
-        "oracle.",
+        "multi-index blocks — pigeonhole guarantees recall, bucket-grouped "
+        f"pair generation capped at {HAMMING_MAX_BUCKET} docs/bucket with "
+        "observe() drop metrics; identical cap in the oracle. 64-bit "
+        "xxhash64 variant (simhash64) is the corpus-scale path.",
     tags=("dedup", "similarity"),
 )
 def s26e_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
