@@ -390,6 +390,57 @@ def test_combine_data_interleaved_roundtrip():
     np.testing.assert_array_equal(out, orig)
 
 
+def _collect_interleaved_shards(sharded, n, value_col):
+    """Extract shard k = rows with rank k ordered by original position —
+    the contract shard() documents for combine_data inversion."""
+    from xgboost_ray_spark.matrix import ROW_ID_COL, SHARD_COL
+
+    return [
+        np.array(
+            [
+                r[value_col]
+                for r in sharded.filter(F.col(SHARD_COL) == k)
+                .orderBy(ROW_ID_COL)
+                .collect()
+            ]
+        )
+        for k in range(n)
+    ]
+
+
+def test_shard_interleaved_exact_roundtrip(spark):
+    """shard(INTERLEAVED) -> combine_data is an EXACT inverse, matching the
+    reference pair (matrix.py:1088-1110 ↔ 1114-1157): shard k holds original
+    rows k, k+n, k+2n, ... and re-interleaving restores original order."""
+    df = spark.range(101).withColumn("v", F.col("id") * 7)  # odd row count
+    sharded = shard(df, 4, ShardingMode.INTERLEAVED, order_col="id")
+    shards = _collect_interleaved_shards(sharded, 4, "v")
+    orig = np.arange(101) * 7
+    for k in range(4):  # reference shard semantics: strict i mod n
+        np.testing.assert_array_equal(shards[k], orig[k::4])
+    np.testing.assert_array_equal(
+        combine_data(shards, ShardingMode.INTERLEAVED), orig
+    )
+
+
+def test_shard_interleaved_auto_index_roundtrip(spark):
+    """Without order_col, shard() builds a contiguous distributed index; the
+    round-trip restores the induced order exactly and balances shards."""
+    df = spark.range(90).repartition(7).withColumn("v", F.col("id") + 1000)
+    sharded = shard(df, 3, ShardingMode.INTERLEAVED)
+    shards = _collect_interleaved_shards(sharded, 3, "v")
+    assert [len(s) for s in shards] == [30, 30, 30]
+    combined = combine_data(shards, ShardingMode.INTERLEAVED)
+    # induced order = rows sorted by the generated contiguous index
+    from xgboost_ray_spark.matrix import ROW_ID_COL
+
+    expected = np.array(
+        [r.v for r in sharded.orderBy(ROW_ID_COL).collect()]
+    )
+    np.testing.assert_array_equal(combined, expected)
+    assert sorted(combined.tolist()) == sorted(r + 1000 for r in range(90))
+
+
 def test_combine_data_batch_roundtrip():
     orig = np.arange(12, dtype=float)
     shards = np.array_split(orig, 3)

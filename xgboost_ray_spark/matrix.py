@@ -11,8 +11,9 @@ weightCol / ...).
 Sharding (xgboost_ray/matrix.py:106-124, 1088-1110) maps onto Spark
 partitioning:
 
-  - ``INTERLEAVED`` (row i -> worker i mod n)  -> ``df.repartition(n)``
-    (round-robin/hash shuffle; statistically interleaved)
+  - ``INTERLEAVED`` (row i -> worker i mod n)  -> exact mod-n over a
+    distributed contiguous row index (zipWithIndex pattern), partitioned
+    on the shard rank — ``combine_data`` inverts it bit-exactly
   - ``BATCH`` (contiguous ranges)              -> range partitioning on a
     monotonic row id (``df.repartitionByRange``)
   - ``FIXED`` (locality-driven)                -> Spark scheduler locality;
@@ -30,8 +31,11 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+SHARD_COL = "__shard__"  # shard rank (row_id mod num_shards)
+ROW_ID_COL = "__row_id__"  # contiguous 0-based original position
 
 
 class ShardingMode(Enum):
@@ -101,16 +105,72 @@ class MatrixSpec:
         return out
 
 
+def _with_contiguous_index(df: DataFrame, idx_col: str) -> DataFrame:
+    """Contiguous 0-based global row index, computed distributedly.
+
+    The DataFrame twin of ``RDD.zipWithIndex``: tag each row with its input
+    partition id and a within-partition monotonic id (both narrow, computed
+    BEFORE any shuffle so they describe the source partitioning), run one
+    tiny job for per-partition counts (O(num_partitions) driver rows), then
+    index = partition_offset + within-partition rank. Like zipWithIndex,
+    assumes the input recomputes deterministically between the count job and
+    the main job (true for file scans and deterministic lineage).
+    """
+    tagged = df.withColumn("__pid__", F.spark_partition_id()).withColumn(
+        "__mid__", F.monotonically_increasing_id()
+    )
+    counts = {
+        r["__pid__"]: r["count"]
+        for r in tagged.groupBy("__pid__").count().collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off]
+    )
+    w = Window.partitionBy("__pid__").orderBy("__mid__")
+    return (
+        tagged.withColumn(
+            idx_col,
+            (omap[F.col("__pid__")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__pid__", "__mid__")
+    )
+
+
 def shard(df: DataFrame, num_shards: int, mode: ShardingMode = ShardingMode.INTERLEAVED,
           order_col: str | None = None) -> DataFrame:
     """Partition ``df`` into ``num_shards`` per the sharding mode.
 
     Parity with _get_sharding_indices (xgboost_ray/matrix.py:1088-1110),
-    re-expressed as Spark partitioning (no driver-side index math — the
+    re-expressed as Spark partitioning (no driver-side row movement — the
     shuffle service moves rows).
+
+    INTERLEAVED implements the reference's exact ``i mod n`` interleave:
+    rows get a contiguous global index (``order_col`` if the caller already
+    has a contiguous 0-based one, else a distributed zipWithIndex), shard
+    rank = index mod num_shards, and rows are hash-partitioned on the rank
+    and sorted by (rank, index) within partitions. The output keeps two
+    metadata columns — ``SHARD_COL`` (rank) and ``ROW_ID_COL`` (original
+    position) — which is what makes ``combine_data`` an exact inverse:
+    extract shard k as the rows with rank k ordered by position, and
+    ``combine_data`` re-interleaves them to the original order bit-exactly
+    (round-trip test mirrors reference matrix.py:1088-1110 ↔ 1114-1157).
     """
     if mode is ShardingMode.INTERLEAVED:
-        return df.repartition(num_shards)
+        if order_col is not None:
+            out = df.withColumn(ROW_ID_COL, F.col(order_col).cast("long"))
+        else:
+            out = _with_contiguous_index(df, ROW_ID_COL)
+        return (
+            out.withColumn(
+                SHARD_COL, (F.col(ROW_ID_COL) % num_shards).cast("int")
+            )
+            .repartition(num_shards, SHARD_COL)
+            .sortWithinPartitions(SHARD_COL, ROW_ID_COL)
+        )
     if mode is ShardingMode.BATCH:
         col = order_col
         out = df
