@@ -39,8 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); externally created sessions
         # (e.g. a harness passing its own SparkSession) reject it without this
-        # runtime-settable conf. Set it defensively on every events read.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # runtime-settable conf. Set it defensively on every events read —
+        # through the guarded helper, so a restricted session fails loudly
+        # instead of corrupting timestamps.
+        from xgboost_ray_spark.registry import set_runtime_conf
+
+        set_runtime_conf(
+            spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
+        )
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_event_ts(df)

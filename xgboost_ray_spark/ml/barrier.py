@@ -120,11 +120,17 @@ def train_barrier(
             os.environ["OMP_NUM_THREADS"] = str(cpus)  # main.py:355-362
         container.before_data_loading(cb_ctx)
         parts = list(batches)
-        pdf = (
-            pd.concat(parts, ignore_index=True)
-            if parts
-            else pd.DataFrame(columns=cols + ["__set__"])
-        )
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+        else:
+            # Typed empty frame: a bare pd.DataFrame(columns=...) yields
+            # object dtype, which xgb.DMatrix rejects — the worker whose
+            # round-robin partition is empty (rows < num_workers) must still
+            # join the collective with a valid 0-row DMatrix.
+            pdf = pd.DataFrame(
+                {c: pd.Series(dtype="float64") for c in cols}
+                | {"__set__": pd.Series(dtype=object)}
+            )
         container.after_data_loading(cb_ctx)
         ctx.barrier()
         container.before_train(cb_ctx)

@@ -151,9 +151,30 @@ class SparkXGBClassifier(_BaseEstimator):
 
 class SparkXGBRFRegressor(SparkXGBRegressor):
     """Parity: RayXGBRFRegressor (sklearn.py:602) — random-forest mode:
-    num_parallel_tree = n_estimators, a single boosting round."""
+    num_parallel_tree = n_estimators, a single boosting round.
+
+    RF defaults mirror the reference (sklearn.py:618-620): subsample=0.8,
+    colsample_bynode=0.8, learning_rate=1 — without per-tree row/column
+    subsampling all num_parallel_tree trees would train identically and the
+    'forest' degenerates to N copies of one tree.
+    """
 
     _is_rf = True
+
+    def __init__(
+        self,
+        *,
+        learning_rate: float = 1.0,
+        subsample: float = 0.8,
+        colsample_bynode: float = 0.8,
+        **kw: Any,
+    ):
+        super().__init__(
+            learning_rate=learning_rate,
+            subsample=subsample,
+            colsample_bynode=colsample_bynode,
+            **kw,
+        )
 
     def _xgb_params(self) -> dict:
         p = super()._xgb_params()
@@ -162,9 +183,25 @@ class SparkXGBRFRegressor(SparkXGBRegressor):
 
 
 class SparkXGBRFClassifier(SparkXGBClassifier):
-    """Parity: RayXGBRFClassifier (sklearn.py:880)."""
+    """Parity: RayXGBRFClassifier (sklearn.py:880). RF defaults as in
+    SparkXGBRFRegressor (reference sklearn.py:618-620)."""
 
     _is_rf = True
+
+    def __init__(
+        self,
+        *,
+        learning_rate: float = 1.0,
+        subsample: float = 0.8,
+        colsample_bynode: float = 0.8,
+        **kw: Any,
+    ):
+        super().__init__(
+            learning_rate=learning_rate,
+            subsample=subsample,
+            colsample_bynode=colsample_bynode,
+            **kw,
+        )
 
     def _xgb_params(self) -> dict:
         # Keep the detected objective (binary:logistic / multi:softprob with

@@ -92,11 +92,20 @@ def _mllib_estimator(params: dict, num_boost_round: int, gbt: GBTParams):
         rf_common = dict(
             featuresCol=FEATURES_COL,
             labelCol="__label__",
-            numTrees=n_parallel,
+            # xgboost grows num_parallel_tree trees PER boosting round, so a
+            # direct train() call with R rounds holds R*n trees — match that
+            # (estimators force num_boost_round=1, leaving numTrees=n).
+            numTrees=n_parallel * max(num_boost_round, 1),
             maxDepth=params.get("max_depth", 6),
             subsamplingRate=params.get("subsample", 1.0),
             seed=gbt.seed,
         )
+        if "colsample_bynode" in params:
+            # Per-node column subsampling -> MLlib featureSubsetStrategy
+            # (accepts a fraction as a string).
+            rf_common["featureSubsetStrategy"] = str(
+                float(params["colsample_bynode"])
+            )
         if objective in _BINARY_OBJECTIVES or objective in _MULTI_OBJECTIVES:
             from pyspark.ml.classification import RandomForestClassifier
 

@@ -47,13 +47,49 @@ _RUNTIME_CONF = {
 }
 
 
+# Confs whose absence silently CORRUPTS results (wrong timestamps, oracle
+# divergence) rather than degrading performance — failing to set one of
+# these must be loud, not swallowed.
+_CRITICAL_CONFS = frozenset(
+    {"spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"}
+)
+
+
+def set_runtime_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a runtime conf; warn if restricted, raise if correctness-critical.
+
+    A deployment that forbids conf changes is fine for the performance confs
+    (AQE, pushdown — the query still returns correct rows), but a session
+    stuck on the wrong timezone or nanos handling would return silently
+    wrong results; that must fail loudly. Already-correct values never fail.
+    """
+    try:
+        spark.conf.set(key, value)
+    except Exception as exc:
+        try:
+            current = spark.conf.get(key, None)
+        except Exception:
+            current = None
+        if current == value:
+            return  # restricted but already correct
+        if key in _CRITICAL_CONFS:
+            raise RuntimeError(
+                f"cannot set correctness-critical conf {key}={value!r} "
+                f"(current: {current!r}): results would silently diverge"
+            ) from exc
+        import warnings
+
+        warnings.warn(
+            f"could not set {key}={value!r} (current: {current!r}): {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
 def prepare_session(spark: SparkSession) -> None:
     """Apply runtime-settable engine confs to an externally built session."""
     for k, v in _RUNTIME_CONF.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass  # conf may be restricted on some deployments; never fail a query
+        set_runtime_conf(spark, k, v)
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
