@@ -56,3 +56,102 @@ def test_barrier_sync_point(spark):
     results = {r["rank"]: r["waited"] for r in
                df.rdd.barrier().mapPartitions(staged).collect()}
     assert results[1] > 0.5, "the early task must block at the barrier"
+
+
+
+def test_elastic_checkpoint_resume_on_restart(spark, tmp_path):
+    """R24 elastic semantics (reference elastic.py:19-142 and
+    tests/fault_tolerance.py:14-109): a worker dies mid-training; Spark
+    ABORTS the barrier ResultStage (it never retries one), so recovery is
+    train_barrier's driver-side run_with_restarts loop — each attempt
+    reloads the rank-0 checkpoint and boosts only the remaining rounds
+    (load_checkpoint's boost_rounds_left arithmetic). Total boosted rounds
+    across attempts must equal the request — none lost, none repeated.
+    Exercises the REAL product plumbing (run_with_restarts +
+    load_checkpoint/save_checkpoint) around a fake booster, since xgboost
+    itself is absent from this container."""
+    import os
+    import pickle
+
+    from xgboost_ray_spark.ml.barrier import (
+        load_checkpoint,
+        run_with_restarts,
+    )
+    from xgboost_ray_spark.registry import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    ckpt = str(tmp_path / "model.ckpt")
+    fail_marker = str(tmp_path / "fail_once")
+    total_rounds = 5
+    fail_after = 3
+
+    df = spark.range(40).repartition(2)
+    attempt_log = []
+
+    def run_attempt(attempt):
+        prev, rounds_left = load_checkpoint(ckpt, total_rounds)
+        attempt_log.append((attempt, rounds_left))
+
+        def train_like(iterator):
+            import os as _os
+            import pickle as _pickle
+
+            from pyspark import BarrierTaskContext
+
+            from xgboost_ray_spark.ml.barrier import save_checkpoint
+
+            ctx = BarrierTaskContext.get()
+            rank = ctx.partitionId()
+            model = _pickle.loads(prev) if prev else 0  # = rounds boosted
+            ctx.barrier()
+            for _ in range(rounds_left):
+                model += 1  # one synchronous boosting round
+                if rank == 0:
+                    # checkpoint_frequency=1 analogue of the rank-0
+                    # after_iteration callback in _run_barrier_job
+                    save_checkpoint(ckpt, _pickle.dumps(model), model)
+                # Injected death, first attempt only: rank 1 dies once the
+                # collective has boosted fail_after rounds.
+                if (
+                    rank == 1
+                    and model == fail_after
+                    and not _os.path.exists(fail_marker)
+                ):
+                    open(fail_marker, "w").close()
+                    raise RuntimeError("injected worker death")
+                ctx.barrier()  # end-of-round allreduce stand-in
+            yield {"rank": rank, "model": model}
+
+        return df.rdd.barrier().mapPartitions(train_like).collect()
+
+    results = run_with_restarts(run_attempt, max_restarts=1)
+
+    assert os.path.exists(fail_marker), "failure must actually have fired"
+    assert sorted(r["rank"] for r in results) == [0, 1]
+    for r in results:
+        assert r["model"] == total_rounds  # every round boosted exactly once
+    # the loop really retried, and the retry resumed from the checkpoint:
+    # its rounds_left was the decremented remainder, not the full request
+    assert len(attempt_log) == 2
+    assert attempt_log[0] == (0, total_rounds)
+    retry_attempt, retry_rounds = attempt_log[1]
+    assert retry_attempt == 1
+    assert 0 < retry_rounds <= total_rounds - fail_after
+
+
+def test_run_with_restarts_exhaustion():
+    """The retry loop must re-raise once max_restarts is exhausted —
+    mirroring the reference aborting after max_actor_restarts."""
+    import pytest
+
+    from xgboost_ray_spark.ml.barrier import run_with_restarts
+
+    calls = []
+
+    def always_fails(attempt):
+        calls.append(attempt)
+        raise RuntimeError("persistent failure")
+
+    with pytest.raises(RuntimeError, match="persistent failure"):
+        run_with_restarts(always_fails, max_restarts=2)
+    assert calls == [0, 1, 2]  # initial + 2 restarts

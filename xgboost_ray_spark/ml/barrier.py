@@ -15,11 +15,15 @@ this container — structure is real, exercised only where xgboost exists):
                                               the task
   checkpoint queue (main.py:612-626)          rank-0 writes model bytes to
                                               checkpoint_path every k rounds
-  failure retry loop (main.py:1606-1713)      Spark re-runs the barrier stage;
-                                              resume picks up the checkpoint
-                                              and decrements rounds
-                                              (boost_rounds_left arithmetic,
-                                              main.py:1604-1612)
+  failure retry loop (main.py:1606-1713)      run_with_restarts driver loop
+                                              (Spark ABORTS a failed barrier
+                                              ResultStage — it never retries
+                                              one — so recovery is driver-
+                                              side, like the reference);
+                                              each attempt reloads the
+                                              checkpoint and decrements
+                                              rounds (boost_rounds_left
+                                              arithmetic, main.py:1604-1612)
 """
 
 from __future__ import annotations
@@ -40,6 +44,54 @@ def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("", 0))
         return s.getsockname()[1]
+
+
+def load_checkpoint(
+    ckpt_path: str | None, num_boost_round: int
+) -> tuple[bytes | None, int]:
+    """(prev_model_bytes, rounds_left) — the reference's elastic resume
+    arithmetic (main.py:1604-1612): a retried training run picks up the
+    last checkpoint and boosts only the remaining rounds, so total boosted
+    rounds across attempts equals the request. Importable without xgboost
+    (plain pickle/os) so the retry semantics are testable anywhere."""
+    if ckpt_path and os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as fh:
+            prev_model_bytes, done_rounds = pickle.load(fh)
+        return prev_model_bytes, max(num_boost_round - done_rounds, 0)
+    return None, num_boost_round
+
+
+def save_checkpoint(
+    ckpt_path: str, model_bytes: bytes, done_rounds: int
+) -> None:
+    """Atomic checkpoint write (tmp + rename): a task killed mid-write must
+    not leave a torn file for the retry to trip over — the reference's
+    checkpoint actor queue gives the same guarantee (main.py:612-626)."""
+    tmp = f"{ckpt_path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        pickle.dump((model_bytes, done_rounds), fh)
+    os.replace(tmp, ckpt_path)
+
+
+def run_with_restarts(attempt_fn, max_restarts: int):
+    """Driver-side elastic retry loop (reference train loop,
+    main.py:1606-1713).
+
+    Spark can NOT retry a failed barrier ResultStage (all-or-nothing: the
+    scheduler aborts the job if any barrier result task fails), so worker
+    death recovery lives HERE, exactly where the reference puts its
+    ``max_actor_restarts`` loop: rerun the whole training job; each attempt
+    reloads the latest checkpoint, so only the not-yet-checkpointed rounds
+    repeat. ``attempt_fn(attempt_index)`` performs one full training job.
+    """
+    attempt = 0
+    while True:
+        try:
+            return attempt_fn(attempt)
+        except Exception:
+            attempt += 1
+            if attempt > max_restarts:
+                raise
 
 
 def train_barrier(
@@ -86,93 +138,133 @@ def train_barrier(
         )
     prepared = tagged.repartition(num_workers)
 
-    # Resume from checkpoint: decrement remaining rounds like the reference
-    # (main.py:1604-1612).
-    prev_model_bytes = None
-    rounds_left = num_boost_round
     ckpt = gbt.checkpoint_path
-    if ckpt and os.path.exists(ckpt):
-        with open(ckpt, "rb") as fh:
-            prev_model_bytes, done_rounds = pickle.load(fh)
-        rounds_left = max(num_boost_round - done_rounds, 0)
-
-    tracker = RabitTracker(host_ip=socket.gethostname(), n_workers=num_workers)
-    tracker.start()
-    tracker_args = tracker.worker_args()
-
     cpus = gbt.cpus_per_worker or 0
     weight_col = spec.weight_col
+    ckpt_freq = max(gbt.checkpoint_frequency, 1)
 
-    def run_partition(batches):
-        # ``batches`` is an iterator of Arrow-backed pandas frames — the
-        # JVM->Python hop stays columnar (mapInPandas), matching
-        # predict_barrier; no per-row asDict conversion anywhere.
-        from pyspark import BarrierTaskContext
-        import pandas as pd
+    def run_attempt(attempt: int):
+        # Resume from checkpoint: decrement remaining rounds like the
+        # reference (main.py:1604-1612). Re-read on every attempt — the
+        # failed attempt's rank-0 callback advanced it. checkpoint_path must
+        # be shared storage for multi-node resume (reference ships bytes
+        # through its checkpoint actor; Spark's analogue is a DFS path).
+        prev_model_bytes, rounds_left = load_checkpoint(ckpt, num_boost_round)
+        done_before = num_boost_round - rounds_left
 
-        ctx = BarrierTaskContext.get()
-        rank = ctx.partitionId()
-        # Per-worker lifecycle hooks with the true rank (callback.py:14-58).
-        container = DistributedCallbackContainer(callbacks)
-        cb_ctx = WorkerContext(rank=rank, num_workers=num_workers)
-        container.on_init(cb_ctx)
-        if cpus:
-            os.environ["OMP_NUM_THREADS"] = str(cpus)  # main.py:355-362
-        container.before_data_loading(cb_ctx)
-        parts = list(batches)
-        if parts:
-            pdf = pd.concat(parts, ignore_index=True)
-        else:
-            # Typed empty frame: a bare pd.DataFrame(columns=...) yields
-            # object dtype, which xgb.DMatrix rejects — the worker whose
-            # round-robin partition is empty (rows < num_workers) must still
-            # join the collective with a valid 0-row DMatrix.
-            pdf = pd.DataFrame(
-                {c: pd.Series(dtype="float64") for c in cols}
-                | {"__set__": pd.Series(dtype=object)}
-            )
-        container.after_data_loading(cb_ctx)
-        ctx.barrier()
-        container.before_train(cb_ctx)
-        with xgb.collective.CommunicatorContext(**tracker_args):
+        # Fresh tracker per attempt: the previous ring died with its workers.
+        tracker = RabitTracker(
+            host_ip=socket.gethostname(), n_workers=num_workers
+        )
+        tracker.start()
+        tracker_args = tracker.worker_args()
+        return _run_barrier_job(
+            prev_model_bytes, rounds_left, done_before, tracker_args
+        )
 
-            def make_dmatrix(frame):
-                return xgb.DMatrix(
-                    frame[feats],
-                    label=frame[label_col],
-                    weight=frame[weight_col] if weight_col else None,
-                    missing=spec.missing,
+    def _run_barrier_job(prev_model_bytes, rounds_left, done_before, tracker_args):
+        def run_partition(batches):
+            # ``batches`` is an iterator of Arrow-backed pandas frames — the
+            # JVM->Python hop stays columnar (mapInPandas), matching
+            # predict_barrier; no per-row asDict conversion anywhere.
+            from pyspark import BarrierTaskContext
+            import pandas as pd
+
+            ctx = BarrierTaskContext.get()
+            rank = ctx.partitionId()
+            # Per-worker lifecycle hooks with true rank (callback.py:14-58).
+            container = DistributedCallbackContainer(callbacks)
+            cb_ctx = WorkerContext(rank=rank, num_workers=num_workers)
+            container.on_init(cb_ctx)
+            if cpus:
+                os.environ["OMP_NUM_THREADS"] = str(cpus)  # main.py:355-362
+            container.before_data_loading(cb_ctx)
+            parts = list(batches)
+            if parts:
+                pdf = pd.concat(parts, ignore_index=True)
+            else:
+                # Typed empty frame: a bare pd.DataFrame(columns=...) yields
+                # object dtype, which xgb.DMatrix rejects — the worker whose
+                # round-robin partition is empty (rows < num_workers) must
+                # still join the collective with a valid 0-row DMatrix.
+                pdf = pd.DataFrame(
+                    {c: pd.Series(dtype="float64") for c in cols}
+                    | {"__set__": pd.Series(dtype=object)}
+                )
+            container.after_data_loading(cb_ctx)
+            ctx.barrier()
+            container.before_train(cb_ctx)
+
+            # Rank-0 periodic checkpoint (reference _save_checkpoint_callback,
+            # main.py:612-626): a worker death mid-training resumes from the
+            # last multiple of checkpoint_frequency, not from done_before.
+            train_callbacks = []
+            if ckpt and rank == 0:
+
+                class _Checkpoint(xgb.callback.TrainingCallback):
+                    def after_iteration(self, model, epoch, evals_log):
+                        done = done_before + epoch + 1
+                        if done % ckpt_freq == 0:
+                            save_checkpoint(ckpt, pickle.dumps(model), done)
+                        return False
+
+                train_callbacks.append(_Checkpoint())
+
+            with xgb.collective.CommunicatorContext(**tracker_args):
+
+                def make_dmatrix(frame):
+                    return xgb.DMatrix(
+                        frame[feats],
+                        label=frame[label_col],
+                        weight=frame[weight_col] if weight_col else None,
+                        missing=spec.missing,
+                    )
+
+                dmat = make_dmatrix(pdf[pdf["__set__"] == "train"])
+                watchlist = [(dmat, "train")] + [
+                    (make_dmatrix(pdf[pdf["__set__"] == n]), n)
+                    for n in eval_names
+                ]
+                evals_result: dict = {}
+                booster = xgb.train(
+                    params,
+                    dmat,
+                    num_boost_round=rounds_left,
+                    evals=watchlist,
+                    evals_result=evals_result,
+                    callbacks=train_callbacks or None,
+                    xgb_model=pickle.loads(prev_model_bytes)
+                    if prev_model_bytes
+                    else None,
+                )
+            container.after_train(cb_ctx, result=None)
+            if rank == 0:
+                yield pd.DataFrame(
+                    {
+                        "result": [
+                            pickle.dumps(
+                                (booster, evals_result, cb_ctx.queued)
+                            )
+                        ]
+                    }
                 )
 
-            dmat = make_dmatrix(pdf[pdf["__set__"] == "train"])
-            watchlist = [(dmat, "train")] + [
-                (make_dmatrix(pdf[pdf["__set__"] == n]), n) for n in eval_names
-            ]
-            evals_result: dict = {}
-            booster = xgb.train(
-                params,
-                dmat,
-                num_boost_round=rounds_left,
-                evals=watchlist,
-                evals_result=evals_result,
-                xgb_model=pickle.loads(prev_model_bytes) if prev_model_bytes else None,
-            )
-        container.after_train(cb_ctx, result=None)
-        if rank == 0:
-            yield pd.DataFrame(
-                {"result": [pickle.dumps((booster, evals_result, cb_ctx.queued))]}
-            )
+        results = prepared.mapInPandas(
+            run_partition, schema="result binary", barrier=True
+        ).collect()
+        return pickle.loads(results[0]["result"])
 
     start = time.perf_counter()
-    results = prepared.mapInPandas(
-        run_partition, schema="result binary", barrier=True
-    ).collect()
+    # Worker-death recovery is this driver-side loop — Spark aborts a failed
+    # barrier ResultStage rather than retrying it (all-or-nothing), exactly
+    # why the reference also retries from ITS driver (main.py:1606-1713).
+    booster, evals_result, queued = run_with_restarts(
+        run_attempt, gbt.max_restarts
+    )
     elapsed = time.perf_counter() - start
-    booster, evals_result, queued = pickle.loads(results[0]["result"])
 
     if ckpt:
-        with open(ckpt, "wb") as fh:
-            pickle.dump((pickle.dumps(booster), num_boost_round), fh)
+        save_checkpoint(ckpt, pickle.dumps(booster), num_boost_round)
 
     return TrainResult(
         model=booster,
