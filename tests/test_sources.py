@@ -160,3 +160,66 @@ def test_write_bucketed_table_skips_join_shuffle(spark, tmp_path):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "bucketed aggregation must not shuffle"
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_read_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC reader (R-source breadth): round-trip equality with the parquet
+    original, and predicate pushdown reaching the ORC scan."""
+    from xgboost_ray_spark.plans.explain import has_pushed_filters
+    from xgboost_ray_spark.sources.readers import read_orc
+
+    supp = read_parquet(spark, f"{SF_SMOKE}/supplier.parquet")
+    out = str(tmp_path / "supplier_orc")
+    supp.write.orc(out)
+    back = read_orc(spark, out, columns=["s_suppkey", "s_name", "s_acctbal"])
+    assert back.count() == supp.count()
+    orig = {(r.s_suppkey, r.s_name) for r in supp.select("s_suppkey", "s_name").collect()}
+    got = {(r.s_suppkey, r.s_name) for r in back.select("s_suppkey", "s_name").collect()}
+    assert got == orig
+    filtered = read_orc(spark, out).filter(F.col("s_acctbal") > 0)
+    assert has_pushed_filters(filtered), "ORC scan must receive the filter"
+
+
+def test_bucketed_tables_colocated_join_no_shuffle(spark):
+    """Fact-to-fact join of two tables bucketed on the join key must plan
+    with ZERO Exchange — the write-once co-location that makes repeated
+    lineitem-orders joins at 100 TB pay one shuffle total, at write time.
+    Broadcast is disabled so the assert can't be satisfied trivially
+    (BroadcastExchange is an Exchange too)."""
+    from xgboost_ray_spark.sources.writers import write_bucketed_table
+
+    for t in ("bkt_li", "bkt_ord"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = read_parquet(spark, f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = read_parquet(spark, f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed_table(
+        li, "bkt_li", bucket_cols=["l_orderkey"], num_buckets=4,
+        mode="overwrite",
+    )
+    write_bucketed_table(
+        orders, "bkt_ord", bucket_cols=["o_orderkey"], num_buckets=4,
+        mode="overwrite",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_li").join(
+            spark.table("bkt_ord"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"co-located join must not shuffle:\n{plan}"
+        # and the join is real: every lineitem row matches its order
+        assert joined.count() == li.count()
+        # downstream aggregation on the same key reuses the bucketing too
+        agg = joined.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, "bucketed agg must reuse co-location"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bkt_li", "bkt_ord"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

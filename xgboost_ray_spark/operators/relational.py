@@ -71,6 +71,33 @@ def s02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1b — ORC scan (round-trip through a scratch ORC file)
+# ---------------------------------------------------------------------------
+@register(
+    "s01b_orc_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > 0
+    """,
+    doc="ORC source: columnar scan with predicate/projection pushdown via "
+        "Spark's native ORC reader (sources/readers.py:read_orc); oracle "
+        "runs on the parquet twin of the same rows. Source-breadth parity: "
+        "data_sources/__init__.py:13-24.",
+    tags=("scan",),
+)
+def s01b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.sources.readers import read_orc
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = os.path.join(_SCRATCH, "supplier_orc")
+    supp.write.mode("overwrite").orc(out)
+    return read_orc(spark, out).filter(F.col("s_acctbal") > 0)
+
+
+# ---------------------------------------------------------------------------
 # S3 — Projection / rename / drop
 # ---------------------------------------------------------------------------
 @register(

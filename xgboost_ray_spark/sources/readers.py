@@ -82,6 +82,24 @@ def read_json(
     return _apply_ignore(df, ignore)
 
 
+def read_orc(
+    spark: SparkSession,
+    paths: str | list[str],
+    columns: Sequence[str] | None = None,
+    ignore: Sequence[str] | None = None,
+) -> DataFrame:
+    """ORC scan (source-breadth analogue of data_sources/__init__.py:13-24).
+
+    Same contract as :func:`read_parquet`: columnar format, predicate and
+    projection pushdown handled by Spark's native ORC reader
+    (spark.sql.orc.filterPushdown is on by default)."""
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    df = spark.read.orc(*paths)
+    if columns:
+        df = df.select(*columns)
+    return _apply_ignore(df, ignore)
+
+
 def from_pandas(
     spark: SparkSession, pdf: pd.DataFrame, ignore: Sequence[str] | None = None
 ) -> DataFrame:
