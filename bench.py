@@ -59,19 +59,24 @@ def main() -> None:
     # Warm the JVM/codegen path outside timing (tiny query).
     specs["s09_groupby_agg"].build(spark, sf_dir).count()
 
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = specs[name].build(spark, sf_dir)
+        # Force full execution without driver materialization overhead.
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # Steady-state: min of two executions. Run-to-run noise on a shared
-        # host can inflate a single sample several-fold; the min reflects
-        # the plan's actual cost.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = specs[name].build(spark, sf_dir)
-            # Force full execution without driver materialization overhead.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        # Noise protocol: min of three executions; external CPU contention on
+        # a shared host has inflated single samples up to 7x (a round-2
+        # artifact recorded a phantom regression that a min-of-3 re-measure
+        # disproved). If even the three samples disagree by >2x, the window
+        # itself was contended — take one more.
+        samples = [run_once(name) for _ in range(3)]
+        if max(samples) > 2 * min(samples):
+            samples.append(run_once(name))
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
