@@ -705,7 +705,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     In production: persist edges, checkpoint labels every few rounds to
     truncate lineage, and pre-shrink with per-partition union-find.
     """
-    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -716,7 +715,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    # Convergence via the label-sum invariant: labels only ever DECREASE
+    # (least of own and neighbor min), so sum(label) is strictly monotone
+    # until fixpoint — one cheap aggregate on the freshly persisted frame
+    # per round, instead of a full old-vs-new join + count job.  Sum in
+    # DECIMAL(38,0): exact at any corpus size (an int64 sum of billions of
+    # 64-bit ids could wrap).
+    prev_labels = None
+    prev_sum = None
+    for it in range(max_iter):
         nbr_min = (
             edges.join(
                 labels.select(F.col("doc_id").alias("src"), "label"), "src"
@@ -732,16 +739,21 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # One action: materializes the persist AND returns the metric.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_labels is not None:
+            prev_labels.unpersist()  # new_labels is materialized; safe now
+        prev_labels = labels = new_labels
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+        # Truncate lineage periodically: each round's plan stacks two joins
+        # on the previous round's; by ~5 rounds recompute-on-eviction and
+        # planning time both blow up. localCheckpoint severs the chain.
+        if (it + 1) % 5 == 0:
+            labels = prev_labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_root"))
 
