@@ -787,3 +787,134 @@ def s26g_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
     return dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate phrase detection (C4-style)
+# ---------------------------------------------------------------------------
+BOILER_NGRAM = 5
+BOILER_MIN_DOCS = 3  # fixture-calibrated; production uses a corpus-share threshold
+
+
+def boilerplate_phrases(
+    docs: DataFrame, n: int = BOILER_NGRAM, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """Word-n-gram phrases appearing in >= min_docs distinct documents —
+    the C4 pipeline's repeated-boilerplate removal signal (navigation
+    chrome, license headers, templated spans), detected across the corpus
+    rather than per document (contrast s28g, which scores repetition
+    WITHIN a doc).
+
+    Per-doc distinct grams (array_distinct before explode — set semantics,
+    no shuffle) -> one groupBy on the phrase. The phrase count per doc is
+    already deduped, so the doc count is a plain COUNT(*); shuffle key is
+    the phrase string. At corpus scale, hash the phrase (xxhash64) for a
+    fixed-width shuffle key and keep one example phrase per hash via
+    max(); here the phrase itself stays the key for oracle parity.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    per_doc = fan_out(docs).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("phrase")
+    )
+    return (
+        per_doc.groupBy("phrase")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+@register(
+    "s26h_boilerplate_phrases",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(LEN(words) - {BOILER_NGRAM - 1}, 1))) AS i
+      FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents)
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(words[CAST(i AS INT):CAST(i AS INT) + {BOILER_NGRAM - 1}], ' ') AS phrase
+      FROM ex
+    )
+    SELECT phrase, COUNT(*) AS n_docs
+    FROM sh GROUP BY phrase
+    HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+    """,
+    doc=f"C4-style boilerplate detection: word-{BOILER_NGRAM}-gram phrases "
+        f"present in >= {BOILER_MIN_DOCS} distinct documents. The removal "
+        "step is then a broadcast anti-join of this (small) phrase set "
+        "against the corpus. One explode + one phrase-keyed groupBy.",
+    tags=("dedup", "text", "pipeline"),
+)
+def s26h_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_phrases(docs)
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination (n-gram collision report)
+# ---------------------------------------------------------------------------
+DECON_NGRAM = 8
+
+
+@register(
+    "s26i_decontaminate",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, bucket, words,
+             unnest(generate_series(1, greatest(LEN(words) - {DECON_NGRAM - 1}, 1))) AS i
+      FROM (SELECT doc_id, bucket, regexp_split_to_array(text, ' ') AS words FROM split)
+    ), sh AS (
+      SELECT DISTINCT doc_id, bucket,
+             array_to_string(words[CAST(i AS INT):CAST(i AS INT) + {DECON_NGRAM - 1}], ' ') AS g
+      FROM ex
+    )
+    SELECT tr.doc_id AS train_doc,
+           COUNT(DISTINCT te.doc_id) AS n_test_docs_hit,
+           COUNT(DISTINCT tr.g) AS n_shared_grams
+    FROM sh tr JOIN sh te ON tr.g = te.g
+    WHERE tr.bucket < 80 AND te.bucket >= 90
+    GROUP BY tr.doc_id
+    """,
+    doc=f"Benchmark decontamination: train-split documents sharing any "
+        f"word-{DECON_NGRAM}-gram with a test-split document (split = the "
+        "s31 md5 hash-split, so membership is reproducible), with collision "
+        "counts. The pre-training hygiene step that keeps eval data out of "
+        "the training corpus. Gram equi-join keyed on the shingle — the "
+        "test side of a real corpus is tiny, so it broadcasts.",
+    tags=("dedup", "pipeline"),
+)
+def s26i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {DECON_NGRAM - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {DECON_NGRAM})))"
+    )
+    sh = fan_out(docs).select(
+        "doc_id", "split", F.explode(F.array_distinct(grams)).alias("g")
+    )
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "g"
+    )
+    return (
+        train.join(F.broadcast(test), "g")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("test_doc").alias("n_test_docs_hit"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )

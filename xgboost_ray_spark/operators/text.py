@@ -300,3 +300,131 @@ def s28e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+@register(
+    "s28g_repetition_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        list_transform(
+          generate_series(1, greatest(LEN(words) - 1, 1)),
+          i -> array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 1], ' ')
+        ) AS g2
+      FROM w
+    ), per_row AS (
+      SELECT doc_id,
+        CAST(LEN(words) AS BIGINT) AS n_tokens,
+        CAST(LEN(g2) - LEN(list_distinct(g2)) AS BIGINT) AS dup_2grams
+      FROM w JOIN grams USING (doc_id)
+    ), tok AS (
+      SELECT doc_id, unnest(words) AS tk FROM w
+    ), topc AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens,
+           (t.top_cnt * 1000000) // p.n_tokens AS top_token_ppm,
+           (p.dup_2grams * 1000000) // greatest(p.n_tokens - 1, 1) AS dup_2gram_ppm
+    FROM per_row p JOIN topc t USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals per document: most-common-"
+        "token fraction and duplicate-2-gram fraction, both as exact "
+        "integer parts-per-million (integer div — no float rounding "
+        "divergence cross-engine). Filter rule-of-thumb: top_token_ppm > "
+        "200000 or dup_2gram_ppm > 300000 => boilerplate/spam. One explode+"
+        "groupBy shuffle for token counts; 2-gram stats are per-row array "
+        "expressions inside the scan stage.",
+    tags=("text", "pipeline"),
+)
+def s28g_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    g2 = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+    )
+    per_row = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        (F.size(g2) - F.size(F.array_distinct(g2)))
+        .cast("bigint")
+        .alias("dup_2grams"),
+    )
+    topc = (
+        fan_out(docs)
+        .select("doc_id", F.explode(words).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return per_row.join(topc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(top_cnt * 1000000) div n_tokens").alias("top_token_ppm"),
+        F.expr(
+            "(dup_2grams * 1000000) div greatest(n_tokens - 1, 1L)"
+        ).alias("dup_2gram_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "s28h_pii_redact",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(LEN(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+      CAST(LEN(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS INT) AS n_phones,
+      md5(regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM pii
+    """,
+    doc="PII detection + redaction: regex match counts and the md5 of the "
+        "redacted text (hash proves byte-identical replacement on both "
+        "engines). The synthetic corpus carries no PII, so the entry first "
+        "derives a pii_text column embedding a doc_id-seeded email+phone — "
+        "the operator under test is the regexp count/replace pipeline, "
+        "exercised per-row inside the scan stage (no shuffle, no UDF). "
+        "Patterns are deliberately in the Java-regex/RE2 common subset.",
+    tags=("text", "pipeline"),
+)
+def s28h_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(pii_text, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

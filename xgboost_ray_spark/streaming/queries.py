@@ -203,3 +203,54 @@ def s25d_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sessions = sessionize_stream(read_events_stream(spark, sf_dir))
     return run_stream_to_memory(sessions, spark, output_mode="append")
+
+
+@register(
+    "s25g_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT * FROM events)
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM e v JOIN e p
+      ON v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Watermarked stream-stream inner join: each purchase matches the "
+        "same user's views from the preceding 30 minutes. Both sides carry "
+        "a 1-hour watermark and the join has an event-time bound, so state "
+        "for either side is dropped once the other stream's watermark "
+        "passes it — the production attribution-join configuration with "
+        "bounded state. A finite replay emits exactly the batch join.",
+    tags=("streaming", "join"),
+)
+def s25g_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id")
+    return run_stream_to_memory(joined, spark, output_mode="append")
