@@ -230,3 +230,37 @@ def test_tpch_q3_broadcasts_and_takeordered(spark):
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in plan
     assert has_pushed_filters(df)
+
+
+def test_pii_redact_is_scan_stage_only(spark):
+    """s28h is per-row regex work — it must plan without any Exchange and
+    stay inside whole-stage codegen (no UDF, no shuffle)."""
+    df = _build(spark, "s28h_pii_redact")
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, "per-row redaction must not shuffle"
+    assert codegen_stage_count(df) >= 1
+
+
+def test_repetition_score_two_scans_max(spark):
+    """s28g needs token counts (one explode+groupBy) joined to per-row
+    2-gram stats — two scans of documents, no more (a naive build would
+    re-scan per aggregate)."""
+    import re
+
+    plan = formatted_plan(_build(spark, "s28g_repetition_score"))
+    # details section lists each physical scan once as "(n) Scan parquet"
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 2, f"expected <=2 scans, plan has {n_scans}"
+
+
+def test_decontaminate_broadcasts_test_split(spark):
+    """s26i joins the corpus-size train side with the small test side —
+    the test side must broadcast so the train grams never shuffle."""
+    assert has_broadcast_join(_build(spark, "s26i_decontaminate"))
+
+
+def test_boilerplate_phrases_partial_agg(spark):
+    """s26h doc-count per phrase must map-side combine (partial_count)
+    before the phrase-keyed exchange."""
+    plan = formatted_plan(_build(spark, "s26h_boilerplate_phrases"))
+    assert "partial_count" in plan or "partial count" in plan.lower()
