@@ -66,17 +66,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
+    # Noise protocol: min of three executions per query; external CPU
+    # contention on a shared host has inflated single samples up to 7x (a
+    # round-2 artifact recorded a phantom regression that a min-of-3
+    # re-measure disproved). Samples are taken in round-robin PASSES over
+    # the whole list (pass 1 of every query, then pass 2, ...) so the three
+    # samples of one query are minutes apart — a single contended window
+    # can no longer poison all of them, which back-to-back sampling allowed
+    # (observed: a 6s contention burst turned one 0.3s query into 1.35s in
+    # the round-3 interim artifact). If a query's samples still disagree by
+    # >2x after three passes, take one more.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            samples[name].append(run_once(name))
     for name in HEADLINE:
-        # Noise protocol: min of three executions; external CPU contention on
-        # a shared host has inflated single samples up to 7x (a round-2
-        # artifact recorded a phantom regression that a min-of-3 re-measure
-        # disproved). If even the three samples disagree by >2x, the window
-        # itself was contended — take one more.
-        samples = [run_once(name) for _ in range(3)]
-        if max(samples) > 2 * min(samples):
-            samples.append(run_once(name))
-        timings[name] = round(min(samples), 3)
+        if max(samples[name]) > 2 * min(samples[name]):
+            samples[name].append(run_once(name))
+    timings = {name: round(min(samples[name]), 3) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     print(
