@@ -918,3 +918,77 @@ def s26i_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").alias("n_shared_grams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching via Sorted Neighborhood (edit-distance candidates)
+# ---------------------------------------------------------------------------
+SNM_WINDOW = 8      # each row pairs with its next 8 sort-neighbors
+SNM_MAX_DIST = 3    # Levenshtein threshold for a candidate match
+
+
+def _snm_oracle() -> str:
+    leads = ",\n             ".join(
+        f"LEAD(p_partkey, {i}) OVER w AS k{i}, LEAD(p_name, {i}) OVER w AS n{i}"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT ka, k{i} AS kb, levenshtein(na, n{i}) AS dist
+    FROM r WHERE k{i} IS NOT NULL AND levenshtein(na, n{i}) <= {SNM_MAX_DIST}"""
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    return f"""
+    WITH r AS (
+      SELECT p_partkey AS ka, p_name AS na,
+             {leads}
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_name, p_partkey)
+    )
+{arms}
+    """
+
+
+@register(
+    "s26j_fuzzy_snm",
+    oracle=_snm_oracle(),
+    doc=f"Fuzzy entity matching by the Sorted Neighborhood Method "
+        f"(Hernandez & Stolfo): within each p_brand block, rows are sorted "
+        f"by name and each row is paired only with its next {SNM_WINDOW} "
+        f"neighbors (lead()), then candidates are kept when "
+        f"levenshtein <= {SNM_MAX_DIST}. Candidate count is n*{SNM_WINDOW} "
+        "BY CONSTRUCTION — linear in corpus size no matter how large a "
+        "block gets, unlike naive within-block pairwise (quadratic). One "
+        "shuffle on the block key; the window sort and all edit distances "
+        "are JVM-side. The entity-resolution/fuzzy-key-join step of a "
+        "catalog or identity pipeline.",
+    tags=("dedup", "pipeline"),
+)
+def s26j_fuzzy_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", F.col("p_partkey").alias("ka"), F.col("p_name").alias("na")
+    )
+    w = W.partitionBy("p_brand").orderBy("na", "ka")
+    # Window expressions are not allowed inside a generator: materialize the
+    # lead columns first (one shared sort), then explode the plain array.
+    leads = part.withColumns(
+        {
+            f"_n{i}": F.struct(
+                F.lead("ka", i).over(w).alias("kb"),
+                F.lead("na", i).over(w).alias("nb"),
+            )
+            for i in range(1, SNM_WINDOW + 1)
+        }
+    )
+    neighbors = F.array(*[F.col(f"_n{i}") for i in range(1, SNM_WINDOW + 1)])
+    return (
+        leads.withColumn("nb", F.explode(neighbors))
+        .filter(F.col("nb.kb").isNotNull())
+        .select(
+            "ka",
+            F.col("nb.kb").alias("kb"),
+            F.levenshtein("na", F.col("nb.nb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= SNM_MAX_DIST)
+    )

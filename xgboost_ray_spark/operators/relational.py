@@ -1024,3 +1024,101 @@ def s24c_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_full_funnel"),
     )
+
+
+@register(
+    "s24d_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS next_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), agg AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           n / SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM agg
+    """,
+    doc="Markov transition matrix of user behavior: lag(event_type) over "
+        "each user's time-ordered stream, then a global (prev, next) count "
+        "with per-prev conditional probability. One shuffle on user_id for "
+        "the window, one tiny |event_types|^2 agg — the sequence-statistics "
+        "pass of a behavioral/session pipeline. p is an exact IEEE "
+        "bigint/bigint division, identical across engines.",
+    tags=("events",),
+)
+def s24d_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    agg = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return agg.withColumn(
+        "p", F.col("n") / F.sum("n").over(W.partitionBy("prev_type"))
+    )
+
+
+@register(
+    "s09e_quantile_filter",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1
+    ), c AS (
+      SELECT n_chars,
+             SUM(cnt) OVER (ORDER BY n_chars DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM h
+    ), t AS (
+      SELECT MAX(n_chars) AS thr FROM c WHERE cum >= (total + 9) // 10
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d, t
+    WHERE d.n_chars >= t.thr
+    """,
+    doc="Global top-decile filter (keep the ~10% longest documents, ties "
+        "included): the cutoff is derived from a VALUE HISTOGRAM — "
+        "groupBy(score) count, cumulative sum ordered by score desc, "
+        "threshold = largest score whose >=-score population reaches "
+        "ceil(N/10) — then broadcast back as a scan filter. Exact integer "
+        "logic (no percentile interpolation to disagree across engines). "
+        "At 100 TB the histogram shuffle carries one row per DISTINCT "
+        "score (quantize continuous scores first); the data itself is "
+        "touched by two narrow passes: count + broadcast-filter. The "
+        "single-partition window runs over the tiny histogram, never rows.",
+    tags=("agg", "pipeline"),
+)
+def s09e_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wcum = (
+        W.orderBy(F.col("n_chars").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        "n_chars",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    thr = (
+        cum.filter(F.col("cum") >= F.expr("(total + 9) div 10"))
+        .agg(F.max("n_chars").alias("thr"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") >= F.col("thr"))
+        .select("doc_id", "n_chars")
+    )

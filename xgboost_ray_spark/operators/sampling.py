@@ -205,3 +205,146 @@ def s33_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(before_me / TOKEN_BUDGET).cast("bigint").alias("chunk_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 32   # tokens per chunk (model context window stand-in)
+CHUNK_STRIDE = 24   # tokens between chunk starts (overlap = 32 - 24 = 8)
+
+
+@register(
+    "s33b_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS toks,
+             CAST(LEN(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, n_tokens,
+             unnest(generate_series(
+               0, (n_tokens - 1) // {CHUNK_STRIDE})) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(LEAST({CHUNK_TOKENS}, n_tokens - chunk_idx * {CHUNK_STRIDE})
+                AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+             list_slice(toks,
+                        chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE}
+                          + LEAST({CHUNK_TOKENS},
+                                  n_tokens - chunk_idx * {CHUNK_STRIDE})),
+             ' ')) AS chunk_hash
+    FROM c
+    """,
+    doc=f"Overlapping-window chunking: each document's token stream is cut "
+        f"into {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens "
+        f"(8-token overlap) — the context-window preparation step before "
+        "training/embedding. chunk_hash = md5 of the reconstructed chunk "
+        "text proves the slice is exact, keeping output narrow. explode("
+        "sequence()) fans out rows inside the scan stage: no shuffle, no "
+        "Python, output rows ~= corpus_tokens/stride. At 100 TB this is "
+        "the same one-pass narrow map per input split.",
+    tags=("sampling", "pipeline"),
+)
+def s33b_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("bigint"))
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    chunk_len = F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - start)
+    return (
+        docs.withColumn(
+            "chunk_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.floor((F.col("n_tokens") - 1) / CHUNK_STRIDE),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            chunk_len.cast("bigint").alias("chunk_len"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), (start + 1).cast("int"),
+                            chunk_len.cast("int")),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling with oversampling epochs
+# ---------------------------------------------------------------------------
+# Target number of training documents per language. en is downsampled
+# (budget < corpus count); zh is oversampled (budget > count) by cycling
+# its documents over multiple epochs -- the low-resource-language repeat
+# pattern of LLM data mixing.
+MIXTURE_BUDGET = {"en": 100, "de": 50, "es": 50, "fr": 50, "zh": 150}
+
+
+def _budget_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in MIXTURE_BUDGET.items()
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@register(
+    "s31d_domain_mixture",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             {_budget_case_sql()} AS budget,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    )
+    SELECT lang, doc_id,
+           unnest(generate_series(0, (budget - rn) // cnt)) AS epoch
+    FROM r
+    WHERE rn <= budget
+    """,
+    doc="Domain-mixture resampling to fixed per-language budgets: each "
+        "language keeps its md5-ordered first `budget` slots, and when the "
+        "budget exceeds the corpus (zh: 150 vs ~75 docs) documents cycle "
+        "over extra epochs (doc emitted for every epoch e with "
+        "e*count+rn <= budget) — deterministic oversampling for "
+        "low-resource domains, exact per-domain sample sizes. One shuffle "
+        "on lang for the window; the epoch fan-out is explode(sequence()) "
+        "in the same stage. The reproducible data-mixing step of an LLM "
+        "pipeline.",
+    tags=("sampling", "pipeline"),
+)
+def s31d_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    budget = F.lit(0)
+    for k, v in MIXTURE_BUDGET.items():
+        budget = F.when(F.col("lang") == k, F.lit(v)).otherwise(budget)
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    w = W.partitionBy("lang")
+    return (
+        docs.withColumn("budget", budget.cast("bigint"))
+        .withColumn("rn", F.row_number().over(w.orderBy(*order)).cast("bigint"))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .select(
+            "lang",
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.floor((F.col("budget") - F.col("rn")) / F.col("cnt")),
+                )
+            ).alias("epoch"),
+        )
+    )
