@@ -264,3 +264,50 @@ def test_boilerplate_phrases_partial_agg(spark):
     before the phrase-keyed exchange."""
     plan = formatted_plan(_build(spark, "s26h_boilerplate_phrases"))
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_chunk_overlap_no_shuffle(spark):
+    """Overlapping chunking is explode(sequence()) inside the scan stage:
+    zero exchanges, zero Python — a pure narrow map per input split."""
+    plan = formatted_plan(_build(spark, "s33b_chunk_overlap"))
+    assert plan.count(") Exchange") == 0
+    assert "Python" not in plan
+    assert "Generate" in plan
+
+
+def test_domain_mixture_single_shuffle(spark):
+    """row_number and count share the lang partitioning: ONE exchange
+    total; the epoch fan-out (Generate) stays in the same stage."""
+    plan = formatted_plan(_build(spark, "s31d_domain_mixture"))
+    assert plan.count(") Exchange") == 1
+    assert "Generate" in plan
+    assert "Python" not in plan
+
+
+def test_transition_counts_window_then_tiny_aggs(spark):
+    """The row-level work is one user_id window shuffle; the remaining two
+    exchanges move only the |event_types|^2 transition matrix."""
+    plan = formatted_plan(_build(spark, "s24d_transition_counts"))
+    assert plan.count(") Exchange") == 3
+    assert plan.count(") Window") == 2
+
+
+def test_quantile_filter_histogram_broadcast(spark):
+    """The cutoff must come back to the data as a BROADCAST (nested-loop,
+    1 row) — the document side is scan+filter only, never sorted; the two
+    real exchanges carry the value histogram, not rows."""
+    plan = formatted_plan(_build(spark, "s09e_quantile_filter"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count(") Exchange") == 2  # histogram partial/final + window
+    # Both cumulative-sum windows share one single-partition sort.
+    assert plan.count(") Sort") == 1
+
+
+def test_fuzzy_snm_linear_candidates(spark):
+    """Sorted-neighborhood matching: one block-key shuffle, the neighbor
+    fan-out is a Generate over materialized leads (n*W rows, never
+    quadratic), and levenshtein stays JVM-side."""
+    plan = formatted_plan(_build(spark, "s26j_fuzzy_snm"))
+    assert plan.count(") Exchange") == 1
+    assert "Generate" in plan
+    assert "Python" not in plan
