@@ -311,3 +311,25 @@ def test_fuzzy_snm_linear_candidates(spark):
     assert plan.count(") Exchange") == 1
     assert "Generate" in plan
     assert "Python" not in plan
+
+
+def test_tpch_q5_broadcasts_nation_chain_and_prunes(spark):
+    """Q5: the region-pruned nation chain broadcasts into the supplier
+    join, the orders date filter pushes to the scan, and every scan is
+    column-pruned (no full-width lineitem read for a 4-column need)."""
+    df = _build(spark, "s05d_tpch_q5")
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)
+    read = set(scan_read_schema(df))
+    assert "l_extendedprice" in read
+    assert "l_tax" not in read and "o_totalprice" not in read
+
+
+def test_partition_pruning_resolves_at_planning_time(spark):
+    """The partition-column filter must appear as PartitionFilters (whole
+    directories skipped before any footer is opened), not as a pushed data
+    filter evaluated per row group."""
+    from xgboost_ray_spark.plans.explain import has_partition_filters
+
+    df = _build(spark, "s01c_partition_pruning")
+    assert has_partition_filters(df)

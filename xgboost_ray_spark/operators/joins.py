@@ -423,3 +423,80 @@ def s05c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# S5d — TPC-H Q5 shape: six-table join with a same-nation correlation
+# ---------------------------------------------------------------------------
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1998-01-01 00:00:00"
+
+
+@register(
+    "s05d_tpch_q5",
+    oracle=f"""
+    SELECT
+      n_name,
+      COUNT(*) AS n_items,
+      {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '{Q5_LO}'
+      AND o_orderdate <  TIMESTAMP '{Q5_HI}'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: six-table join where customer and supplier must "
+        "share a nation (the correlation predicate that defeats naive join "
+        "orders). Strategy for 100 TB: region->nation is the only forced "
+        "broadcast (25 rows pruned to one region); supplier and customer "
+        "are SF-proportional, so their joins are declared plainly and AQE "
+        "picks broadcast vs shuffle from runtime sizes — at 100 TB they "
+        "shuffle on their keys, at bench scale they auto-broadcast. Join "
+        "order: orders(date-pruned) x customer first (the small "
+        "fact-to-dim pair), then lineitem on orderkey, supplier last so "
+        "the nation-equality predicate filters during the join, not "
+        "after. Every input is column-pruned before any shuffle.",
+    tags=("join", "agg"),
+)
+def s05d_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(Q5_LO).cast("timestamp")
+    hi = F.lit(Q5_HI).cast("timestamp")
+    # Dimension chain first: region filter prunes nation to one region's
+    # worth of keys — tiny, broadcast into the supplier join.
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_items"), dsum(revenue, "revenue"))
+    )

@@ -98,6 +98,38 @@ def s01b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1c — Hive-partitioned layout: write partitioned, read back with pruning
+# ---------------------------------------------------------------------------
+@register(
+    "s01c_partition_pruning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="Hive-style partitioned layout round trip: orders written "
+        "partitionBy(o_orderpriority), read back with an equality filter "
+        "on the partition column. The filter resolves against directory "
+        "names at PLANNING time (PartitionFilters in the scan node, "
+        "audited in tests/test_plans.py) — at 100 TB this skips 4/5 of "
+        "the files without opening a footer, the single cheapest scan "
+        "lever there is. Data columns stay pruned to the projection.",
+    tags=("scan", "layout"),
+)
+def s01c_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    out = os.path.join(_SCRATCH, "orders_by_priority")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # S3 — Projection / rename / drop
 # ---------------------------------------------------------------------------
 @register(

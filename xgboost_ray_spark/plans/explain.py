@@ -83,3 +83,14 @@ def codegen_stage_count(df: DataFrame) -> int:
             stages.add(int(stage))
         idx = end
     return len(stages)
+
+
+def has_partition_filters(df: DataFrame) -> bool:
+    """True when the scan prunes whole partitions at planning time
+    (``PartitionFilters`` non-empty — directory-level skipping, no footer
+    reads for excluded partitions)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters:" in line and "PartitionFilters: []" not in line:
+            return True
+    return False
