@@ -254,3 +254,42 @@ def s25g_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("view_id", "purchase_id", "user_id")
     return run_stream_to_memory(joined, spark, output_mode="append")
+
+
+@register(
+    "s25h_file_sink_etl",
+    oracle="""
+    SELECT event_id, user_id, value, CAST(ts AS DATE) AS day
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="Streaming ETL to a real sink: the events replay filtered to "
+        "purchases, date-derived, written to a date-partitioned parquet "
+        "file sink under Trigger.AvailableNow with a checkpoint — the "
+        "production ingest topology (memory sinks are harness-only). The "
+        "sink manifest + checkpoint give exactly-once across restarts; "
+        "the date partitioning means downstream daily jobs prune to one "
+        "directory. Entry returns the read-back output, so the oracle "
+        "checks the full write-read round trip.",
+    tags=("streaming", "etl"),
+)
+def s25h_file_sink_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.streaming.windows import run_stream_to_files
+
+    etl = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.to_date("ts").alias("day"),
+        )
+    )
+    out = os.path.join("/root/repo/.scratch", "events_etl")
+    got = run_stream_to_files(etl, spark, out, partition_by="day")
+    return got.select("event_id", "user_id", "value", "day")
