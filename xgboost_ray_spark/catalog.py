@@ -37,11 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); externally created sessions
-        # (e.g. a harness passing its own SparkSession) reject it without this
-        # runtime-settable conf. Set it defensively on every events read —
-        # through the guarded helper, so a restricted session fails loudly
-        # instead of corrupting timestamps.
+        # Older testdata generations stored events.ts as TIMESTAMP(NANOS);
+        # externally created sessions (e.g. a harness passing its own
+        # SparkSession) reject that type without this runtime-settable conf.
+        # Set it defensively on every events read — through the guarded
+        # helper, so a restricted session fails loudly instead of corrupting
+        # timestamps. Harmless for micros-typed data.
         from xgboost_ray_spark.registry import set_runtime_conf
 
         set_runtime_conf(
@@ -50,19 +51,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_event_ts(df)
-    return df
+    return normalize_timestamps(df)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as a long
-    (spark.sql.legacy.parquet.nanosAsLong). Convert ns -> us with integer
-    floor division — exactly DuckDB's nanos truncation."""
+    """Fold every generation of events.ts storage to a UTC TIMESTAMP.
+
+    The testdata has shipped ts as TIMESTAMP(NANOS) — read as a long under
+    nanosAsLong; converted ns -> us with integer floor division, exactly
+    DuckDB's nanos truncation — and, since the 2026-08-13 regen, as naive
+    TIMESTAMP(MICROS) (handled by :func:`normalize_timestamps`)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to UTC TIMESTAMP.
+
+    The testdata parquet stores naive (isAdjustedToUTC=false) microsecond
+    timestamps. The engine reads them as instants directly via
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` (zero plan impact,
+    full filter pushdown); this cast is the fallback for restricted sessions
+    where that conf cannot be applied — value-preserving because the session
+    timezone is pinned to UTC, and a no-op when the conf took effect."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,144 @@
+"""Change-data-capture surface: snapshot merge (upsert/delete) + SCD2 history.
+
+The reference engine has no mutation story at all (xgboost_ray is a trainer;
+`matrix.py` only ever reads), but any 100 TB training-data pipeline needs
+incremental maintenance of its source snapshots: apply a day's CDC feed
+(inserts/updates/deletes) to the previous snapshot, and keep slowly-changing
+history for point-in-time reproducibility of training sets.
+
+Spark-first shapes:
+
+  - MERGE is one full-outer shuffle join on the key, COALESCE picking the
+    change row over the base row, with deletes filtered out. At 100 TB both
+    sides shuffle once on the key — or zero times if the snapshot is stored
+    bucketed by key (see tests/test_sources.py's bucketed-join audit); the
+    CDC feed is usually small enough to broadcast, which AQE does on its own.
+  - SCD2 is two window passes over the SAME (partition, order) spec, so
+    Catalyst plans exactly one shuffle+sort on the entity key; run-boundary
+    detection (lag) and interval close-out (lead) ride the same sorted
+    partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# S6 variant — CDC upsert merge (full-outer join + coalesce)
+# ---------------------------------------------------------------------------
+@register(
+    "s06c_cdc_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS c_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           COALESCE(c.c_totalprice, b.o_totalprice) AS totalprice,
+           CASE WHEN c.op IS NOT NULL THEN 'upsert' ELSE 'carry' END AS src
+    FROM base b
+    FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    doc="MERGE INTO semantics without a table format: base snapshot "
+        "full-outer-joined with a keyed change feed (op = U upsert / D "
+        "delete); change rows win via COALESCE, deletes drop out, unmatched "
+        "base rows carry forward. Deterministic synthetic feed derived "
+        "from orders by key arithmetic so the oracle is exact. One shuffle "
+        "on the merge key; a bucketed-by-key snapshot would make it zero.",
+    tags=("cdc", "join"),
+)
+def s06c_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("c_totalprice"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # USING-style join key => a single coalesced o_orderkey output column.
+    return (
+        base.join(changes, "o_orderkey", "full_outer")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.coalesce("c_totalprice", "o_totalprice").alias("totalprice"),
+            F.when(F.col("op").isNotNull(), F.lit("upsert"))
+            .otherwise(F.lit("carry"))
+            .alias("src"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S14 variant — SCD2 validity intervals from an event stream
+# ---------------------------------------------------------------------------
+@register(
+    "s14c_scd2_intervals",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+    ),
+    chg AS (SELECT * FROM runs WHERE is_change = 1)
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id))
+             AS valid_to_us,
+           CAST(CASE WHEN LEAD(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM chg
+    """,
+    doc="SCD type-2 history build: collapse each user's event_type stream "
+        "into validity intervals — rows where the type changes open an "
+        "interval (lag boundary detection), the next change closes it "
+        "(lead), the open interval is flagged current. Both window passes "
+        "share one (user_id; ts, event_id) spec, so the plan is a single "
+        "shuffle+sort; epoch-micros output keeps the oracle comparison "
+        "integer-exact.",
+    tags=("cdc", "window", "events"),
+)
+def s14c_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    chg = ev.withColumn(
+        "is_change", prev_type.isNull() | (prev_type != F.col("event_type"))
+    ).filter("is_change")
+    nxt = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_current"),
+    )

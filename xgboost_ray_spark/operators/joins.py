@@ -500,3 +500,137 @@ def s05d_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_items"), dsum(revenue, "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 variant — correlated EXISTS subquery (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "s07b_exists_subquery",
+    oracle=_Q4_SQL,
+    doc="TPC-H Q4 shape: correlated EXISTS subquery, expressed in SQL so "
+        "Catalyst's RewritePredicateSubquery decorrelates it to a LEFT SEMI "
+        "join on l_orderkey — the same shuffle profile as s07's explicit "
+        "semi join. At 100 TB both sides shuffle once on the order key and "
+        "the status/date predicates push into the scans; no per-row "
+        "re-execution of the subquery ever happens. One SQL text serves "
+        "Spark and the DuckDB oracle verbatim.",
+    tags=("join", "subquery"),
+)
+def s07b_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+# ---------------------------------------------------------------------------
+# S9 variant — correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+# The per-part average is accumulated in DECIMAL then divided as a double so
+# Spark and DuckDB derive bit-identical thresholds (see registry.py notes).
+_Q17_SQL = """
+    SELECT p_brand, COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS small_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,6)))
+                           AS DOUBLE) / COUNT(l2.l_quantity))
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+    )
+    GROUP BY p_brand
+"""
+
+
+@register(
+    "s09f_scalar_subquery",
+    oracle=_Q17_SQL,
+    doc="TPC-H Q17 shape: correlated scalar aggregate subquery (per-part "
+        "quantity threshold). Catalyst decorrelates it into ONE per-part "
+        "aggregate of lineitem joined back on l_partkey — lineitem is "
+        "scanned twice but the subquery never re-executes per row, so the "
+        "cost at 100 TB is two scans + one shuffle on partkey, not "
+        "O(rows) subqueries. Same SQL text runs on Spark and DuckDB.",
+    tags=("agg", "subquery"),
+)
+def s09f_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# S5 variant — TPC-H Q10: returned-item revenue, top 20 customers
+# ---------------------------------------------------------------------------
+Q10_LO = "1997-01-01"
+Q10_HI = "1997-04-01"
+
+
+@register(
+    "s05e_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q10_LO}'
+      AND o_orderdate <  TIMESTAMP '{Q10_HI}'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: who returned the most revenue last quarter. "
+        "Date filter pushes into the orders scan (one quarter survives), "
+        "returnflag filter into lineitem; nation broadcasts; the final "
+        "top-20 is TakeOrderedAndProject — partial top-20 per partition, "
+        "never a global sort. Deterministic tie-break on c_custkey keeps "
+        "the LIMIT stable across engines.",
+    tags=("join", "agg", "topk"),
+)
+def s05e_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(Q10_LO).cast("timestamp")
+    hi = F.lit(Q10_HI).cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -35,8 +35,13 @@ _SHIPPED_APPS: set[str] = set()
 # JVM restart (driver memory, UI) stays in session.get_spark; these are the
 # correctness-critical subset that spark.conf.set can apply live.
 _RUNTIME_CONF = {
-    # events.parquet stores TIMESTAMP(NANOS) — unreadable without this.
+    # Older testdata stored TIMESTAMP(NANOS) — unreadable without this.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are naive (isAdjustedToUTC=false) micros; read them
+    # as UTC instants (TIMESTAMP, not TIMESTAMP_NTZ) so event-time functions
+    # and filter pushdown work straight off the scan. catalog.py's
+    # normalize_timestamps() covers sessions where this cannot be set.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Bit-stable timestamps vs the DuckDB oracle on any host timezone.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -249,6 +254,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports live here (not module top) to avoid circulars: operator modules
     # import ``register`` from this module.
     from xgboost_ray_spark.operators import (  # noqa: F401
+        cdc,
         dedup,
         joins,
         multimodal,

@@ -23,10 +23,13 @@ _DEFAULTS = {
     # 128 MB input splits: keeps task count proportional to data, not files.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    # The events fixture stores TIMESTAMP(NANOS); Spark has no nanos type, so
-    # read as long and convert in the catalog (DuckDB truncates ns->us the
+    # Older events fixtures stored TIMESTAMP(NANOS); Spark has no nanos type,
+    # so read as long and convert in the catalog (DuckDB truncates ns->us the
     # same way).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are naive (isAdjustedToUTC=false) micros; read them
+    # as UTC instants so event-time functions and pushdown work off the scan.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
