@@ -333,3 +333,57 @@ def test_partition_pruning_resolves_at_planning_time(spark):
 
     df = _build(spark, "s01c_partition_pruning")
     assert has_partition_filters(df)
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """TPC-H Q4's correlated EXISTS must never execute per-row: Catalyst's
+    RewritePredicateSubquery turns it into one LEFT SEMI join on the order
+    key, so the plan is two pushed-down scans + one keyed shuffle."""
+    df = _build(spark, "s07b_exists_subquery")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "Subquery" not in plan, "no per-row subquery execution allowed"
+    assert has_pushed_filters(df)
+
+
+def test_scalar_subquery_decorrelates_to_one_aggregate(spark):
+    """TPC-H Q17's per-part threshold must plan as ONE aggregate of
+    lineitem joined back on l_partkey — not a scalar subquery re-run per
+    outer row. Cost at scale: two lineitem scans + a partkey shuffle."""
+    plan = formatted_plan(_build(spark, "s09f_scalar_subquery"))
+    assert "Subquery" not in plan, "correlated scalar must decorrelate"
+    assert plan.count("Scan parquet") >= 2  # lineitem twice + part
+
+
+def test_tpch_q10_broadcasts_nation_and_takeorders(spark):
+    """Q10: quarter filter pushes into the orders scan, returnflag into
+    lineitem, the 25-row nation broadcasts, and the global top-20 is
+    TakeOrderedAndProject (partial top-k per partition, no global sort)."""
+    df = _build(spark, "s05e_tpch_q10")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_pushed_filters(df)
+    read = set(scan_read_schema(df))
+    assert "l_tax" not in read and "o_totalprice" not in read
+
+
+def test_cdc_upsert_single_keyed_shuffle(spark):
+    """The MERGE shape is one full-outer join on the key: each side
+    exchanges at most once on o_orderkey and the key-arithmetic filters
+    push into the scans. No post-join re-shuffle."""
+    df = _build(spark, "s06c_cdc_upsert")
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan
+    assert plan.count(") Exchange") <= 2
+    assert has_pushed_filters(df)
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    """Boundary detection (lag) and interval close-out (lead) ride the
+    same (user_id; ts, event_id) spec: exactly one exchange + one sort
+    serves both Window nodes."""
+    plan = formatted_plan(_build(spark, "s14c_scd2_intervals"))
+    assert plan.count(") Window") == 2
+    assert plan.count(") Sort") == 1
+    assert plan.count(") Exchange") == 1
