@@ -387,3 +387,50 @@ def test_scd2_windows_share_one_shuffle(spark):
     assert plan.count(") Window") == 2
     assert plan.count(") Sort") == 1
     assert plan.count(") Exchange") == 1
+
+
+def test_disjunctive_residue_pushes_to_both_scans(spark):
+    """Q19's OR of cross-table conjunctions: Catalyst must extract the
+    per-table residue — the brand/size OR-chain into the part scan, the
+    quantity OR-chain into lineitem — and broadcast the filtered part
+    side. One exchange total (the final single-row gather)."""
+    df = _build(spark, "s04b_disjunctive_pushdown")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "Or(" in plan, "disjunctive residue must reach PushedFilters"
+    assert plan.count(") Exchange") <= 1
+
+
+def test_having_join_aggregates_before_joining(spark):
+    """Q18: the HAVING aggregate must reduce lineitem to qualifying keys
+    BEFORE the orders/customer joins — the only shuffle is the orderkey
+    aggregation; the joins build on the tiny survivor side."""
+    plan = formatted_plan(_build(spark, "s12b_having_join"))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert 0 <= agg_pos and 0 <= join_pos
+    assert plan.count(") Exchange") <= 1, "joins must not add shuffles"
+
+
+def test_outerjoin_histogram_keeps_left_rows(spark):
+    """Q13: the orders-side predicate rides in the join condition (pushed
+    to the scan) without collapsing the LEFT OUTER to inner, and the
+    histogram re-agg shuffles only (count, 1) pairs."""
+    df = _build(spark, "s06d_outerjoin_histogram")
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan
+    assert has_pushed_filters(df)
+    assert plan.count(") Exchange") <= 2
+
+
+def test_inactive_customers_broadcasts_threshold_and_antijoins(spark):
+    """Q22: the global-average threshold is one broadcast single-row
+    aggregate (never a per-row subquery), the NOT EXISTS is a LEFT ANTI
+    join, and the recency cutoff prunes the orders scan."""
+    df = _build(spark, "s07c_inactive_customers")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        "date cutoff must push into the orders scan"
+    )

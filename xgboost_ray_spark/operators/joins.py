@@ -634,3 +634,197 @@ def s05e_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 variant — TPC-H Q13: customer order-count distribution (outer join)
+# ---------------------------------------------------------------------------
+@register(
+    "s06d_outerjoin_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders. "
+        "LEFT OUTER join keeps zero-order customers (COUNT(o_orderkey) "
+        "skips their NULL rows); the first aggregate shares the join's "
+        "c_custkey shuffle, and the histogram re-agg shuffles only "
+        "(count, 1) pairs — bytes proportional to distinct counts, not "
+        "rows. The non-join predicate rides in the join condition, so it "
+        "filters the orders scan without turning the join inner.",
+    tags=("join", "agg"),
+)
+def s06d_outerjoin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# S12 variant — TPC-H Q18: large-quantity orders (HAVING + join back)
+# ---------------------------------------------------------------------------
+Q18_MIN_QTY = 250
+
+
+@register(
+    "s12b_having_join",
+    oracle=f"""
+    SELECT c_name, o_orderkey, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > {Q18_MIN_QTY}
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity clears a threshold, "
+        "with their customers. The HAVING aggregate reduces lineitem to a "
+        "tiny key set BEFORE any join — at 100 TB the orders/customer "
+        "joins see only qualifying keys (AQE broadcasts the survivor "
+        "side), never the raw fact table. Quantity accumulates in "
+        "DECIMAL so the threshold cut is bit-identical across engines.",
+    tags=("agg", "having", "join"),
+)
+def s12b_having_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 variant — TPC-H Q19: disjunctive composite predicates
+# ---------------------------------------------------------------------------
+_Q19_PRED = """(
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)
+  )"""
+
+
+@register(
+    "s04b_disjunctive_pushdown",
+    oracle=f"""
+    SELECT COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_PRED}
+    """,
+    doc="TPC-H Q19 shape: an OR of cross-table conjunctions. Catalyst "
+        "extracts the per-table residue of the disjunction — the brand/"
+        "size OR-chain pushes into the part scan and the quantity "
+        "OR-chain into lineitem — so both scans shrink before the join "
+        "even though no single disjunct spans one table. The filtered "
+        "part side is small enough to broadcast; the mixed predicate "
+        "evaluates post-join only on survivors.",
+    tags=("filter", "join"),
+)
+def s04b_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey")).where(
+        _Q19_PRED
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.count("*").alias("n_items"), dsum(revenue, "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 variant — TPC-H Q22: rich-but-inactive customers (anti join)
+# ---------------------------------------------------------------------------
+Q22_CUTOFF = "2000-06-01"
+
+
+@register(
+    "s07c_inactive_customers",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_dsum("c_acctbal", "totacctbal")}
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+      )
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+        "orders, by nation. The global average is ONE tiny aggregate "
+        "broadcast back as a scan filter (never a per-row subquery); the "
+        "NOT EXISTS is a LEFT ANTI join against date-pruned orders — at "
+        "100 TB the anti side shrinks to the recent window before the "
+        "shuffle. Decimal-accumulated average keeps the threshold "
+        "bit-identical across engines.",
+    tags=("join", "subquery", "agg"),
+)
+def s07c_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(davg(F.col("c_acctbal"), "avg_bal"))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal"), "totacctbal"))
+    )
