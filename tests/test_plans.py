@@ -434,3 +434,54 @@ def test_inactive_customers_broadcasts_threshold_and_antijoins(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan, (
         "date cutoff must push into the orders scan"
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """When a selective dim join cannot broadcast, Spark injects a
+    runtime bloom filter: the dim side's keys aggregate into a bloom
+    sketch and a might_contain() predicate drops fact rows BEFORE the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~join-selectivity fraction.
+    Thresholds are forced down to fire at test scale; production keeps
+    the 10 GB application-side default."""
+    from xgboost_ray_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        part = (
+            load_table(spark, SF_SMOKE, "part")
+            .filter(F.col("p_size") < 3)
+            .select("p_partkey", "p_brand")
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_partkey", "l_extendedprice"
+        )
+        j = (
+            li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, (
+            "runtime bloom filter must inject into the fact side"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
