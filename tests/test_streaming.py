@@ -122,3 +122,20 @@ def test_multiple_users_isolated(spark, tmp_path):
     (u2,) = by_user[2]
     assert u1.n_events == 2 and abs(u1.sum_value - 3.0) < 1e-9
     assert u2.n_events == 2 and abs(u2.sum_value - 30.0) < 1e-9
+
+
+def test_cdc_upsert_merges_across_microbatches(spark):
+    """The foreachBatch upsert must actually carry state across batch
+    boundaries: four source files -> four microbatches -> four versioned
+    snapshots, and the final snapshot holds exactly one row per user
+    (the global latest, regardless of which batch carried it)."""
+    import os
+
+    from xgboost_ray_spark.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    out = all_queries()["s25i_stream_cdc_upsert"].build(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == len({r.user_id for r in rows}), "one row per key"
+    versions = sorted(os.listdir("/root/repo/.scratch/cdc_upsert/snaps"))
+    assert len(versions) == 4, f"expected 4 microbatch snapshots: {versions}"

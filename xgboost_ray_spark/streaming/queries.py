@@ -293,3 +293,101 @@ def s25h_file_sink_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join("/root/repo/.scratch", "events_etl")
     got = run_stream_to_files(etl, spark, out, partition_by="day")
     return got.select("event_id", "user_id", "value", "day")
+
+
+@register(
+    "s25i_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           event_type AS last_type,
+           value AS last_value,
+           epoch_us(ts) AS last_ts_us
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Streaming CDC upsert: the events replay is split into four "
+        "source files consumed one per microbatch (maxFilesPerTrigger=1), "
+        "and a foreachBatch merge maintains a latest-row-per-user "
+        "snapshot across batches — each batch reduces to its per-key max "
+        "(ts, event_id) struct, unions with the prior snapshot, and "
+        "re-reduces, writing a batchId-versioned snapshot dir so a "
+        "replayed batch overwrites its own output (idempotent, "
+        "exactly-once with the checkpoint). The keyed-merge shape is "
+        "MERGE INTO without a table format; at 100 TB the snapshot "
+        "would be bucketed by user_id so each microbatch shuffles only "
+        "the delta. Oracle: last event per user over the whole table.",
+    tags=("streaming", "cdc"),
+)
+def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.streaming.windows import STREAM_STATE_PARTITIONS
+
+    root = "/root/repo/.scratch/cdc_upsert"
+    src = os.path.join(root, "src")
+    chk = os.path.join(root, "chk")
+    snaps = os.path.join(root, "snaps")
+    shutil.rmtree(root, ignore_errors=True)
+    for d in (src, chk, snaps):
+        os.makedirs(d, exist_ok=True)
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    # Four source files -> four microbatches: the merge provably carries
+    # state across batch boundaries instead of reducing one big batch.
+    load_table(spark, sf_dir, "events").select(*cols).repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        # struct max orders by (ts, event_id, ...) — event_id is unique,
+        # so the reduction is total-order deterministic.
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+            .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+        )
+
+    state = {"latest": None}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        upd = latest_per_key(batch)
+        if state["latest"] is not None:
+            prior = batch.sparkSession.read.parquet(state["latest"])
+            upd = latest_per_key(prior.unionByName(upd))
+        out = os.path.join(snaps, f"v{batch_id}")
+        upd.write.mode("overwrite").parquet(out)
+        state["latest"] = out
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+
+    final = spark.read.parquet(state["latest"])
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
