@@ -485,3 +485,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bigram_counts_single_shuffle(spark):
+    """The bigram fan-out must stay inside the scan stage: one exchange
+    total, carrying map-side-combined (bigram, count) partials."""
+    plan = formatted_plan(_build(spark, "s28i_bigram_counts"))
+    assert plan.count(") Exchange") == 1
+    assert "Generate" in plan, "explode must fan out, not a UDF"
+
+
+def test_label_centroids_single_shuffle(spark):
+    """posexplode fans out in the scan stage; the only exchange carries
+    (label, dim) partial sums — bytes ~ labels x dims, never rows."""
+    plan = formatted_plan(_build(spark, "s27f_label_centroids"))
+    assert plan.count(") Exchange") == 1

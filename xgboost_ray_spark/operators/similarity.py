@@ -508,3 +508,40 @@ def s27e_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.n_votes").alias("n_votes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S27 variant — per-label embedding centroids (class prototypes)
+# ---------------------------------------------------------------------------
+@register(
+    "s27f_label_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label, embedding AS e,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    )
+    SELECT label, i - 1 AS dim,
+           ROUND(AVG(CAST(e[i] AS DOUBLE)), 6) AS mean_val,
+           COUNT(*) AS n_vecs
+    FROM pos
+    GROUP BY label, i
+    """,
+    doc="Class prototypes: the per-label elementwise mean embedding, as "
+        "(label, dim, mean) rows — the training step of a "
+        "nearest-centroid classifier and the seed step of IVF coarse "
+        "quantization (s27d consumes exactly this shape). posexplode "
+        "fans each vector out inside the scan stage; the single shuffle "
+        "carries (label, dim) partial sums after map-side combine — "
+        "bytes ~ labels x dims, never rows x dims. Continuous means "
+        "round to 6 dp for cross-engine hash stability.",
+    tags=("similarity", "embedding"),
+)
+def s27f_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return emb.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
+        F.count("*").alias("n_vecs"),
+    )

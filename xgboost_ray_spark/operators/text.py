@@ -428,3 +428,55 @@ def s28h_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(pii_text, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S28 variant — bigram vocabulary counts (BPE-merge statistics)
+# ---------------------------------------------------------------------------
+BIGRAM_MIN_COUNT = 5
+
+
+@register(
+    "s28i_bigram_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+    )
+    SELECT t[i] || ' ' || t[i + 1] AS bigram, COUNT(*) AS n
+    FROM pos
+    GROUP BY bigram
+    HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}
+    """,
+    doc="Adjacent-pair (bigram) frequency counts over the corpus — the "
+        "statistic a BPE/WordPiece vocabulary induction step maximizes "
+        "each merge round. Pure JVM expressions: split -> transform over "
+        "an index sequence -> explode -> count; the fan-out happens "
+        "inside the scan stage, so the only shuffle carries (bigram, "
+        "partial count) pairs after map-side combine. The HAVING floor "
+        "bounds the output to pairs worth merging; at 100 TB the "
+        "shuffle is proportional to the distinct-bigram tail, not the "
+        "corpus.",
+    tags=("text", "pipeline"),
+)
+def s28i_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.withColumn("t", F.split("text", " "))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BIGRAM_MIN_COUNT)
+    )
