@@ -500,3 +500,52 @@ def test_label_centroids_single_shuffle(spark):
     (label, dim) partial sums — bytes ~ labels x dims, never rows."""
     plan = formatted_plan(_build(spark, "s27f_label_centroids"))
     assert plan.count(") Exchange") == 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session enables spark.sql.adaptive.skewJoin; this pins that it
+    actually fires: a 95%-one-key fact joined to a non-broadcastable dim
+    must replan to SortMergeJoin(skew=true) with the hot partition split
+    into advisory-sized reads — Spark-native skew handling, the zero-code
+    complement to the salted variants (s05b/s09c). Thresholds forced down
+    to fire at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(500_000).select(
+            F.when(F.rand(7) < 0.95, F.lit(0))
+            .otherwise((F.rand(11) * 10000).cast("long"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(10_000).select(
+            F.col("id").alias("k2"),
+            F.md5(F.col("id").cast("string")).alias("attr"),
+        )
+        j = (
+            fact.join(dim, F.col("k") == F.col("k2"))
+            .groupBy()
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE must split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
