@@ -130,6 +130,42 @@ def s01c_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1 variant — schema-evolution scan (mergeSchema over heterogeneous files)
+# ---------------------------------------------------------------------------
+@register(
+    "s01d_schema_evolution",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+    FROM documents
+    """,
+    doc="Schema evolution at the source: an old-layout file (doc_id, "
+        "n_chars) and a new-layout file (+lang) under one prefix, read "
+        "with mergeSchema=true — rows from the old file surface NULL for "
+        "the added column, exactly DuckDB's union_by_name semantics. The "
+        "lakehouse reality at 100 TB: years of files written under "
+        "evolving schemas must scan as one table without a rewrite. "
+        "Merge cost is footer-only (per file, at planning); data "
+        "pushdown and column pruning still apply per file.",
+    tags=("scan", "layout"),
+)
+def s01d_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(_SCRATCH, "docs_evolving")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "gen=0"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "gen=0"), os.path.join(out, "gen=1"))
+        .select("doc_id", "n_chars", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # S3 — Projection / rename / drop
 # ---------------------------------------------------------------------------
 @register(
