@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis) for the deterministic primitives.
+
+The reference's suite has no property tests (SURVEY §5); these go beyond
+it for the two primitives whose correctness is an algebraic invariant
+rather than a fixture comparison: split assignment must be a total,
+partition-layout-independent function of the key, and INTERLEAVED
+shard -> combine_data must be an exact inverse for EVERY (rows, shards)
+shape, not just the fixture sizes. Each example is a tiny local Spark
+job, so examples are capped low; the invariants themselves are
+shape-generic, which is the point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.matrix import ROW_ID_COL, SHARD_COL, ShardingMode, combine_data, shard
+from xgboost_ray_spark.operators.sampling import hash_split
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    train=st.integers(min_value=0, max_value=100),
+    valid_frac=st.floats(min_value=0.0, max_value=1.0),
+    keys=st.lists(st.integers(min_value=-(2**31), max_value=2**31), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_hash_split_total_and_layout_independent(spark, train, valid_frac, keys):
+    """Every row lands in exactly one split, and the assignment is a pure
+    function of the key — identical across duplicate keys and under any
+    repartitioning (the property that makes the split reproducible when
+    the cluster, file layout, or corpus grows)."""
+    valid = int((100 - train) * valid_frac)
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    out = hash_split(df, "k", train=train, valid=valid)
+    rows = out.collect()
+    assert len(rows) == len(keys)
+    assert all(r.split in ("train", "valid", "test") for r in rows)
+    by_key = {}
+    for r in rows:
+        assert by_key.setdefault(r.k, r.split) == r.split, "same key, same split"
+    reparted = {
+        (r.k, r.split)
+        for r in hash_split(df.repartition(7), "k", train=train, valid=valid).collect()
+    }
+    assert reparted == {(r.k, r.split) for r in rows}
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=40),
+    n_shards=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_interleaved_shard_combine_roundtrip(spark, n_rows, n_shards):
+    """shard(INTERLEAVED) -> per-rank extraction -> combine_data must
+    restore the original row order bit-exactly for every shape, matching
+    the reference pair (matrix.py:1088-1110 <-> 1114-1157) — including
+    ragged shapes where some shards get one more row than others."""
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") * 10 + 1).alias("v")
+    )
+    sharded = shard(df, n_shards, ShardingMode.INTERLEAVED, order_col="id")
+    pdf = sharded.toPandas()
+    shards = [
+        pdf[pdf[SHARD_COL] == rank].sort_values(ROW_ID_COL)["v"].to_numpy()
+        for rank in range(n_shards)
+    ]
+    # ragged: first (n_rows mod n_shards) shards hold the extra row
+    assert {len(s) for s in shards} <= {n_rows // n_shards, n_rows // n_shards + 1}
+    combined = combine_data(shards, ShardingMode.INTERLEAVED)
+    np.testing.assert_array_equal(combined, np.arange(n_rows) * 10 + 1)
