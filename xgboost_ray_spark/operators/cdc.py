@@ -215,3 +215,65 @@ def s09g_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 variant — point-in-time (as-of) snapshot from SCD2 history
+# ---------------------------------------------------------------------------
+AS_OF = "2024-01-15 00:00:00"
+
+
+@register(
+    "s14d_point_in_time",
+    oracle=f"""
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+    ),
+    hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM runs WHERE is_change = 1
+    )
+    SELECT user_id, event_type AS state_at_t
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{AS_OF}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{AS_OF}')
+    """,
+    doc="Point-in-time reconstruction: each user's state AS OF a wall "
+        "time T, read from the SCD2 validity intervals (s14c's output "
+        "shape) — the reproducibility primitive that lets a training set "
+        "be rebuilt exactly as it stood at T. The interval predicate is "
+        "sargable: against a stored history table partitioned on "
+        "valid_from date, the scan prunes to intervals opened before T, "
+        "and one row per user survives. Same single shuffle+sort as the "
+        "history build; no join, no state explosion.",
+    tags=("cdc", "window", "events"),
+)
+def s14d_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.lit(AS_OF).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    chg = ev.withColumn(
+        "is_change", prev_type.isNull() | (prev_type != F.col("event_type"))
+    ).filter("is_change")
+    hist = chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", F.col("event_type").alias("state_at_t"))
