@@ -480,3 +480,48 @@ def s28i_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= BIGRAM_MIN_COUNT)
     )
+
+
+# ---------------------------------------------------------------------------
+# S28 variant — feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+HASH_DIM = 1024
+
+
+@register(
+    "s28j_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(text, ' ')) AS tok
+      FROM documents
+    )
+    SELECT CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+             % {HASH_DIM} AS bucket,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct_terms
+    FROM tok
+    GROUP BY bucket
+    """,
+    doc="The hashing trick: every token maps to one of a fixed "
+        f"{HASH_DIM} feature buckets by md5 — the vocabulary-free "
+        "featurization a linear model or embedding-bag trains on when "
+        "the term space is unbounded. Output is the per-bucket corpus "
+        "frequency + distinct-term (collision) profile. explode fans "
+        "out inside the scan stage; one shuffle carries map-side-"
+        "combined (bucket, count) partials bounded by the fixed "
+        "dimension, so cost at 100 TB is a corpus scan plus a "
+        f"{HASH_DIM}-row shuffle.",
+    tags=("text", "pipeline"),
+)
+def s28j_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        % HASH_DIM
+    )
+    return toks.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_terms"),
+    )
