@@ -17,6 +17,8 @@ count / adds multi-probe as corpus density grows.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -544,4 +546,101 @@ def s27f_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label", "dim").agg(
         F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
         F.count("*").alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S27 variant — unbounded LSH near-duplicate pairs (whole corpus)
+# ---------------------------------------------------------------------------
+NEARDUP_SIM = 0.2
+NEARDUP_MAX_BUCKET = 100
+
+
+def _bucket_terms_sql() -> str:
+    signs = plane_sign_values(64, N_PLANES)
+    return " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{s:.1f}" for s in signs[p])
+        + f"]) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
+@register(
+    "s27g_lsh_neardup_pairs",
+    oracle=f"""
+    WITH bucket AS (
+      SELECT vec_id, CAST({{terms}} AS INT) AS bucket,
+             embedding::DOUBLE[] AS e
+      FROM embeddings
+    ), ok AS (
+      SELECT bucket FROM bucket
+      GROUP BY bucket HAVING COUNT(*) <= {NEARDUP_MAX_BUCKET}
+    ), bb AS (
+      SELECT b.* FROM bucket b JOIN ok USING (bucket)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))) >= {NEARDUP_SIM}
+    """.replace("{terms}", _bucket_terms_sql()),
+    doc="Embedding near-duplicate pairs over the WHOLE corpus — the "
+        "unbounded companion to s27c's exact slice: candidates are pairs "
+        "sharing an LSH bucket (one bucket per vector, a narrow map), "
+        "so pair generation is in-bucket only and the corpus never "
+        "self-joins. s26b's mega-bucket guard applies — buckets above "
+        f"{NEARDUP_MAX_BUCKET} vectors are dropped (non-silently, via "
+        "observe metrics) before pairing, bounding the worst task at "
+        "O(cap^2) at any corpus size. The identical HAVING cap in the "
+        "oracle keeps results exact.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def s27g_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_buckets(spark, emb)
+    sizes = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .observe(
+            f"lsh_neardup_buckets_{uuid.uuid4().hex[:8]}",
+            F.sum(
+                F.when(F.col("n") > NEARDUP_MAX_BUCKET, 1).otherwise(0)
+            ).alias("mega_buckets_dropped"),
+            F.max("n").alias("max_bucket_size"),
+        )
+        .filter(F.col("n") <= NEARDUP_MAX_BUCKET)
+        .select("bucket")
+    )
+    side = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("e"),
+            F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        )
+        .join(b, "vec_id")
+        .join(F.broadcast(sizes), "bucket")
+    )
+    a = side.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    bside = side.select(
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(bside, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_full", sim)
+        .filter(F.col("sim_full") >= NEARDUP_SIM)
+        .select("vec_a", "vec_b", F.round("sim_full", 4).alias("sim"))
     )
