@@ -30,3 +30,11 @@ def test_simple_ranking(spark):
 def test_corpus_pipeline(spark):
     summary = _load("corpus_pipeline").main()
     assert set(summary) == {"train", "valid", "test"}
+
+
+def test_incremental_snapshot(spark):
+    """The CDC day-cycle example self-verifies: the retraction-based
+    incremental partial must equal a full recompute over the merge."""
+    summary = _load("incremental_snapshot").main()
+    assert summary["groups"] == 5
+    assert summary["merged_rows"] > 0
