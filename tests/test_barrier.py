@@ -155,3 +155,58 @@ def test_run_with_restarts_exhaustion():
     with pytest.raises(RuntimeError, match="persistent failure"):
         run_with_restarts(always_fails, max_restarts=2)
     assert calls == [0, 1, 2]  # initial + 2 restarts
+
+
+def test_stop_flag_roundtrip(tmp_path):
+    """StopFlag is a boolean over a shared path: absent -> False,
+    requested -> True, cleared -> False again."""
+    from xgboost_ray_spark.ml.stopping import StopFlag
+
+    flag = StopFlag(str(tmp_path / "stop" / "STOP"))
+    assert not flag.should_stop()
+    flag.request_stop()
+    assert flag.should_stop()
+    flag.clear()
+    assert not flag.should_stop()
+
+
+def test_run_with_restarts_honors_stop_flag(tmp_path):
+    """A cooperative stop requested while an attempt is failing must end
+    the retry loop (TrainingStopped) instead of launching another
+    attempt — the reference's Event actor semantics on its retry loop
+    (main.py:1606-1713)."""
+    import pytest
+
+    from xgboost_ray_spark.ml.barrier import TrainingStopped, run_with_restarts
+    from xgboost_ray_spark.ml.stopping import StopFlag
+
+    flag = StopFlag(str(tmp_path / "STOP"))
+    calls = []
+
+    def fails_and_requests_stop(attempt):
+        calls.append(attempt)
+        flag.request_stop()  # e.g. an operator decides to abandon the job
+        raise RuntimeError("worker died")
+
+    with pytest.raises(TrainingStopped):
+        run_with_restarts(fails_and_requests_stop, max_restarts=5, stop_flag=flag)
+    assert calls == [0], "no second attempt after the stop request"
+
+
+def test_stop_callback_requires_xgboost():
+    """make_stop_callback is import-gated exactly like the barrier path."""
+    import pytest
+
+    from xgboost_ray_spark.ml.stopping import StopFlag, make_stop_callback
+
+    try:
+        import xgboost  # noqa: F401
+        has_xgb = True
+    except ImportError:
+        has_xgb = False
+    if has_xgb:  # pragma: no cover - container has no xgboost
+        cb = make_stop_callback(StopFlag("/tmp/unused"))
+        assert hasattr(cb, "after_iteration")
+    else:
+        with pytest.raises(ImportError):
+            make_stop_callback(StopFlag("/tmp/unused"))

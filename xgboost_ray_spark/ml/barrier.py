@@ -73,7 +73,7 @@ def save_checkpoint(
     os.replace(tmp, ckpt_path)
 
 
-def run_with_restarts(attempt_fn, max_restarts: int):
+def run_with_restarts(attempt_fn, max_restarts: int, stop_flag=None):
     """Driver-side elastic retry loop (reference train loop,
     main.py:1606-1713).
 
@@ -83,15 +83,32 @@ def run_with_restarts(attempt_fn, max_restarts: int):
     ``max_actor_restarts`` loop: rerun the whole training job; each attempt
     reloads the latest checkpoint, so only the not-yet-checkpointed rounds
     repeat. ``attempt_fn(attempt_index)`` performs one full training job.
+
+    ``stop_flag`` (an ``ml.stopping.StopFlag``) is honored between
+    attempts: a cooperative stop requested while an attempt was failing
+    ends the loop instead of launching another attempt — the reference's
+    Event actor has the same effect on its retry loop (main.py:1606-1713
+    rechecks the stop event each pass).
     """
     attempt = 0
     while True:
+        if stop_flag is not None and stop_flag.should_stop():
+            raise TrainingStopped(
+                f"cooperative stop requested (flag: {stop_flag.path}) "
+                f"before attempt {attempt}"
+            )
         try:
             return attempt_fn(attempt)
         except Exception:
             attempt += 1
             if attempt > max_restarts:
                 raise
+
+
+class TrainingStopped(RuntimeError):
+    """Raised when a cooperative StopFlag ends the restart loop before a
+    new attempt starts (mid-attempt stops return normally with the rounds
+    completed so far — see ml/stopping.py)."""
 
 
 def train_barrier(
