@@ -210,3 +210,33 @@ def test_stop_callback_requires_xgboost():
     else:
         with pytest.raises(ImportError):
             make_stop_callback(StopFlag("/tmp/unused"))
+
+
+def test_mllib_train_honors_stop_flag(spark, tmp_path):
+    """A pre-set stop flag must end train() (MLlib backend) with
+    TrainingStopped instead of fitting — the flag is reachable through
+    the public GBTParams surface, not only the barrier helper."""
+    import pytest
+
+    from xgboost_ray_spark.matrix import MatrixSpec
+    from xgboost_ray_spark.ml.barrier import TrainingStopped
+    from xgboost_ray_spark.ml.params import GBTParams
+    from xgboost_ray_spark.ml.stopping import StopFlag
+    from xgboost_ray_spark.ml.train import train
+
+    flag = StopFlag(str(tmp_path / "STOP"))
+    flag.request_stop()
+    df = spark.range(32).selectExpr(
+        "cast(id % 2 as double) as label",
+        "cast(id as double) as f0",
+        "cast(id * 2 as double) as f1",
+    )
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("f0", "f1"))
+    with pytest.raises(TrainingStopped):
+        train(
+            {"objective": "binary:logistic", "max_depth": 2},
+            df,
+            spec,
+            num_boost_round=2,
+            gbt_params=GBTParams(num_workers=2, stop_flag_path=flag.path),
+        )

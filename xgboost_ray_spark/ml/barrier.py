@@ -227,6 +227,19 @@ def train_barrier(
 
                 train_callbacks.append(_Checkpoint())
 
+            if gbt.stop_flag_path:
+                # Cooperative stop (R22): every worker polls the shared
+                # flag once per iteration; the allreduce keeps ranks in
+                # lockstep so they all end on the same round.
+                from xgboost_ray_spark.ml.stopping import (
+                    StopFlag,
+                    make_stop_callback,
+                )
+
+                train_callbacks.append(
+                    make_stop_callback(StopFlag(gbt.stop_flag_path))
+                )
+
             with xgb.collective.CommunicatorContext(**tracker_args):
 
                 def make_dmatrix(frame):
@@ -275,8 +288,13 @@ def train_barrier(
     # Worker-death recovery is this driver-side loop — Spark aborts a failed
     # barrier ResultStage rather than retrying it (all-or-nothing), exactly
     # why the reference also retries from ITS driver (main.py:1606-1713).
+    stop_flag = None
+    if gbt.stop_flag_path:
+        from xgboost_ray_spark.ml.stopping import StopFlag
+
+        stop_flag = StopFlag(gbt.stop_flag_path)
     booster, evals_result, queued = run_with_restarts(
-        run_attempt, gbt.max_restarts
+        run_attempt, gbt.max_restarts, stop_flag=stop_flag
     )
     elapsed = time.perf_counter() - start
 

@@ -39,6 +39,11 @@ class GBTParams:
     checkpoint_path: str | None = None
     elastic_training: bool = False
     seed: int = 42
+    # Cooperative-stop flag path (reference R22 Event actor; see
+    # ml/stopping.py). When set, both backends honor a stop request
+    # between restart attempts, and the xgboost backend additionally
+    # polls it each boosting iteration.
+    stop_flag_path: str | None = None
 
     def validated(self) -> "GBTParams":
         if self.num_workers < 1:

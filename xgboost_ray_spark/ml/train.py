@@ -218,8 +218,19 @@ def train(
     attempts = gbt.max_restarts + 1
     last_err: Exception | None = None
     model = None
+    stop_flag = None
+    if gbt.stop_flag_path:
+        from xgboost_ray_spark.ml.stopping import StopFlag
+
+        stop_flag = StopFlag(gbt.stop_flag_path)
     try:
         for _ in range(attempts):
+            if stop_flag is not None and stop_flag.should_stop():
+                from xgboost_ray_spark.ml.barrier import TrainingStopped
+
+                raise TrainingStopped(
+                    f"cooperative stop requested (flag: {stop_flag.path})"
+                )
             try:
                 model = est.fit(assembled)
                 break
