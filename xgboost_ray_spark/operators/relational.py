@@ -903,6 +903,55 @@ def s22b_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S22 variant — map type construction + higher-order map functions
+# ---------------------------------------------------------------------------
+@register(
+    "s22c_map_funcs",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY user_id) AS share
+    FROM counts
+    """,
+    doc="Map-typed column surface: per-user event-type counts assembled "
+        "into a MAP via map_from_entries(collect_list(struct)), a "
+        "higher-order transform_values rescales every entry to its "
+        "share of the user total (lambda referencing an outer column), "
+        "and explode(map) unpacks back to rows. The map is built and "
+        "consumed inside one user_id aggregation — a single shuffle; "
+        "shares are single IEEE divisions of integer counts, so values "
+        "hash-match the window-function oracle exactly with no "
+        "rounding.",
+    tags=("functions", "maps"),
+)
+def s22c_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    shares = per_user.select(
+        "user_id",
+        F.explode(
+            F.transform_values(
+                "m", lambda k, v: v.cast("double") / F.col("total")
+            )
+        ).alias("event_type", "share"),
+    )
+    return shares
+
+
+# ---------------------------------------------------------------------------
 # S23 — JSON extraction from events.props
 # ---------------------------------------------------------------------------
 @register(
