@@ -223,3 +223,29 @@ def test_bucketed_tables_colocated_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("bkt_li", "bkt_ord"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_reduces_file_count_without_shuffle(spark):
+    """s01e: the fragmented copy really holds 32 parquet files, the
+    compacted one the target count, and the rewrite plans as coalesce
+    (narrow) — no Exchange between read and write."""
+    import glob
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from xgboost_ray_spark.registry import all_queries
+
+    all_queries()["s01e_compaction"].build(spark, SF_SMOKE).collect()
+    scratch = "/root/repo/.scratch"
+    frag = glob.glob(os.path.join(scratch, "docs_fragmented", "part-*.parquet"))
+    comp = glob.glob(os.path.join(scratch, "docs_compacted", "part-*.parquet"))
+    assert len(frag) == 32
+    assert len(comp) <= 2
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from xgboost_ray_spark.plans.explain import simple_plan
+
+    plan = simple_plan(
+        spark.read.parquet(os.path.join(scratch, "docs_fragmented")).coalesce(2)
+    )
+    assert "Exchange" not in plan, "coalesce must stay a narrow dependency"

@@ -107,3 +107,75 @@ def s32_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate_s", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
     )
     return profile(orders, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# S32 variant — data-quality validation report
+# ---------------------------------------------------------------------------
+@register(
+    "s32b_data_quality",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS n_violations
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'negative_extendedprice',
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'shipdate_before_orderdate',
+           (SELECT COUNT(*) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate < o_orderdate)
+    """,
+    doc="Constraint validation report — the admission gate a training "
+        "pipeline runs before ingesting a snapshot: referential "
+        "integrity (orphan lineitems via LEFT ANTI join), null keys, "
+        "domain ranges (price >= 0, discount in [0,1]), and the "
+        "cross-table temporal invariant ship >= order (one keyed "
+        "join). Each check is a distributed count reduced to a single "
+        "row — the report is five numbers regardless of table size, "
+        "and the anti join + range scans pushdown/prune like any other "
+        "query. Output contract: (check_name, n_violations).",
+    tags=("profile", "pipeline", "quality"),
+)
+def s32b_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    orphans = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    null_cust = orders.filter(F.col("o_custkey").isNull())
+    neg_price = li.filter(F.col("l_extendedprice") < 0)
+    bad_disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    time_inv = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+    )
+    return (
+        one("orphan_lineitems", orphans)
+        .unionAll(one("orders_null_custkey", null_cust))
+        .unionAll(one("negative_extendedprice", neg_price))
+        .unionAll(one("discount_out_of_range", bad_disc))
+        .unionAll(one("shipdate_before_orderdate", time_inv))
+    )

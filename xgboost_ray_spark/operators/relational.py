@@ -166,6 +166,45 @@ def s01d_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1 variant — small-file compaction (layout maintenance)
+# ---------------------------------------------------------------------------
+COMPACT_SMALL_FILES = 32
+COMPACT_TARGET_FILES = 2
+
+
+@register(
+    "s01e_compaction",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    doc="Small-file compaction — the table-maintenance job every long-"
+        "lived ingest needs: a documents copy fragmented into "
+        f"{COMPACT_SMALL_FILES} files is rewritten as "
+        f"{COMPACT_TARGET_FILES} right-sized ones with coalesce "
+        "(a partition-count-only narrow dependency: no shuffle, each "
+        "output task concatenates input splits). The oracle checks the "
+        "full write-compact-read round trip is content-exact. At 100 TB "
+        "the target count comes from bytes/128MB per partition dir, and "
+        "compaction runs partition-by-partition so the job never holds "
+        "the table; a shuffle-free coalesce is the whole point — "
+        "repartition() would pay a full shuffle for the same layout.",
+    tags=("scan", "layout", "maintenance"),
+)
+def s01e_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    frag = os.path.join(_SCRATCH, "docs_fragmented")
+    compact = os.path.join(_SCRATCH, "docs_compacted")
+    docs.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .coalesce(COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return spark.read.parquet(compact)
+
+
+# ---------------------------------------------------------------------------
 # S3 — Projection / rename / drop
 # ---------------------------------------------------------------------------
 @register(
