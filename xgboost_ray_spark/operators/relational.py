@@ -1225,6 +1225,55 @@ def s24d_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s24e_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+               AS week_k
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(week_k AS BIGINT) AS week_k,
+           COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_day, week_k
+    """,
+    doc="Retention cohorts: users grouped by first-seen day, counted as "
+        "active in each subsequent week — the canonical product-"
+        "analytics triangle, and integer-exact (day arithmetic + "
+        "distinct counts only, no floats to drift). Plan: one user_id "
+        "aggregate for cohort assignment, joined back (AQE broadcasts "
+        "the per-user firsts at dim scale), then a distinct + count "
+        "keyed on (cohort, week) — every shuffle is on low-cardinality "
+        "keys after the first. The week index is day-difference // 7, "
+        "deliberately avoiding engine-specific week-truncation rules.",
+    tags=("events", "agg", "analytics"),
+)
+def s24e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("bigint")
+            .alias("week_k"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "week_k").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+@register(
     "s09e_quantile_filter",
     oracle="""
     WITH h AS (
