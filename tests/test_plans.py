@@ -549,3 +549,53 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_agg_pushes_both_date_branches(spark):
+    """s09g: each branch's date filter must reach the scan, and the whole
+    merge costs two keyed exchanges (branch partials + final combine) —
+    never a row-level shuffle of the base."""
+    df = _build(spark, "s09g_incremental_agg")
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df)
+    assert plan.count(") Exchange") <= 2
+
+
+def test_point_in_time_single_window_shuffle(spark):
+    """s14d: boundary detection and interval close-out share one
+    (user_id; ts, event_id) spec — one exchange + one sort serve both
+    Window passes, same as the history build it reads from."""
+    plan = formatted_plan(_build(spark, "s14d_point_in_time"))
+    assert plan.count(") Window") == 2
+    assert plan.count(") Sort") == 1
+    assert plan.count(") Exchange") == 1
+
+
+def test_map_funcs_two_keyed_exchanges(spark):
+    """s22c: the map is built and consumed inside the user aggregation —
+    (user, type) counts then user maps, two keyed exchanges, and the
+    transform_values lambda adds no shuffle or Python stage."""
+    plan = formatted_plan(_build(spark, "s22c_map_funcs"))
+    assert plan.count(") Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_cohorts_broadcasts_firsts(spark):
+    """s24e: the per-user firsts aggregate is dim-sized and must
+    broadcast back onto events — the fact table shuffles only for the
+    initial user aggregate, never for the join."""
+    df = _build(spark, "s24e_retention_cohorts")
+    assert has_broadcast_join(df)
+    assert formatted_plan(df).count(") Exchange") <= 3
+
+
+def test_data_quality_report_stays_aggregate_shaped(spark):
+    """s32b: every check reduces to one row before the union — the
+    report plan contains five single-row aggregates, pushed filters for
+    the range checks, and a broadcastable anti/inner join for the
+    cross-table checks."""
+    df = _build(spark, "s32b_data_quality")
+    plan = formatted_plan(df)
+    assert has_pushed_filters(df)
+    assert has_broadcast_join(df)
+    assert "Union" in plan
