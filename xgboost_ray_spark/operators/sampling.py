@@ -348,3 +348,59 @@ def s31d_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epoch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S31 variant — leak-free temporal split with purge gap
+# ---------------------------------------------------------------------------
+SPLIT_T = "2000-06-01"
+PURGE_DAYS = 30
+
+
+@register(
+    "s31e_temporal_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN o_orderdate <  TIMESTAMP '{SPLIT_T}' - INTERVAL {PURGE_DAYS} DAY
+               THEN 'train'
+             WHEN o_orderdate >= TIMESTAMP '{SPLIT_T}' THEN 'test'
+             ELSE 'purged'
+           END AS split,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Leak-free temporal split: train strictly before the cutoff "
+        f"minus a {PURGE_DAYS}-day embargo, test strictly after the "
+        "cutoff, the gap purged — the standard guard against lookahead "
+        "leakage when labels aggregate a trailing window (a train row "
+        "whose label window crosses the cutoff would leak test-period "
+        "information). Pure date arithmetic inside the scan stage; the "
+        "only shuffle is the 3-group summary. Against a date-"
+        "partitioned table the three predicates become partition "
+        "pruning.",
+    tags=("sampling", "pipeline", "temporal"),
+)
+def s31e_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.registry import dsum
+
+    cutoff = F.lit(SPLIT_T).cast("timestamp")
+    train_end = cutoff - F.expr(f"INTERVAL {PURGE_DAYS} DAYS")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    split = (
+        F.when(F.col("o_orderdate") < train_end, F.lit("train"))
+        .when(F.col("o_orderdate") >= cutoff, F.lit("test"))
+        .otherwise(F.lit("purged"))
+    )
+    return (
+        orders.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
