@@ -211,3 +211,39 @@ def s16_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 variant — distribution ranks (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+@register(
+    "s13b_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WHERE o_orderkey <= 4000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY FLOOR(o_totalprice)::INT DESC, o_orderkey)
+    """,
+    doc="Distribution ranks — where each order sits inside its priority "
+        "class: percent_rank = (rank-1)/(n-1) and cume_dist = "
+        "rows_at_or_before/n. Both are single IEEE divisions of the "
+        "integer rank machinery, so values hash-match with no rounding; "
+        "the two functions share s13's one (priority; price, key) "
+        "shuffle+sort. The floor() key coarsening keeps tie order "
+        "deterministic across engines.",
+    tags=("window",),
+)
+def s13b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.floor("o_totalprice").cast("int").desc(), F.col("o_orderkey")
+    )
+    return orders.filter(F.col("o_orderkey") <= 4000).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
