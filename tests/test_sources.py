@@ -249,3 +249,43 @@ def test_compaction_reduces_file_count_without_shuffle(spark):
         spark.read.parquet(os.path.join(scratch, "docs_fragmented")).coalesce(2)
     )
     assert "Exchange" not in plan, "coalesce must stay a narrow dependency"
+
+
+def test_range_clustered_write_produces_skippable_files(spark):
+    """Z-order-lite: repartitionByRange + sortWithinPartitions on the
+    filter column writes files whose footer min/max ranges are pairwise
+    disjoint — a reader filtering one key can skip all but one file on
+    stats alone (the same mechanism parquet row-group and partition
+    pruning use, applied via layout instead of directories). At 100 TB
+    this is the cheap alternative to a Hive partition column for
+    high-cardinality keys."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+    from xgboost_ray_spark.catalog import load_table
+
+    out = "/root/repo/.scratch/events_clustered"
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranges = []
+    for f in glob.glob(os.path.join(out, "part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4, "range partitioner should emit several files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
