@@ -38,3 +38,10 @@ def test_incremental_snapshot(spark):
     summary = _load("incremental_snapshot").main()
     assert summary["groups"] == 5
     assert summary["merged_rows"] > 0
+
+
+def test_streaming_ingest(spark):
+    """The streaming ingest example self-verifies streaming/batch
+    equivalence on the finite replay."""
+    summary = _load("streaming_ingest").main()
+    assert summary["rows"] > 0 and summary["days"] > 0
