@@ -19,7 +19,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
-from xgboost_ray_spark.registry import davg, dsum, register, sql_davg, sql_dsum
+from xgboost_ray_spark.registry import (
+    DEC,
+    davg,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -828,3 +835,310 @@ def s07c_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal"), "totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 variant — TPC-H Q7: bilateral shipping volume between two nations
+# ---------------------------------------------------------------------------
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_LO = "1996-01-01"
+Q7_HI = "1998-01-01"
+
+
+@register(
+    "s05f_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           COUNT(*) AS n_items,
+           {sql_dsum("volume", "revenue")}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+          OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+        AND l_shipdate >= TIMESTAMP '{Q7_LO}'
+        AND l_shipdate <  TIMESTAMP '{Q7_HI}'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: shipping volume between two specific nations by "
+        "year. The nation filter is applied to BOTH dimension copies "
+        "before their joins — supplier and customer each shrink to two "
+        "nations' worth of keys and broadcast, so at 100 TB the fact "
+        "tables shuffle once on orderkey and the bilateral OR-pair "
+        "predicate evaluates on already-joined survivors, never as a "
+        "cross filter. Two self-joins of nation are two tiny broadcasts, "
+        "not a self-shuffle.",
+    tags=("join", "agg"),
+)
+def s05f_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(Q7_LO).cast("timestamp")
+    hi = F.lit(Q7_HI).cast("timestamp")
+    nations = (Q7_NATION_A, Q7_NATION_B)
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey"), F.col("n_name"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("n2_nationkey"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n2_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select(
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.count("*").alias("n_items"), dsum(volume, "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5 variant — TPC-H Q8: national market share within a region
+# ---------------------------------------------------------------------------
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+Q8_PTYPE = "PROMO"
+
+
+@register(
+    "s05g_tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CAST(nation_volume AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             CASE WHEN n2.n_name = '{Q8_NATION}'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+               AS nation_volume
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_PTYPE}'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: what share of a region's PROMO-part revenue did "
+        "one supplier nation capture, per year. Eight-table join where "
+        "every dimension (part filtered to one type, both nation copies, "
+        "region) broadcasts; the two fact tables meet in a single "
+        "orderkey shuffle. The share is a conditional aggregate — "
+        "numerator and denominator accumulate in one pass over the "
+        "joined rows in DECIMAL, and the final double division is "
+        "IEEE-identical across engines, so the ratio is hash-stable.",
+    tags=("join", "agg", "conditional"),
+)
+def s05g_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_PTYPE)
+        .select("p_partkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    cust_nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_nationkey"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(cust_nation),
+            F.col("c_nationkey") == F.col("cn_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    nation_volume = F.when(
+        F.col("supp_nation") == Q8_NATION, F.col("volume_dec")
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("volume_dec", volume)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .withColumn("nation_volume", nation_volume)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("nation_volume").cast("double")
+                / F.sum("volume_dec").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S21 variant — TPC-H Q14: promotion revenue share for one ship-month
+# ---------------------------------------------------------------------------
+Q14_LO = "1997-01-01"
+Q14_HI = "1997-02-01"
+
+
+@register(
+    "s21b_promo_revenue",
+    oracle=f"""
+    SELECT
+      100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                    AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,6))) AS DOUBLE)
+        AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_LO}'
+      AND l_shipdate <  TIMESTAMP '{Q14_HI}'
+    """,
+    doc="TPC-H Q14 shape: percentage of one month's revenue from PROMO "
+        "parts. Ship-date range pushes into the lineitem scan (one month "
+        "survives at any scale); part broadcasts; numerator and "
+        "denominator are one conditional aggregate pass — the classic "
+        "CASE-inside-SUM ratio. The 100.0 * decimal-sum / decimal-sum "
+        "chain evaluates on identical doubles in both engines.",
+    tags=("conditional", "agg", "join"),
+)
+def s21b_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(Q14_LO).cast("timestamp")
+    hi = F.lit(Q14_HI).cast("timestamp")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 variant — TPC-H Q21 shape: sole at-fault supplier in multi-supplier
+# orders (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+_Q21_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@register(
+    "s07d_sole_fault_supplier",
+    oracle=_Q21_SQL,
+    doc="TPC-H Q21 shape: suppliers who were the ONLY supplier with "
+        "returned items in finished multi-supplier orders. The correlated "
+        "EXISTS / NOT EXISTS pair decorrelates into a LEFT SEMI and a "
+        "LEFT ANTI self-join of lineitem on l_orderkey, each carrying the "
+        "suppkey-inequality as a join residual — three scans of lineitem "
+        "co-partitioned on one orderkey shuffle, zero per-row subquery "
+        "execution. The final top-20 is TakeOrderedAndProject. One SQL "
+        "text serves Spark and DuckDB verbatim.",
+    tags=("join", "subquery", "topk"),
+)
+def s07d_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)

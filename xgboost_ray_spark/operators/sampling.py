@@ -404,3 +404,60 @@ def s31e_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sample without replacement (Efraimidis–Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+WS_K = 100
+
+
+@register(
+    "s31f_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, es_key
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROUND(
+               LN((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) + 0.5) / 1152921504606846976.0)
+                 / n_chars, 12) AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WS_K}
+    """,
+    doc="Weighted sample without replacement via the Efraimidis–Spirakis "
+        "exponential-key trick: each doc draws u = md5-derived uniform in "
+        "(0,1) and competes with key ln(u)/weight (monotone transform of "
+        "u^(1/w)); the global top-k by key IS an exact weighted sample. "
+        "Deterministic — u is a pure function of doc_id, so the sample is "
+        "reproducible across clusters, partitionings and reruns, and "
+        "exactly oracle-checkable (ln and the division are IEEE-identical "
+        "on identical operands). Scale: no shuffle of the corpus — the "
+        "top-k is TakeOrderedAndProject (per-partition partial top-k, "
+        "driver merges k*partitions rows); weight here is n_chars, i.e. "
+        "length-proportional sampling for token-budget curation.",
+    tags=("sampling", "topk"),
+)
+def s31f_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # 2^60 = 1152921504606846976; +0.5 keeps u strictly inside (0, 1).
+    u = (h60 + F.lit(0.5)) / F.lit(1152921504606846976.0)
+    # ln differs from DuckDB's in the last ulp (neither libm is
+    # correctly rounded); 12-decimal rounding is safe for continuous
+    # values (midpoints have measure zero — see registry.py notes).
+    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(WS_K)
+    )

@@ -247,3 +247,50 @@ def s13b_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 variant — gaps and islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+@register(
+    "s14e_gaps_islands",
+    oracle="""
+    SELECT user_id,
+           MIN(d) AS island_start,
+           MAX(d) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    )
+    GROUP BY user_id, anchor
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive active days per "
+        "user. The classic date-minus-row_number trick — within a user, "
+        "consecutive days share (day - rank) as a constant anchor, so one "
+        "window plus one groupBy finds every island with no self-join and "
+        "no iteration. Scale: the window and the groupBy share the same "
+        "user_id-dominated shuffle; the distinct-day projection collapses "
+        "the event stream to at most users x days rows BEFORE the window, "
+        "so state is bounded by active days, not raw events.",
+    tags=("window", "sessionization"),
+)
+def s14e_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    islands = days.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    return (
+        islands.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("anchor")
+    )
