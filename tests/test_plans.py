@@ -599,3 +599,66 @@ def test_data_quality_report_stays_aggregate_shaped(spark):
     assert has_pushed_filters(df)
     assert has_broadcast_join(df)
     assert "Union" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: TPC-H Q7/Q8/Q14/Q21 shapes, islands, weighted sample
+# ---------------------------------------------------------------------------
+def test_q7_broadcasts_dims_and_prunes_shipdate(spark):
+    """Both nation-filtered dimension sides must broadcast and the ship-date
+    range must reach the lineitem scan — at 100 TB only two years of
+    lineitem survive the scan and the fact side shuffles once."""
+    df = _build(spark, "s05f_tpch_q7")
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)
+
+
+def test_q8_reads_minimal_lineitem_columns(spark):
+    """The eight-table Q8 join must not widen the fact scan: lineitem
+    contributes exactly its join keys + the two revenue columns."""
+    df = _build(spark, "s05g_tpch_q8")
+    assert has_broadcast_join(df)
+    read = set(scan_read_schema(df))  # union across all eight scans
+    unneeded = {
+        "l_quantity", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate", "l_linenumber", "o_totalprice", "c_acctbal",
+    }
+    assert not (read & unneeded), read & unneeded
+
+
+def test_q14_single_agg_no_extra_exchange(spark):
+    """Numerator and denominator of the promo ratio come from ONE aggregate
+    pass: a single partial/final exchange pair, part broadcast."""
+    df = _build(spark, "s21b_promo_revenue")
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") <= 1, plan
+
+
+def test_q21_decorrelates_to_semi_and_anti_joins(spark):
+    """EXISTS / NOT EXISTS must decorrelate to one semi + one anti join —
+    never a per-row subquery — and the top-20 must be TakeOrdered."""
+    df = _build(spark, "s07d_sole_fault_supplier")
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "EXISTS must plan as a left semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as a left anti join"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gaps_islands_scan_and_shuffle_budget(spark):
+    """Islands read exactly (user_id, ts); distinct + window + island agg
+    is at most three exchanges, all keyed by user_id prefixes."""
+    df = _build(spark, "s14e_gaps_islands")
+    read = set(scan_read_schema(df))
+    assert read <= {"user_id", "ts"}, read
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") <= 3, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The ES top-k must be TakeOrderedAndProject — per-partition partial
+    top-k, no global sort, no corpus shuffle."""
+    df = _build(spark, "s31f_weighted_sample")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count(") Exchange") == 0, plan
