@@ -662,3 +662,11 @@ def test_weighted_sample_is_take_ordered(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count(") Exchange") == 0, plan
+
+
+def test_class_entropy_no_shuffle(spark):
+    """Entropy is per-row regex arithmetic — one codegen stage, zero
+    Exchange; at 100 TB it runs at scan speed."""
+    df = _build(spark, "s28k_class_entropy")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 0, plan
