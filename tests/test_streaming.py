@@ -139,3 +139,53 @@ def test_cdc_upsert_merges_across_microbatches(spark):
     assert len(rows) == len({r.user_id for r in rows}), "one row per key"
     versions = sorted(os.listdir("/root/repo/.scratch/cdc_upsert/snaps"))
     assert len(versions) == 4, f"expected 4 microbatch snapshots: {versions}"
+
+
+def test_file_sink_exactly_once_across_restart(spark, tmp_path):
+    """Exactly-once across a stop/restart: two runs of the same query over
+    a growing source directory, sharing one checkpoint, must process every
+    source row exactly once — the second run picks up ONLY the file that
+    arrived while the stream was down (no duplicates, no loss)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from xgboost_ray_spark.catalog import load_table
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    part1 = events.filter(F.col("event_id") % 3 != 2)
+    part2 = events.filter(F.col("event_id") % 3 == 2)
+    part1.coalesce(1).write.parquet(src + "/batch_a")
+    schema = spark.read.parquet(src + "/batch_a").schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # first run sees only batch_a
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == part1.count()
+
+    part2.coalesce(1).write.parquet(src + "/batch_b")
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count(), "no loss, no duplicates"
+    assert got.select("event_id").distinct().count() == events.count()
