@@ -456,3 +456,33 @@ def test_combine_data_2d_softprob():
     assert out.shape == (4, 3)
     np.testing.assert_array_equal(out[0], 0)
     np.testing.assert_array_equal(out[1], 1)
+
+
+def test_matrix_type_validated():
+    """R17 quantile hint: accepted values only; 'quantile' flows to the
+    barrier path's QuantileDMatrix construction (import-gated there)."""
+    import pytest
+
+    from xgboost_ray_spark.matrix import MatrixSpec
+
+    MatrixSpec(label_cols=("y",), matrix_type="quantile")  # accepted
+    with pytest.raises(ValueError, match="matrix_type"):
+        MatrixSpec(label_cols=("y",), matrix_type="gpu_hist")
+
+
+def test_quantile_spec_trains_on_mllib_backend(spark):
+    """The MLlib fallback bins histograms internally, so a quantile-typed
+    spec must train identically rather than erroring."""
+    from xgboost_ray_spark.matrix import MatrixSpec
+    from xgboost_ray_spark.ml.train import train
+
+    df = spark.createDataFrame(
+        [(float(i % 4), float((i * 7) % 5), float(i % 2)) for i in range(64)],
+        "f0 double, f1 double, label double",
+    )
+    spec = MatrixSpec(label_cols=("label",), matrix_type="quantile")
+    result = train(
+        {"objective": "binary:logistic", "max_depth": 2},
+        df, spec, num_boost_round=2,
+    )
+    assert result.model is not None

@@ -68,6 +68,20 @@ class MatrixSpec:
     missing: float | None = None
     ignore: tuple[str, ...] = ()
     enable_categorical: bool = False
+    # "dmatrix" | "quantile" — the reference's RayDMatrix vs
+    # Ray(Device)QuantileDMatrix split (matrix.py:697 vs matrix.py:977):
+    # "quantile" makes the barrier path build xgb.QuantileDMatrix (histogram
+    # bins computed once at construction — the memory-lean hist-method path;
+    # eval sets bin against the train matrix via ref=). GPU DeviceQuantile
+    # stays deferred (needs stage-level resource scheduling).
+    matrix_type: str = "dmatrix"
+
+    def __post_init__(self) -> None:
+        if self.matrix_type not in ("dmatrix", "quantile"):
+            raise ValueError(
+                f"matrix_type must be 'dmatrix' or 'quantile', "
+                f"got {self.matrix_type!r}"
+            )
 
     def role_cols(self) -> set[str]:
         roles = set(self.label_cols) | set(self.ignore)

@@ -242,17 +242,27 @@ def train_barrier(
 
             with xgb.collective.CommunicatorContext(**tracker_args):
 
-                def make_dmatrix(frame):
-                    return xgb.DMatrix(
-                        frame[feats],
+                def make_dmatrix(frame, ref=None):
+                    kwargs = dict(
                         label=frame[label_col],
                         weight=frame[weight_col] if weight_col else None,
                         missing=spec.missing,
                     )
+                    if spec.matrix_type == "quantile":
+                        # R17 quantile path (reference matrix.py:977,
+                        # main.py:379-445): bins are computed once at
+                        # construction; eval sets MUST bin against the
+                        # train matrix (ref=) or their histograms disagree.
+                        if "max_bin" in params:
+                            kwargs["max_bin"] = params["max_bin"]
+                        return xgb.QuantileDMatrix(
+                            frame[feats], ref=ref, **kwargs
+                        )
+                    return xgb.DMatrix(frame[feats], **kwargs)
 
                 dmat = make_dmatrix(pdf[pdf["__set__"] == "train"])
                 watchlist = [(dmat, "train")] + [
-                    (make_dmatrix(pdf[pdf["__set__"] == n]), n)
+                    (make_dmatrix(pdf[pdf["__set__"] == n], ref=dmat), n)
                     for n in eval_names
                 ]
                 evals_result: dict = {}
