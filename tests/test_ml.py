@@ -486,3 +486,34 @@ def test_quantile_spec_trains_on_mllib_backend(spark):
         df, spec, num_boost_round=2,
     )
     assert result.model is not None
+
+
+def test_survival_and_margin_roles_accepted(spark):
+    """base_margin / survival-bound roles must flow through spec.prepare
+    and training without error (the barrier path feeds them to DMatrix;
+    the MLlib fallback ignores what it cannot express)."""
+    from xgboost_ray_spark.matrix import MatrixSpec
+    from xgboost_ray_spark.ml.train import train
+
+    df = spark.createDataFrame(
+        [
+            (float(i % 4), float(i % 3), 0.1 * i, float(i), float(i + 2),
+             float(i % 2))
+            for i in range(48)
+        ],
+        "f0 double, f1 double, margin double, lo double, hi double, label double",
+    )
+    spec = MatrixSpec(
+        label_cols=("label",),
+        feature_cols=("f0", "f1"),
+        base_margin_col="margin",
+        label_lower_bound_col="lo",
+        label_upper_bound_col="hi",
+    )
+    result = train(
+        {"objective": "binary:logistic", "max_depth": 2},
+        df, spec, num_boost_round=2,
+    )
+    assert result.model is not None
+    # role columns are never mistaken for features
+    assert spec.features_of(df) == ["f0", "f1"]

@@ -133,9 +133,19 @@ def train_barrier(
     num_workers = gbt.num_workers
     feats = spec.features_of(spec.prepare(dtrain))
     label_col = spec.label_cols[0]
-    cols = list(feats) + [label_col] + (
-        [spec.weight_col] if spec.weight_col else []
-    )
+    # Every role column rides the shard (reference _split_dataframe,
+    # matrix.py:283-358): weight, base_margin, survival label bounds.
+    extra_roles = [
+        c
+        for c in (
+            spec.weight_col,
+            spec.base_margin_col,
+            spec.label_lower_bound_col,
+            spec.label_upper_bound_col,
+        )
+        if c
+    ]
+    cols = list(feats) + [label_col] + extra_roles
     # Train + every eval set ride the same barrier stage: tag each frame,
     # union, and shard all of them across the same num_workers tasks — the
     # reference hands each actor its train shard plus an eval shard per set
@@ -243,11 +253,26 @@ def train_barrier(
             with xgb.collective.CommunicatorContext(**tracker_args):
 
                 def make_dmatrix(frame, ref=None):
+                    # Full role plumbing (reference _get_dmatrix,
+                    # main.py:379-445): weight, base_margin, survival
+                    # bounds, per-column feature weights.
                     kwargs = dict(
                         label=frame[label_col],
                         weight=frame[weight_col] if weight_col else None,
                         missing=spec.missing,
                     )
+                    if spec.base_margin_col:
+                        kwargs["base_margin"] = frame[spec.base_margin_col]
+                    if spec.label_lower_bound_col:
+                        kwargs["label_lower_bound"] = frame[
+                            spec.label_lower_bound_col
+                        ]
+                    if spec.label_upper_bound_col:
+                        kwargs["label_upper_bound"] = frame[
+                            spec.label_upper_bound_col
+                        ]
+                    if spec.feature_weights is not None:
+                        kwargs["feature_weights"] = list(spec.feature_weights)
                     if spec.matrix_type == "quantile":
                         # R17 quantile path (reference matrix.py:977,
                         # main.py:379-445): bins are computed once at
