@@ -45,3 +45,11 @@ def test_streaming_ingest(spark):
     equivalence on the finite replay."""
     summary = _load("streaming_ingest").main()
     assert summary["rows"] > 0 and summary["days"] > 0
+
+
+def test_similarity_search(spark):
+    from examples.similarity_search import main
+
+    out = main()
+    assert out["exact"] == out["gemm"] == 20
+    assert 0.0 <= out["recall"] <= 1.0
