@@ -670,3 +670,14 @@ def test_class_entropy_no_shuffle(spark):
     df = _build(spark, "s28k_class_entropy")
     plan = formatted_plan(df)
     assert plan.count(") Exchange") == 0, plan
+
+
+def test_drift_report_shuffles_histograms_not_events(spark):
+    """PSI plan: the (type, bin) aggregate reduces events to histogram
+    counts before the window and final aggregate — exchanges carry at
+    most types x bins rows after the first."""
+    df = _build(spark, "s32c_drift_report")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") <= 3, plan
+    read = set(scan_read_schema(df))
+    assert read <= {"event_type", "ts", "value"}, read

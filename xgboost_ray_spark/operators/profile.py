@@ -179,3 +179,95 @@ def s32b_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("discount_out_of_range", bad_disc))
         .unionAll(one("shipdate_before_orderdate", time_inv))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift report (PSI between two time slices)
+# ---------------------------------------------------------------------------
+DRIFT_SPLIT_TS = "2024-01-15"
+DRIFT_BIN_WIDTH = 20
+DRIFT_N_BINS = 11  # floor(value/20) capped at 10 -> bins 0..10
+
+
+@register(
+    "s32c_drift_report",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT_TS}' THEN 'ref'
+                  ELSE 'cur' END AS slice,
+             LEAST(CAST(FLOOR(value / {DRIFT_BIN_WIDTH}) AS BIGINT),
+                   {DRIFT_N_BINS - 1}) AS bin
+      FROM events
+    ), per_bin AS (
+      SELECT event_type, bin,
+             COUNT(CASE WHEN slice = 'ref' THEN 1 END) AS c_ref,
+             COUNT(CASE WHEN slice = 'cur' THEN 1 END) AS c_cur
+      FROM binned
+      GROUP BY event_type, bin
+    ), props AS (
+      SELECT event_type, bin,
+             (CAST(c_ref AS DOUBLE) + 1)
+               / (SUM(c_ref) OVER (PARTITION BY event_type) + {DRIFT_N_BINS})
+               AS p_ref,
+             (CAST(c_cur AS DOUBLE) + 1)
+               / (SUM(c_cur) OVER (PARTITION BY event_type) + {DRIFT_N_BINS})
+               AS p_cur
+      FROM per_bin
+    )
+    SELECT event_type,
+           ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 8) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM props
+    GROUP BY event_type
+    """,
+    doc="Training-serving drift report: Population Stability Index of the "
+        "value distribution between a reference slice (first two weeks) "
+        "and the current slice, per event type. Fixed-width bins keep the "
+        "histogram deterministic (no quantile estimation step), Laplace "
+        "smoothing (+1 per observed bin) keeps PSI finite when a bin "
+        "empties on one side. One scan -> one (type, bin) aggregate -> "
+        "one window over at most types x bins rows -> one final "
+        "aggregate: the heavy shuffle carries histogram counts, never "
+        "events. ln is transcendental, so the sum rounds to 8 decimals "
+        "for cross-engine stability. PSI > 0.2 is the usual retrain "
+        "trigger.",
+    tags=("profile", "ml"),
+)
+def s32c_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit(DRIFT_SPLIT_TS).cast("timestamp"), "ref"
+        ).otherwise("cur").alias("slice"),
+        F.least(
+            F.floor(F.col("value") / DRIFT_BIN_WIDTH).cast("bigint"),
+            F.lit(DRIFT_N_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("slice") == "ref", 1)).alias("c_ref"),
+        F.count(F.when(F.col("slice") == "cur", 1)).alias("c_cur"),
+    )
+    wt = W.partitionBy("event_type")
+    props = per_bin.select(
+        "event_type",
+        (
+            (F.col("c_ref").cast("double") + 1)
+            / (F.sum("c_ref").over(wt) + DRIFT_N_BINS)
+        ).alias("p_ref"),
+        (
+            (F.col("c_cur").cast("double") + 1)
+            / (F.sum("c_cur").over(wt) + DRIFT_N_BINS)
+        ).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    return props.groupBy("event_type").agg(
+        F.round(F.sum(term), 8).alias("psi"),
+        F.count("*").alias("n_bins"),
+    )
