@@ -289,3 +289,22 @@ def test_range_clustered_write_produces_skippable_files(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_write_orc_partitioned_roundtrip(spark, tmp_path):
+    """write_orc with directory partitioning: read-back equals input and
+    a partition filter prunes to one directory."""
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)], "id long, p int, v double"
+    )
+    out = str(tmp_path / "orc_part")
+    write_orc(df, out, partition_by=["p"], mode="overwrite")
+    back = spark.read.orc(out)
+    assert back.count() == 60
+    assert sorted(r.id for r in back.collect()) == list(range(60))
+    one = back.filter(F.col("p") == 1)
+    assert one.count() == 20

@@ -83,3 +83,21 @@ def write_json(
     max_records_per_file: int | None = None,
 ) -> None:
     _base(df, mode, max_records_per_file).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+    compression: str = "zlib",
+    max_records_per_file: int | None = None,
+) -> None:
+    """ORC sink — symmetric with sources.readers.read_orc (the reference's
+    format breadth, data_sources/__init__.py:13-24, covered read AND
+    write)."""
+    w = _base(df, mode, max_records_per_file).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
