@@ -461,3 +461,74 @@ def s31f_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), F.col("doc_id"))
         .limit(WS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive training pairs)
+# ---------------------------------------------------------------------------
+NEG_PER_ANCHOR = 3
+_NEG_MULT = 1103515245
+_NEG_STEP = 2654435761
+
+
+@register(
+    "s31g_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    negs AS (
+      SELECT doc_id, j,
+             (doc_id * {_NEG_MULT} + j * {_NEG_STEP}) % c AS neg_id
+      FROM documents
+      CROSS JOIN n
+      CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j)
+    )
+    SELECT negs.doc_id, CAST(j AS INT) AS neg_rank, neg_id,
+           d.source AS neg_source, d.lang AS neg_lang
+    FROM negs
+    JOIN documents d ON d.doc_id = neg_id
+    WHERE neg_id <> negs.doc_id
+    """,
+    doc="Contrastive-training negative sampling: each anchor document "
+        "draws NEG_PER_ANCHOR pseudo-random partners via an affine hash "
+        "ring over the dense doc_id space — deterministic (same negatives "
+        "every epoch/cluster/rerun, so experiments reproduce), collision-"
+        "free with the anchor by construction filter, and uniform enough "
+        "for in-batch negatives. Scale: the corpus count is ONE scalar "
+        "aggregate broadcast into a per-row expression (never a per-row "
+        "subquery); the 3x fan-out happens inside the scan stage; the "
+        "only shuffle is the equi-join fetching negative metadata, which "
+        "at 100 TB co-partitions on the id like any fact-fact join. A "
+        "mod-ring over dense ids is the standard trick when ids are "
+        "compact; sparse ids would hash-bucket first (see s31 helpers).",
+    tags=("sampling", "contrastive"),
+)
+def s31g_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(F.count("*").alias("c"))
+    anchors = (
+        docs.select("doc_id")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(j) for j in range(1, NEG_PER_ANCHOR + 1)]))
+            .alias("j"),
+            "c",
+        )
+        .select(
+            "doc_id",
+            F.col("j").cast("int").alias("neg_rank"),
+            (
+                (F.col("doc_id") * _NEG_MULT + F.col("j") * _NEG_STEP)
+                % F.col("c")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    meta = docs.select(
+        F.col("doc_id").alias("m_id"),
+        F.col("source").alias("neg_source"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return anchors.join(meta, F.col("neg_id") == F.col("m_id")).select(
+        "doc_id", "neg_rank", "neg_id", "neg_source", "neg_lang"
+    )
