@@ -681,3 +681,17 @@ def test_drift_report_shuffles_histograms_not_events(spark):
     assert plan.count(") Exchange") <= 3, plan
     read = set(scan_read_schema(df))
     assert read <= {"event_type", "ts", "value"}, read
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """Q6 is the IO yardstick: every predicate is sargable, so the scan
+    must carry pushed filters and read exactly the four touched columns;
+    one partial/final aggregate pair, nothing else."""
+    df = _build(spark, "s04c_tpch_q6")
+    assert has_pushed_filters(df)
+    read = set(scan_read_schema(df))
+    assert read == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }, read
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 1, plan

@@ -1142,3 +1142,50 @@ def s07d_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# S4 variant — TPC-H Q6: the canonical pushdown/scan-speed aggregate
+# ---------------------------------------------------------------------------
+Q6_LO = "1997-01-01"
+Q6_HI = "1998-01-01"
+
+
+@register(
+    "s04c_tpch_q6",
+    oracle=f"""
+    SELECT COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice * l_discount", "revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+      AND l_shipdate <  TIMESTAMP '{Q6_HI}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: forecast-revenue-change — the canonical scan-speed "
+        "query. Every predicate is sargable and must reach the parquet "
+        "scan (date range prunes row groups via min/max stats, discount/"
+        "quantity filter what survives); the aggregate is one partial/"
+        "final pair over two doubles. At 100 TB this query IS the scan: "
+        "its cost bounds below every other lineitem query, which makes "
+        "it the standard what-does-IO-cost yardstick. With this, every "
+        "TPC-H shape expressible over the driver schema (no partsupp "
+        "table, no shipmode/commitdate columns) has an entry: "
+        "Q1,Q3-Q8,Q10,Q13,Q14,Q17-Q19,Q21,Q22.",
+    tags=("filter", "agg", "scan"),
+)
+def s04c_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit(Q6_LO).cast("timestamp")
+    hi = F.lit(Q6_HI).cast("timestamp")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+    )
