@@ -629,3 +629,66 @@ def s28k_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("entropy_flag")
     )
     return counts.select("doc_id", entropy).select("doc_id", "entropy_mbits", flag)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+@register(
+    "s28l_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, ' ')) AS tok
+      FROM documents
+      WHERE LENGTH(text) > 0
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT SUM(c) AS t FROM freq
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(LN(CAST(c AS DOUBLE) / t)) / COUNT(*), 8)
+             AS avg_neg_logprob
+    FROM toks
+    JOIN freq USING (tok)
+    CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality score: average negative log-probability "
+        "of each document under the corpus's own unigram distribution — "
+        "the CCNet-style LM filter with the LM reduced to unigrams so it "
+        "stays exactly oracle-checkable. Rare-token-heavy (or "
+        "wrong-language) docs score high, boilerplate scores low. Scale: "
+        "the frequency table is vocab-sized — at 100 TB it broadcasts "
+        "into the token join rather than shuffling the exploded corpus a "
+        "second time (AQE makes that call from runtime sizes; the "
+        "explode + doc re-agg pair is the irreducible cost, same shape "
+        "as TF-IDF s28e). The total token count is one scalar. ln is "
+        "transcendental and the per-doc sum order differs across "
+        "engines, so the score rounds to 8 decimals.",
+    tags=("text", "quality", "ml"),
+)
+def s28l_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(freq, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("t")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.sum("lp") / F.count("*"), 8).alias("avg_neg_logprob"),
+    )
