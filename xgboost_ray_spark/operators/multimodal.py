@@ -281,3 +281,97 @@ def s29c_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_returnflag string, l_orderkey bigint, "
         "l_extendedprice double, price_dev double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: windowed RMS energy + peak over PCM-like payloads
+# ---------------------------------------------------------------------------
+AUDIO_SCHEMA = "doc_id bigint, window_id int, rms double, peak int"
+AUDIO_WINDOW = 4  # samples per analysis window (16-byte payload -> 4 windows)
+
+
+def decode_audio_real(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """Real audio codec hook — STUB. Requires ffmpeg/soundfile, absent from
+    this container; wire the PCM decode here in deployment."""
+    raise NotImplementedError(
+        "audio decode requires ffmpeg/soundfile — not available here"
+    )
+
+
+def audio_window_energy(frames: DataFrame) -> DataFrame:
+    """Arrow-batched windowed energy over (doc_id, payload binary) frames.
+
+    The fake 'PCM' treats each payload byte as an unsigned 8-bit sample
+    centered at 128 — deterministic, so the whole Python path is exactly
+    oracle-checkable. RMS uses integer square sums divided by the window
+    size (exact in binary) and one sqrt (correctly rounded per IEEE-754 in
+    both engines), so NO rounding step is needed: the doubles match
+    bit-for-bit."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out_id, out_w, out_rms, out_peak = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                x = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8)
+                    .astype(np.int64)
+                    - 128
+                )
+                n_win = len(x) // AUDIO_WINDOW
+                win = x[: n_win * AUDIO_WINDOW].reshape(n_win, AUDIO_WINDOW)
+                rms = np.sqrt((win * win).sum(axis=1) / float(AUDIO_WINDOW))
+                peak = np.abs(win).max(axis=1)
+                out_id.extend([doc_id] * n_win)
+                out_w.extend(range(n_win))
+                out_rms.extend(rms.tolist())
+                out_peak.extend(int(p) for p in peak)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "window_id": pd.Series(out_w, dtype="int32"),
+                    "rms": pd.Series(out_rms, dtype="float64"),
+                    "peak": pd.Series(out_peak, dtype="int32"),
+                }
+            )
+
+    return frames.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "s29f_audio_window_rms",
+    oracle="""
+    WITH base AS (SELECT doc_id, md5(text) AS h FROM documents),
+    w AS (
+      SELECT doc_id, h, UNNEST([0, 1, 2, 3]) AS window_id FROM base
+    ), s AS (
+      SELECT doc_id, window_id,
+             (('0x' || substring(h, 8*window_id + 1, 2))::BIGINT - 128) AS s0,
+             (('0x' || substring(h, 8*window_id + 3, 2))::BIGINT - 128) AS s1,
+             (('0x' || substring(h, 8*window_id + 5, 2))::BIGINT - 128) AS s2,
+             (('0x' || substring(h, 8*window_id + 7, 2))::BIGINT - 128) AS s3
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(window_id AS INT) AS window_id,
+           SQRT((s0*s0 + s1*s1 + s2*s2 + s3*s3) / 4.0) AS rms,
+           CAST(GREATEST(ABS(s0), ABS(s1), ABS(s2), ABS(s3)) AS INT) AS peak
+    FROM s
+    """,
+    doc="Audio-modality plumbing: PCM-like binary payloads -> Arrow-batched "
+        "windowed RMS energy + peak amplitude per analysis window (the "
+        "silence/clipping screen an audio corpus runs before training). "
+        "Codec is an honest stub (decode_audio_real) beside a "
+        "deterministic byte-derived fake, same pattern as the image path; "
+        "numpy vectorizes per batch. The RMS needs NO cross-engine "
+        "rounding: integer square sums and /4.0 are exact, and sqrt is "
+        "correctly rounded in both engines — bit-identical doubles from "
+        "a Python UDF path. Scale: windows fan out inside mapInPandas "
+        "(4x rows of 4 small columns), payloads never visit the driver.",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def s29f_audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(with_binary_payload(docs))
