@@ -391,3 +391,53 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.unix_micros("ts").alias("last_ts_us"),
     )
+
+
+@register(
+    "s25j_stream_trending",
+    oracle="""
+    SELECT wstart, event_type, n, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT wstart, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY wstart ORDER BY n DESC, event_type
+             ) AS rk
+      FROM (
+        SELECT DATE_TRUNC('hour', ts) AS wstart,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+      )
+    )
+    WHERE rk <= 3
+    """,
+    doc="Trending dashboard topology: the stream maintains per-window "
+        "per-type counts in the state store (complete mode -> sink), and "
+        "the serving layer ranks the top-3 types per window over the "
+        "sink — ranking stays OUT of the stream, where it would force "
+        "whole-window state rewrites every microbatch; the sink holds at "
+        "most windows x types rows, so the serve-side rank is trivially "
+        "cheap at any event volume. Deterministic tiebreak on event_type "
+        "keeps the cut hash-stable.",
+    tags=("streaming", "topk"),
+)
+def s25j_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+    sink = run_stream_to_memory(agg, spark)
+    rk = F.row_number().over(
+        W.partitionBy("wstart").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        sink.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("wstart", "event_type", "n", "rk")
+    )
