@@ -695,3 +695,33 @@ def test_q6_all_predicates_push_to_scan(spark):
     }, read
     plan = formatted_plan(df)
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_udtf_token_runs_zero_shuffle(spark):
+    """The UDTF walks each document in-line in the scan stage; the plan
+    must contain the lateral Generate/UDTF node and ZERO Exchange — the
+    relational spelling (explode + window) would shuffle every token."""
+    df = _build(spark, "s29g_udtf_token_runs")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 0, plan
+    assert "token_runs" in plan or "UDTF" in plan, plan
+
+
+def test_map_in_arrow_zero_shuffle_and_pruned(spark):
+    """mapInArrow vector math: scan -> one Python stage; no Exchange, and
+    the scan reads only (vec_id, embedding) — label must be pruned."""
+    df = _build(spark, "s29i_map_in_arrow")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 0, plan
+    read = set(scan_read_schema(df))
+    assert read == {"vec_id", "embedding"}, read
+
+
+def test_grouped_agg_udaf_prunes_before_shuffle(spark):
+    """The UDAF's single keyed Exchange must carry only the grouping keys
+    + the int64 measure — text is pruned at the scan."""
+    df = _build(spark, "s29h_grouped_agg_udaf")
+    read = set(scan_read_schema(df))
+    assert read == {"source", "lang", "n_chars"}, read
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 1, plan

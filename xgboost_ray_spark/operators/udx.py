@@ -1,0 +1,247 @@
+"""User-defined execution surfaces beyond pandas UDF / grouped-map:
+Python UDTF (lateral table function), grouped-agg pandas UDAF, and
+arrow-native ``mapInArrow`` (SURVEY.md §2.2 S29 — the reference's
+callback/custom-code surface, ``callback.py:14-58`` and the ``obj``/
+``feval`` pass-through of ``main.py:745-752``, generalized to the three
+Spark shapes a data pipeline needs).
+
+Why each exists when built-ins are preferred (SCALE.md rule 3):
+
+* **UDTF** — irregular per-row fan-out that stays *inside* the scan
+  stage.  The relational spelling of per-document sequence analysis is
+  posexplode → window over (doc_id) → filter, which shuffles every token
+  of a 100 TB corpus once; the UDTF walks each document's token sequence
+  in process and emits only the (rare) findings — zero Exchange, output
+  ≪ input.  Arrow-batched transfer (``useArrow=True``).
+* **GROUPED_AGG pandas UDAF** — arbitrary Python aggregation (here an
+  exact median) where no algebraic Spark builtin exists.  The whole
+  group materializes on one executor, so this is for bounded groups; at
+  unbounded cardinality use ``percentile_approx`` (sketch, mergeable)
+  instead — both spellings shown side by side in the registry entry's
+  docstring.
+* **mapInArrow** — the zero-copy fast path under the Python UDF
+  hierarchy: RecordBatches reach Python as Arrow buffers, numpy views
+  them without a pandas conversion (no per-cell boxing, no object
+  columns for list types — the expensive part of ``mapInPandas`` on
+  array columns), and vectorized math runs on the raw values buffer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# S29g — Python UDTF: maximal runs of consecutive repeated tokens
+# ---------------------------------------------------------------------------
+
+MIN_RUN = 2  # emit only runs of >= this many consecutive identical tokens
+
+
+def token_runs_udtf():
+    """Build the UDTF class lazily (decorating at import time would touch
+    the JVM-free code path unnecessarily and complicate pickling)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, run_start int, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            i, n = 0, len(toks)
+            while i < n:
+                j = i + 1
+                while j < n and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= MIN_RUN:
+                    yield toks[i], i, j - i
+                i = j
+
+    return TokenRuns
+
+
+def repeated_token_runs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """All maximal runs of >=MIN_RUN consecutive identical tokens per doc.
+
+    One lateral UDTF over the scan — no Exchange anywhere in the plan
+    (asserted by tests/test_plans.py): the sequence walk happens where
+    the row already is, and only runs (a tiny fraction of tokens) leave
+    the stage.  The pure-relational equivalent (posexplode + row_number
+    island trick, the oracle SQL) shuffles every token.
+    """
+    spark.udtf.register("token_runs", token_runs_udtf())
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.token, r.run_start, r.run_len
+        FROM udtf_docs_v d, LATERAL token_runs(d.text) r
+        """
+    )
+
+
+@register(
+    "s29g_udtf_token_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(arr) AS token,
+             unnest(generate_series(1, len(arr))) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+    ),
+    isl AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY pos)
+               AS grp
+      FROM toks
+    )
+    SELECT doc_id, token,
+           CAST(MIN(pos) - 1 AS INT) AS run_start,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM isl
+    GROUP BY doc_id, token, grp
+    HAVING COUNT(*) >= {MIN_RUN}
+    """,
+    doc="Python UDTF (arrow-batched) lateral join: per-document maximal "
+        "repeated-token runs emitted inside the scan stage, zero shuffle; "
+        "oracle is the gaps-islands relational spelling that shuffles "
+        "every token.",
+    tags=("udtf", "text", "zero-shuffle"),
+)
+def s29g_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_token_runs(spark, docs)
+
+
+# ---------------------------------------------------------------------------
+# S29h — grouped-agg pandas UDAF: exact median per group
+# ---------------------------------------------------------------------------
+
+
+def median_udaf():
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        # np.median sorts, so the result is independent of shard arrival
+        # order; int64 inputs make the even-count midpoint (a+b)/2 exact
+        # in float64 — bit-identical to DuckDB's interpolated median.
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    return exact_median
+
+
+def median_chars_by_source(docs: DataFrame) -> DataFrame:
+    """Exact per-(source, lang) median of document length via a
+    GROUPED_AGG pandas UDAF.
+
+    The UDAF materializes each group on one executor (fine here: group
+    count = |source x lang|, tiny; each group holds only the int64
+    column, pruned before the shuffle).  For unbounded groups the
+    mergeable spelling is ``F.percentile_approx("n_chars", 0.5)`` — an
+    order-of-magnitude cheaper sketch with bounded error; this entry
+    exists to pin the exact-Python-aggregation surface.
+    """
+    return (
+        docs.groupBy("source", "lang")
+        .agg(median_udaf()(F.col("n_chars")).alias("median_chars"))
+    )
+
+
+@register(
+    "s29h_grouped_agg_udaf",
+    oracle="""
+    SELECT source, lang,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="GROUPED_AGG pandas UDAF: exact median per bounded group (column "
+        "pruned pre-shuffle; percentile_approx is the unbounded-scale "
+        "sketch alternative).",
+    tags=("pandas-udf", "udaf"),
+)
+def s29h_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return median_chars_by_source(docs)
+
+
+# ---------------------------------------------------------------------------
+# S29i — mapInArrow: zero-copy vector math on the Arrow values buffer
+# ---------------------------------------------------------------------------
+
+NORM_SCHEMA = "vec_id bigint, dim int, l2_norm double"
+
+
+def _norm_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        lists = batch.column("embedding")
+        # list_flatten honors slice offsets; the flat float32 buffer then
+        # feeds numpy WITHOUT a pandas object-column materialization.
+        lens = pc.list_value_length(lists).to_numpy().astype("int64")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        sq = flat.astype("float64")
+        sq *= sq
+        starts = np.zeros(len(lens), dtype="int64")
+        np.cumsum(lens[:-1], out=starts[1:])
+        # reduceat adds each segment left-to-right — the same order
+        # DuckDB's list_sum folds, keeping the doubles bit-comparable
+        # (final round(4) absorbs numpy-vs-engine last-ulp anyway).
+        sums = np.add.reduceat(sq, starts)
+        sums[lens == 0] = 0.0  # reduceat misbehaves on empty segments
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.array(lens.astype("int32"), type=pa.int32()),
+                pa.array(np.sqrt(sums), type=pa.float64()),
+            ],
+            names=["vec_id", "dim", "l2_norm"],
+        )
+
+
+def vector_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector L2 norm via ``mapInArrow`` — the zero-copy Python path.
+
+    ``mapInPandas`` on an ``array<float>`` column builds a pandas object
+    column of per-row numpy arrays (one Python object per cell);
+    ``mapInArrow`` hands Python the raw Arrow values buffer, and one
+    ``reduceat`` computes every row's sum of squares in a single
+    vectorized pass.  Narrow plan: scan -> one Python stage, no shuffle.
+    """
+    out = embeddings.select("vec_id", "embedding").mapInArrow(
+        _norm_batches, schema=NORM_SCHEMA
+    )
+    # Round Spark-side (HALF_UP, matching the oracle's round()) — the
+    # established cross-engine float protocol for continuous values.
+    return out.select("vec_id", "dim", F.round("l2_norm", 4).alias("l2_norm"))
+
+
+@register(
+    "s29i_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    doc="mapInArrow zero-copy vector math: L2 norms straight off the Arrow "
+        "values buffer (no pandas object columns), one vectorized reduceat "
+        "per batch, shuffle-free plan.",
+    tags=("arrow", "embeddings", "zero-shuffle"),
+)
+def s29i_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return vector_norms(emb)

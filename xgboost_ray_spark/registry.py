@@ -264,6 +264,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         skew,
         text,
+        udx,
         windows,
     )
     from xgboost_ray_spark import streaming as _streaming  # noqa: F401
