@@ -167,21 +167,30 @@ def sample_frames(frames: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     frame extractor needs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for b in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
-            for doc_id, payload in zip(b["doc_id"], b["payload"]):
-                digest = bytes(payload).hex()
-                n_frames = int(digest[8:10], 16) + 1  # 1..256
-                for idx in range(0, n_frames, stride):
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["frame_hash"].append(
-                        hashlib.md5(f"{digest}_{idx}".encode()).hexdigest()[:16]
-                    )
-            if rows["doc_id"]:
-                out = pd.DataFrame(rows)
-                out["frame_idx"] = out["frame_idx"].astype("int32")
-                yield out
+            if not len(b):
+                continue
+            # Vectorized expansion: per-doc Python work is O(docs); only
+            # the md5 per emitted frame (the part a real demuxer would
+            # also pay per frame) runs in the O(frames) loop.
+            digests = [bytes(p).hex() for p in b["payload"]]
+            n_frames = np.array([int(d[8:10], 16) + 1 for d in digests])
+            counts = (n_frames + stride - 1) // stride
+            doc_rep = np.repeat(b["doc_id"].to_numpy(), counts)
+            frame_idx = np.concatenate(
+                [np.arange(0, n, stride) for n in n_frames]
+            ).astype("int32")
+            digest_rep = np.repeat(np.array(digests, dtype=object), counts)
+            frame_hash = [
+                hashlib.md5(f"{d}_{i}".encode()).hexdigest()[:16]
+                for d, i in zip(digest_rep, frame_idx)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": doc_rep, "frame_idx": frame_idx,
+                 "frame_hash": frame_hash}
+            )
 
     return frames.mapInPandas(run, schema=FRAME_SCHEMA)
 

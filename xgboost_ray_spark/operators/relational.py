@@ -205,6 +205,65 @@ def s01e_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1f — binaryFile source: raw image/audio file ingestion
+# ---------------------------------------------------------------------------
+BINARY_SCAN_DOCS = 64  # files materialized for the round trip
+
+
+@register(
+    "s01f_binaryfile_scan",
+    oracle=f"""
+    SELECT doc_id, CAST(16 AS INT) AS n_bytes, md5(text) AS payload_hex
+    FROM documents
+    WHERE doc_id < {BINARY_SCAN_DOCS}
+    """,
+    doc="binaryFile source — Spark's native ingestion path for raw "
+        "image/audio/video files: a directory of .bin payloads is read as "
+        "(path, modificationTime, length, content) with pathGlobFilter "
+        "pushdown, file-granular splits sized by maxPartitionBytes. The "
+        "oracle recomputes each payload from the source text (md5), "
+        "proving the bytes survive the file round trip and the binary "
+        "column transport. At 100 TB this is how a multimodal corpus "
+        "enters the engine when it arrives as object-store files rather "
+        "than parquet; for millions of tiny files, the first job should "
+        "be exactly this scan followed by a parquet rewrite (s01e "
+        "compaction) so every later pass reads row groups, not inodes.",
+    tags=("scan", "multimodal", "source"),
+)
+def s01f_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the payload files (test-scale stand-in for an existing
+    # object-store directory; content is the md5 digest bytes of the doc
+    # text, the same deterministic payload the multimodal entries use).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARY_SCAN_DOCS)
+        .select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+        .collect()
+    )
+    # Per-sf directory: the scan is lazy, so a later build at another sf
+    # must not rewrite the files this DataFrame will read at action time.
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    blob_dir = os.path.join(_SCRATCH, f"doc_blobs_{sf_tag}")
+    os.makedirs(blob_dir, exist_ok=True)
+    for row in docs:
+        with open(os.path.join(blob_dir, f"doc_{row.doc_id:06d}.bin"), "wb") as f:
+            f.write(bytes(row.payload))
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(blob_dir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.lower(F.hex("content")).alias("payload_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S3 — Projection / rename / drop
 # ---------------------------------------------------------------------------
 @register(
