@@ -189,3 +189,37 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == events.count(), "no loss, no duplicates"
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stateful_sessions_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state backend is RocksDB, not the default HDFS-backed
+    in-heap map — unbounded key cardinality must spill to local disk
+    instead of growing the executor heap. The stateful sessionizer must
+    produce identical output on that provider (same multi-batch state
+    carry-over as test_session_continues_across_batches)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        out = _run_batches(
+            spark,
+            tmp_path,
+            [
+                [(1, 0, 1, 1.5), (1, 10, 2, 2.5)],
+                [(1, 20, 3, 3.0), (1, 70, 4, 4.0), (1, 200, 5, 5.0)],
+            ],
+        )
+        rows = sorted(out.collect(), key=lambda r: r.session_start)
+    finally:
+        if before is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, before)
+    assert len(rows) == 2
+    s1, s2 = rows
+    assert s1.n_events == 3 and abs(s1.sum_value - 7.0) < 1e-9
+    assert s2.n_events == 1 and abs(s2.sum_value - 4.0) < 1e-9
