@@ -725,3 +725,56 @@ def test_grouped_agg_udaf_prunes_before_shuffle(spark):
     assert read == {"source", "lang", "n_chars"}, read
     plan = formatted_plan(df)
     assert plan.count(") Exchange") == 1, plan
+
+
+def test_lsh_neardup_pairs_bucket_bounded(spark):
+    """Whole-corpus near-dup pair generation must stay in-bucket: the
+    kept-buckets list broadcasts, and no cartesian/nested-loop join of
+    corpus x corpus exists anywhere in the plan."""
+    df = _build(spark, "s27g_lsh_neardup_pairs")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count(") Exchange") <= 4, plan
+    assert set(scan_read_schema(df)) == {"vec_id", "embedding"}
+
+
+def test_unigram_logprob_broadcasts_total_not_corpus(spark):
+    """CCNet-style LM scoring: the corpus-total single row broadcasts
+    (nested-loop on 1 row is free); the token->frequency join shuffles on
+    tok (AQE broadcasts it when the vocab is small); no cartesian ever."""
+    df = _build(spark, "s28l_unigram_logprob")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count(") Exchange") <= 4, plan
+    assert set(scan_read_schema(df)) == {"doc_id", "text"}
+
+
+def test_negative_pairs_single_keyed_shuffle(spark):
+    """The hash-ring negative sampler: corpus size broadcasts as a single
+    row, fan-out is an in-stage explode, and only the neg_id metadata
+    join shuffles — one keyed Exchange for the whole operator."""
+    df = _build(spark, "s31g_negative_pairs")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_feature_hash_two_phase_distinct(spark):
+    """Hashing-trick featurization: explode stays in the scan stage; the
+    two Exchanges are the two-phase (bucket, tok) distinct + final bucket
+    aggregate — both keyed on hashed buckets, both skew-free by design."""
+    df = _build(spark, "s28j_feature_hash")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") <= 2, plan
+    assert set(scan_read_schema(df)) == {"text"}
+
+
+def test_distribution_ranks_share_one_window_shuffle(spark):
+    """percent_rank and cume_dist over the same window spec must share a
+    single partition Exchange, with the rank filter pushed to the scan."""
+    df = _build(spark, "s13b_distribution_ranks")
+    plan = formatted_plan(df)
+    assert plan.count(") Exchange") == 1, plan
+    assert has_pushed_filters(df)
