@@ -78,3 +78,72 @@ def test_interleaved_shard_combine_roundtrip(spark, n_rows, n_shards):
     assert {len(s) for s in shards} <= {n_rows // n_shards, n_rows // n_shards + 1}
     combined = combine_data(shards, ShardingMode.INTERLEAVED)
     np.testing.assert_array_equal(combined, np.arange(n_rows) * 10 + 1)
+
+
+@given(
+    tokens=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                  # source
+            st.integers(min_value=0, max_value=200),      # n_tokens
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@settings(**_SETTINGS)
+def test_sequence_pack_floor_invariant(spark, tokens, budget):
+    """The defining property of greedy packing, for every shape: a doc's
+    chunk_id is exactly floor(tokens-before-it-in-its-source / budget) —
+    so chunk ids start at 0, never decrease along doc_id within a source,
+    and a chunk only overflows the budget by its final straddling doc.
+    Also layout-independent: repartitioning must not change assignments."""
+    from xgboost_ray_spark.operators.sampling import sequence_pack
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(tokens)),
+            "source": [t[0] for t in tokens],
+            "n_tokens": [t[1] for t in tokens],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = sequence_pack(df, budget).collect()
+    assert len(rows) == len(tokens)
+    by_source: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        by_source.setdefault(r.source, []).append(r)
+    for source_rows in by_source.values():
+        before = 0
+        prev_chunk = 0
+        for r in source_rows:
+            assert r.chunk_id == before // budget
+            assert r.chunk_id >= prev_chunk
+            prev_chunk = r.chunk_id
+            before += r.n_tokens
+    reparted = {
+        (r.doc_id, r.chunk_id)
+        for r in sequence_pack(df.repartition(5), budget).collect()
+    }
+    assert reparted == {(r.doc_id, r.chunk_id) for r in rows}
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40),
+    k=st.integers(min_value=1, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_deterministic_and_layout_independent(spark, weights, k):
+    """The ES sample must be a pure function of (key, weight): the same
+    k rows come back for any partitioning and on rerun, the sample size
+    is min(k, n), and no row appears twice (without replacement)."""
+    from xgboost_ray_spark.operators.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": range(len(weights)), "w": weights})
+    df = spark.createDataFrame(pdf)
+    picked = weighted_sample(df, key="doc_id", weight="w", k=k).collect()
+    assert len(picked) == min(k, len(weights))
+    ids = [r.doc_id for r in picked]
+    assert len(set(ids)) == len(ids)
+    again = weighted_sample(df.repartition(7), key="doc_id", weight="w", k=k).collect()
+    assert {r.doc_id for r in again} == set(ids)

@@ -193,6 +193,14 @@ def s33_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
+    return sequence_pack(docs, TOKEN_BUDGET)
+
+
+def sequence_pack(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Assign each (doc_id, source, n_tokens) row its training chunk:
+    chunk_id = floor(tokens-before-me-in-source / budget), docs taken in
+    doc_id order per source. Pure function of the rows — independent of
+    partition layout (the window orders totally on (source, doc_id))."""
     run = F.sum("n_tokens").over(
         W.partitionBy("source")
         .orderBy("doc_id")
@@ -203,7 +211,7 @@ def s33_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_tokens",
-        F.floor(before_me / TOKEN_BUDGET).cast("bigint").alias("chunk_id"),
+        F.floor(before_me / budget).cast("bigint").alias("chunk_id"),
     )
 
 
@@ -447,19 +455,28 @@ def s31f_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") > 0)
         .select("doc_id", "lang", "n_chars")
     )
+    return weighted_sample(docs, key="doc_id", weight="n_chars", k=WS_K)
+
+
+def weighted_sample(df: DataFrame, key: str, weight: str, k: int) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: each row
+    draws a deterministic md5-derived uniform u from its key and competes
+    with es_key = ln(u)/weight; the global top-k by es_key IS an exact
+    weighted sample. Pure function of (key, weight) — reproducible across
+    partitionings, cluster sizes and reruns."""
     h60 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     # 2^60 = 1152921504606846976; +0.5 keeps u strictly inside (0, 1).
     u = (h60 + F.lit(0.5)) / F.lit(1152921504606846976.0)
     # ln differs from DuckDB's in the last ulp (neither libm is
     # correctly rounded); 12-decimal rounding is safe for continuous
     # values (midpoints have measure zero — see registry.py notes).
-    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
+    es_key = F.round(F.log(u) / F.col(weight), 12)
     return (
-        docs.withColumn("es_key", es_key)
-        .orderBy(F.col("es_key").desc(), F.col("doc_id"))
-        .limit(WS_K)
+        df.withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key))
+        .limit(k)
     )
 
 
