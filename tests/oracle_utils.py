@@ -41,6 +41,13 @@ def _normalize_cell(v):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_normalize_cell(x) for x in v)
+    if type(v).__module__ == "numpy":
+        # DuckDB fetchdf materializes LIST columns as numpy arrays and
+        # scalars as numpy types; fold both into plain Python so cell
+        # equality is well-defined.
+        if getattr(v, "ndim", 0):
+            return tuple(_normalize_cell(x) for x in v.tolist())
+        return _normalize_cell(v.item())
     return v
 
 

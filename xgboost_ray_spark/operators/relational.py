@@ -1370,6 +1370,65 @@ def s24e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_N = 5  # events of history per training example
+
+
+@register(
+    "s24f_user_sequences",
+    oracle=f"""
+    SELECT user_id, event_id, label,
+           array_to_string(hist, ' ') AS hist
+    FROM (
+      SELECT user_id, event_id, event_type AS label,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {HIST_N} PRECEDING AND 1 PRECEDING
+             ) AS hist
+      FROM events
+    )
+    WHERE len(hist) > 0
+    """,
+    doc=f"Sequence-feature construction for behavioral models: each event "
+        f"becomes a training example (label = its type) with the user's "
+        f"previous {HIST_N} event types as an ordered array feature — "
+        "collect_list over a bounded ROWS frame. One window shuffle on "
+        "user_id; the frame bound caps per-row state at N entries, so at "
+        "100 TB the operator streams each user's timeline once and emits "
+        "rows only O(N) wider than the input. Cold-start rows (no "
+        "history) are dropped in both engines. The checked projection "
+        "serializes the array feature as a space-joined string (scalar "
+        "cells hash engine-independently); the array itself is what a "
+        "training pipeline would keep.",
+    tags=("window", "sequence", "pipeline"),
+)
+def s24f_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-HIST_N, -1)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("label"),
+            F.collect_list("event_type").over(w).alias("hist_arr"),
+        )
+        .filter(F.size("hist_arr") > 0)
+        .select(
+            "user_id",
+            "event_id",
+            "label",
+            F.array_join("hist_arr", " ").alias("hist"),
+        )
+    )
+
+
 @register(
     "s09e_quantile_filter",
     oracle="""
