@@ -778,3 +778,15 @@ def test_distribution_ranks_share_one_window_shuffle(spark):
     plan = formatted_plan(df)
     assert plan.count(") Exchange") == 1, plan
     assert has_pushed_filters(df)
+
+
+def test_incremental_neardup_broadcasts_delta_keys(spark):
+    """The day job must never shuffle the stored index against the
+    corpus: the delta's distinct band digests broadcast into the index
+    scan, and the only Exchanges are the touched-bucket group-by, the
+    delta-key distinct (delta-sized), and the final pair distinct."""
+    df = _build(spark, "s26k_incremental_neardup")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count(") Exchange") <= 3, plan
