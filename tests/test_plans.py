@@ -790,3 +790,14 @@ def test_incremental_neardup_broadcasts_delta_keys(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count(") Exchange") <= 3, plan
+
+
+def test_embedding_quantize_zero_corpus_shuffle(spark):
+    """Quantization must be stats-broadcast + narrow transform: the only
+    aggregate is the one-row min/max stats job (its Exchange carries
+    2*dim doubles), and the corpus itself never shuffles."""
+    df = _build(spark, "s27h_embedding_quantize")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan
+    assert plan.count(") Exchange") <= 1, plan
+    assert set(scan_read_schema(df)) <= {"vec_id", "embedding"}
