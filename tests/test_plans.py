@@ -801,3 +801,15 @@ def test_embedding_quantize_zero_corpus_shuffle(spark):
     assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan
     assert plan.count(") Exchange") <= 1, plan
     assert set(scan_read_schema(df)) <= {"vec_id", "embedding"}
+
+
+def test_quantized_topk_broadcasts_both_stages(spark):
+    """Two-stage quantized ANN: stage-1 scores against BROADCAST quantized
+    queries (corpus scan stays put), stage-2 reranks only the broadcast
+    candidate list — no cartesian product, bounded exchange budget (the
+    per-query window ranks and the one-row stats aggregate)."""
+    df = _build(spark, "s27i_quantized_topk")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count(") Exchange") <= 4, plan

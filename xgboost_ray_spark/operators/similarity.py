@@ -670,19 +670,7 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     notes). At 100 TB the q arrays are the artifact a vector index
     stores: 4x smaller than float32, scanned with integer SIMD.
     """
-    dim = 64  # fixture embedding dimension (fixed-width corpus assumed)
-    mins = [F.min(F.element_at("embedding", i + 1)) for i in range(dim)]
-    maxs = [F.max(F.element_at("embedding", i + 1)) for i in range(dim)]
-    stats = emb.agg(
-        F.array(*mins).alias("mn"), F.array(*maxs).alias("mx")
-    )
-    z = "arrays_zip(embedding, mn, mx)"
-    q_expr = (
-        f"transform({z}, s -> CASE WHEN s.mx = s.mn THEN 0 ELSE "
-        f"least(cast(floor((cast(s.embedding as double) - cast(s.mn as double))"
-        f" / (cast(s.mx as double) - cast(s.mn as double)) * {Q_LEVELS}) as bigint),"
-        f" {Q_LEVELS}) END)"
-    )
+    stats = embedding_stats(emb)
     deq_err = (
         f"transform(arrays_zip(q, embedding, mn, mx), s -> CASE WHEN s.mx = s.mn"
         f" THEN abs(cast(s.embedding as double) - cast(s.mn as double)) ELSE"
@@ -693,16 +681,41 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
         f"aggregate({deq_err}, cast(0.0 as double), (acc, v) -> acc + v)"
         f" / size(q)"
     )
+    return quantized_vectors(emb, stats, keep=("embedding", "mn", "mx")).select(
+        "vec_id",
+        F.expr("aggregate(q, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round(F.expr(mae), 6).alias("mae"),
+    )
+
+
+def embedding_stats(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Single-row (mn, mx) per-dimension stats arrays — one
+    partial-aggregated scan emitting 2*dim doubles (fixed-width corpus
+    assumed)."""
+    mins = [F.min(F.element_at("embedding", i + 1)) for i in range(dim)]
+    maxs = [F.max(F.element_at("embedding", i + 1)) for i in range(dim)]
+    return emb.agg(F.array(*mins).alias("mn"), F.array(*maxs).alias("mx"))
+
+
+def quantized_vectors(
+    emb: DataFrame, stats: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, q bigint-array [, keep...]) — the stats row broadcasts,
+    quantization is a narrow per-row transform, the corpus never
+    shuffles."""
+    z = "arrays_zip(embedding, mn, mx)"
+    q_expr = (
+        f"transform({z}, s -> CASE WHEN s.mx = s.mn THEN 0 ELSE "
+        f"least(cast(floor((cast(s.embedding as double) - cast(s.mn as double))"
+        f" / (cast(s.mx as double) - cast(s.mn as double)) * {Q_LEVELS}) as bigint),"
+        f" {Q_LEVELS}) END)"
+    )
     return (
         emb.join(F.broadcast(stats))
         .withColumn("q", F.expr(q_expr))
-        .select(
-            "vec_id",
-            F.expr("aggregate(q, 0L, (acc, v) -> acc + v)").alias("q_sum"),
-            F.array_min("q").alias("q_min"),
-            F.array_max("q").alias("q_max"),
-            F.round(F.expr(mae), 6).alias("mae"),
-        )
+        .select("vec_id", "q", *keep)
     )
 
 
@@ -750,3 +763,106 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
 def s27h_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb)
+
+
+RERANK_CANDS = 20  # stage-1 candidates per query, reranked in float
+
+
+@register(
+    "s27i_quantized_topk",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ), stats AS (
+      SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM flat GROUP BY pos
+    ), q AS (
+      SELECT f.vec_id, f.pos,
+             CASE WHEN s.mx = s.mn THEN 0 ELSE
+               LEAST(CAST(FLOOR((CAST(f.val AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                 / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) * {Q_LEVELS}) AS BIGINT),
+                 {Q_LEVELS}) END AS qv
+      FROM flat f JOIN stats s USING (pos)
+    ), qdots AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+             SUM(a.qv * b.qv) AS qdot
+      FROM q a JOIN q b ON a.pos = b.pos
+      WHERE b.vec_id < 10 AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY qdot DESC, neighbor_id
+        ) AS crk FROM qdots
+      ) WHERE crk <= {RERANK_CANDS}
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(qe.e, ne.e)
+               / (sqrt(list_dot_product(qe.e, qe.e))
+                  * sqrt(list_dot_product(ne.e, ne.e))) AS sim_full
+      FROM cand c
+      JOIN vecs qe ON qe.vec_id = c.query_id
+      JOIN vecs ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_full, 4) AS sim, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim_full DESC, neighbor_id
+      ) AS rk FROM sims
+    )
+    WHERE rk <= {TOP_K}
+    """,
+    doc=f"Two-stage ANN over the int8-quantized index (s27h artifact): "
+        f"stage 1 scores every corpus vector against the broadcast "
+        f"quantized queries with an INTEGER dot product (exact, 4x less "
+        f"memory bandwidth than float32) and keeps {RERANK_CANDS} "
+        f"candidates per query; stage 2 reranks only those in full "
+        f"precision. The production recall/cost dial: corpus scan cost "
+        "is integer SIMD, float math touches candidates only. Zero "
+        "corpus shuffle — candidates broadcast back onto the scan for "
+        "rerank.",
+    tags=("similarity", "embeddings", "quantization"),
+)
+def s27i_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = embedding_stats(emb)
+    qv = quantized_vectors(emb, stats)
+    queries = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    cand = (
+        qv.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .withColumn("qdot", qdot)
+        .withColumn("crk", F.row_number().over(w1))
+        .filter(F.col("crk") <= RERANK_CANDS)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
+    )
+    queries_f = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
+    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("sim_full").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(queries_f), "query_id")
+        .withColumn("sim_full", sim)
+        .withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim_full", 4).alias("sim"), "rk")
+    )
