@@ -441,3 +441,63 @@ def s25j_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("wstart", "event_type", "n", "rk")
     )
+
+
+@register(
+    "s25k_stream_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+        CASE
+          WHEN LAG(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000
+          THEN 1 ELSE 0
+        END AS is_new, value, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM gaps
+    ), agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE FLOOR(epoch_us(session_end) / 1000)
+          < (SELECT FLOOR(MAX(epoch_us(ts)) / 1000) - 600000 FROM events)
+    """,
+    doc="Built-in session_window streaming sessionization (30-min gap, "
+        "10-min watermark, append mode): the DECLARATIVE path for "
+        "gap-only session semantics — Spark merges session state "
+        "internally, no user state function. Append emits exactly the "
+        "sessions whose close boundary (last event + gap) falls under "
+        "the final watermark, giving an exact SQL oracle on a one-batch "
+        "replay. Use s25d's applyInPandasWithState when per-session "
+        "custom logic (running aggregates with business rules, emission "
+        "side outputs) outgrows the built-in; use this when it doesn't — "
+        "the state layout is engine-managed and RocksDB-spillable.",
+    tags=("streaming", "stateful"),
+)
+def s25k_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg, spark, output_mode="append")
