@@ -766,24 +766,44 @@ def s27h_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RERANK_CANDS = 20  # stage-1 candidates per query, reranked in float
+Q_SYM = 127  # symmetric int8 scale for normalized search vectors
+
+
+def search_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, q) — the SEARCH-side int8 index: L2-normalize, then
+    symmetric quantization q_d = floor(x_d / ||x|| * 127).
+
+    Deliberately different from :func:`quantize_embeddings` (the affine
+    STORAGE quantizer): an affine offset distorts inner products, so a
+    dot product of affine codes ranks poorly. Normalizing first makes
+    the integer dot proportional to cosine — the standard int8 ANN
+    index layout. Narrow per-row expression; no stats pass, no shuffle.
+    """
+    nrm = F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    return emb.select("vec_id", "embedding", nrm).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) / nrm"
+            f" * {Q_SYM}) as bigint))"
+        ).alias("q"),
+    )
 
 
 @register(
     "s27i_quantized_topk",
     oracle=f"""
-    WITH flat AS (
+    WITH vecs0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM vecs0
+    ), flat AS (
       SELECT vec_id, unnest(embedding) AS val,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
-    ), stats AS (
-      SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM flat GROUP BY pos
     ), q AS (
       SELECT f.vec_id, f.pos,
-             CASE WHEN s.mx = s.mn THEN 0 ELSE
-               LEAST(CAST(FLOOR((CAST(f.val AS DOUBLE) - CAST(s.mn AS DOUBLE))
-                 / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) * {Q_LEVELS}) AS BIGINT),
-                 {Q_LEVELS}) END AS qv
-      FROM flat f JOIN stats s USING (pos)
+             CAST(FLOOR(CAST(f.val AS DOUBLE) / n.nrm * {Q_SYM}) AS BIGINT) AS qv
+      FROM flat f JOIN norms n USING (vec_id)
     ), qdots AS (
       SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
              SUM(a.qv * b.qv) AS qdot
@@ -815,21 +835,19 @@ RERANK_CANDS = 20  # stage-1 candidates per query, reranked in float
     )
     WHERE rk <= {TOP_K}
     """,
-    doc=f"Two-stage ANN over the int8-quantized index (s27h artifact): "
-        f"stage 1 scores every corpus vector against the broadcast "
-        f"quantized queries with an INTEGER dot product (exact, 4x less "
-        f"memory bandwidth than float32) and keeps {RERANK_CANDS} "
-        f"candidates per query; stage 2 reranks only those in full "
-        f"precision. The production recall/cost dial: corpus scan cost "
-        "is integer SIMD, float math touches candidates only. Zero "
-        "corpus shuffle — candidates broadcast back onto the scan for "
-        "rerank.",
+    doc=f"Two-stage ANN over a symmetric int8 search index (normalize, "
+        f"then q = floor(x/||x||*{Q_SYM}) — affine storage codes would "
+        f"distort the inner product): stage 1 scores every corpus vector "
+        f"against the broadcast quantized queries with an INTEGER dot "
+        f"product (~cosine, quarter the memory bandwidth of float32) and "
+        f"keeps {RERANK_CANDS} candidates per query; stage 2 reranks only "
+        "those in full precision. Zero corpus shuffle — candidates "
+        "broadcast back onto the scan for rerank.",
     tags=("similarity", "embeddings", "quantization"),
 )
 def s27i_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    stats = embedding_stats(emb)
-    qv = quantized_vectors(emb, stats)
+    qv = search_codes(emb)
     queries = qv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
