@@ -14,11 +14,10 @@ reach for which physical strategy against the same `embeddings` table:
      approximate, right at corpus scales where even one exact pass is too
      much: sign-random-projection buckets make candidate sets tiny, and
      recall is tunable via n_planes.
-  4. **Quantized two-stage** (s27i shape, built from `search_codes`:
-     L2-normalize then symmetric int8) — the memory-bandwidth dial: an
-     int8 index scan scores everything with integer dot products
-     (~cosine after normalization), float math touches only the rerank
-     candidates.
+  4. **Quantized two-stage** (`operators.similarity.quantized_topk`) —
+     the memory-bandwidth dial: an int8 index scan scores everything
+     with integer dot products (~cosine after normalization), float
+     math touches only the rerank candidates.
 
 All four return the same shape — (query id, neighbor id, score) — so a
 pipeline can swap strategies per corpus size without touching callers.
@@ -81,46 +80,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     recall = hits / n_exact if n_exact else 0.0
 
     # 4. Quantized two-stage: int8 candidates, float rerank. Near-exact —
-    # measure its recall against the exact path the same way.
-    from xgboost_ray_spark.operators.similarity import _dot, search_codes
-    from pyspark.sql import Window as W
+    # the same (queries, corpus, k) API as the other strategies.
+    from xgboost_ray_spark.operators.similarity import quantized_topk
 
-    qv = search_codes(corpus)
-    qids = [r.vec_id for r in queries.select("vec_id").collect()]
-    qq = qv.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
-    qdot = F.expr(
-        "aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    )
-    w1 = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
-    cand = (
-        qv.join(F.broadcast(qq), F.col("query_id") != F.col("vec_id"))
-        .withColumn("qdot", qdot)
-        .withColumn("crk", F.row_number().over(w1))
-        .filter(F.col("crk") <= 4 * K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    emb_n = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.sqrt(_dot("embedding", "embedding")).alias("cn"),
-    )
-    emb_q = corpus.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
-    )
-    w2 = W.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    quantized = (
-        emb_n.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(emb_q), "query_id")
-        .withColumn("sim", _dot("qe", "ce") / (F.col("qn") * F.col("cn")))
-        .withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= K)
-    )
+    quantized = quantized_topk(queries, corpus, k=K, rerank=4 * K)
     qhits = (
         quantized.join(
             exact.select(

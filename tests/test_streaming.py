@@ -302,3 +302,32 @@ def test_transform_with_state_v2_running_count(spark, tmp_path):
     for r in rows:
         last[r.user_id] = max(last.get(r.user_id, 0), r.n_events)
     assert last == {1: 3, 2: 3}
+
+
+def test_session_window_emits_at_exact_watermark_boundary(spark, tmp_path):
+    """Append-mode session_window emits a session whose close boundary
+    EQUALS the final watermark (verified; the s25k oracle uses '<=' for
+    exactly this reason — strict '<' drops the row). Replay: u1 at t+0,
+    u2 at t+40min -> watermark lands at t+30min == u1's session end."""
+    src = str(tmp_path / "sw_src")
+    _mk_events(spark, [(1, 0, 1, 1.0), (2, 40, 2, 1.0)]).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.end").alias("session_end"), "n_events")
+    )
+    out = run_stream_to_memory(agg, spark, output_mode="append")
+    rows = out.collect()
+    assert any(r.user_id == 1 for r in rows), (
+        "the boundary-aligned session must be emitted: " + str(rows)
+    )

@@ -194,12 +194,28 @@ def minhash_candidate_pairs(
     ``max_bucket``; non-default callers get the cap without the oracle.
     """
     bands = lsh_bands(minhash_signatures(docs))
+    return bucket_pairs(bands, max_bucket=max_bucket, observation=observation)
+
+
+def bucket_pairs(
+    bands: DataFrame,
+    max_bucket: int = MAX_BUCKET_DOCS,
+    observation=None,
+    obs_prefix: str = "minhash_lsh_buckets",
+    pair_predicate: str = "",
+) -> DataFrame:
+    """Capped in-bucket pair expansion over (doc_id, band_id, bv) bands —
+    the shared kernel of the batch (s26b) and incremental (s26k) paths,
+    so the cap/observe guard can never silently diverge between them.
+    ``pair_predicate`` optionally restricts emitted pairs (a SQL boolean
+    over ``p.a``/``p.b``, ANDed with the ``p.a < p.b`` dedup rule)."""
+    extra = f" AND ({pair_predicate})" if pair_predicate else ""
     buckets = (
         bands.groupBy("band_id", "bv")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") > 1)
         .observe(
-            observation if observation is not None else _obs_name("minhash_lsh_buckets"),
+            observation if observation is not None else _obs_name(obs_prefix),
             F.sum(
                 F.when(F.size("ds") > max_bucket, 1).otherwise(0)
             ).alias("mega_buckets_dropped"),
@@ -211,7 +227,7 @@ def minhash_candidate_pairs(
         F.explode(
             F.expr(
                 "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))),"
-                " p -> p.a < p.b)"
+                f" p -> p.a < p.b{extra})"
             )
         ).alias("p")
     )
@@ -340,31 +356,13 @@ def s26k_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_keys = delta_bands.select("band_id", "bv").distinct()
     touched = all_bands.join(F.broadcast(delta_keys), ["band_id", "bv"])
 
-    buckets = (
-        touched.groupBy("band_id", "bv")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .observe(
-            _obs_name("incr_neardup_buckets"),
-            F.sum(
-                F.when(F.size("ds") > MAX_BUCKET_DOCS, 1).otherwise(0)
-            ).alias("mega_buckets_dropped"),
-            F.max(F.size("ds")).alias("max_bucket_size"),
-        )
-        .filter(F.size("ds") <= MAX_BUCKET_DOCS)
+    return bucket_pairs(
+        touched,
+        obs_prefix="incr_neardup_buckets",
+        pair_predicate=(
+            f"p.a % {INCR_DELTA_MOD} = 0 OR p.b % {INCR_DELTA_MOD} = 0"
+        ),
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "filter(flatten(transform(ds, a -> transform(ds, b -> struct(a, b)))),"
-                f" p -> p.a < p.b AND (p.a % {INCR_DELTA_MOD} = 0"
-                f" OR p.b % {INCR_DELTA_MOD} = 0))"
-            )
-        ).alias("p")
-    )
-    return pairs.select(
-        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
-    ).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -244,6 +244,12 @@ def s01f_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must not rewrite the files this DataFrame will read at action time.
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     blob_dir = os.path.join(_SCRATCH, f"doc_blobs_{sf_tag}")
+    # Truncate like Spark's mode('overwrite') would: stale .bin files
+    # from an earlier run (e.g. a larger BINARY_SCAN_DOCS) must not
+    # leak extra rows into the scan.
+    import shutil
+
+    shutil.rmtree(blob_dir, ignore_errors=True)
     os.makedirs(blob_dir, exist_ok=True)
     for row in docs:
         with open(os.path.join(blob_dir, f"doc_{row.doc_id:06d}.bin"), "wb") as f:

@@ -690,10 +690,17 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     )
 
 
-def embedding_stats(emb: DataFrame, dim: int = 64) -> DataFrame:
+def embedding_stats(emb: DataFrame, dim: int | None = None) -> DataFrame:
     """Single-row (mn, mx) per-dimension stats arrays — one
-    partial-aggregated scan emitting 2*dim doubles (fixed-width corpus
-    assumed)."""
+    partial-aggregated scan emitting 2*dim doubles. A fixed-width corpus
+    is assumed; ``dim`` defaults to probing the first row (one tiny
+    driver job) rather than hard-coding a width that would silently
+    null-pad any other corpus."""
+    if dim is None:
+        first = emb.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            raise ValueError("embedding_stats: empty corpus")
+        dim = first.d
     mins = [F.min(F.element_at("embedding", i + 1)) for i in range(dim)]
     maxs = [F.max(F.element_at("embedding", i + 1)) for i in range(dim)]
     return emb.agg(F.array(*mins).alias("mn"), F.array(*maxs).alias("mx"))
@@ -847,8 +854,26 @@ def search_codes(emb: DataFrame) -> DataFrame:
 )
 def s27i_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = search_codes(emb)
-    queries = qv.filter(F.col("vec_id") < 10).select(
+    return quantized_topk(emb.filter(F.col("vec_id") < 10), emb)
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = TOP_K,
+    rerank: int = RERANK_CANDS,
+) -> DataFrame:
+    """Two-stage ANN: symmetric int8 candidates, float rerank.
+
+    ``queries``/``corpus``: (vec_id, embedding) frames, same shape as
+    :func:`cosine_topk` — the fourth swappable strategy beside exact
+    JVM, GEMM, and LSH. Stage 1 broadcasts the queries' search codes
+    against the corpus codes (integer dot ~ cosine after
+    normalization); stage 2 reranks the ``rerank`` candidates per query
+    in full precision. Self-matches are excluded like cosine_topk.
+    """
+    qv = search_codes(corpus)
+    qq = search_codes(queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
     qdot = F.expr(
@@ -856,18 +881,18 @@ def s27i_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w1 = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
     cand = (
-        qv.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        qv.join(F.broadcast(qq), F.col("query_id") != F.col("vec_id"))
         .withColumn("qdot", qdot)
         .withColumn("crk", F.row_number().over(w1))
-        .filter(F.col("crk") <= RERANK_CANDS)
+        .filter(F.col("crk") <= rerank)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    corpus = emb.select(
+    cside = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.sqrt(_dot("embedding", "embedding")).alias("cn"),
     )
-    queries_f = emb.filter(F.col("vec_id") < 10).select(
+    qside = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.sqrt(_dot("embedding", "embedding")).alias("qn"),
@@ -877,10 +902,10 @@ def s27i_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim_full").desc(), F.col("neighbor_id")
     )
     return (
-        corpus.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(queries_f), "query_id")
+        cside.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
         .withColumn("sim_full", sim)
         .withColumn("rk", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_full", 4).alias("sim"), "rk")
     )

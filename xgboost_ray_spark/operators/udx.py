@@ -199,8 +199,11 @@ def _norm_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBat
         # reduceat adds each segment left-to-right — the same order
         # DuckDB's list_sum folds, keeping the doubles bit-comparable
         # (final round(4) absorbs numpy-vs-engine last-ulp anyway).
-        sums = np.add.reduceat(sq, starts)
-        sums[lens == 0] = 0.0  # reduceat misbehaves on empty segments
+        # Pad one zero so a TRAILING empty segment (start == len(sq))
+        # stays in bounds — reduceat raises on it otherwise; a non-empty
+        # last segment just adds +0.0.
+        sums = np.add.reduceat(np.append(sq, 0.0), starts)
+        sums[lens == 0] = 0.0  # reduceat yields sq[start], not 0, there
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("vec_id"),

@@ -469,8 +469,11 @@ def s25j_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_start, session_end, n_events
     FROM agg
+    -- '<=': Spark append mode emits a session whose close boundary
+    -- EQUALS the final watermark (verified empirically with a
+    -- boundary-aligned replay); strict '<' would drop that row.
     WHERE FLOOR(epoch_us(session_end) / 1000)
-          < (SELECT FLOOR(MAX(epoch_us(ts)) / 1000) - 600000 FROM events)
+          <= (SELECT FLOOR(MAX(epoch_us(ts)) / 1000) - 600000 FROM events)
     """,
     doc="Built-in session_window streaming sessionization (30-min gap, "
         "10-min watermark, append mode): the DECLARATIVE path for "
