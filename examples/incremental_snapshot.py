@@ -72,18 +72,43 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     stored_partial = partial_agg(base).collect()  # "few KB" — a real job
     # would write this to a table; collect keeps the example observable.
 
-    # 2. The day's CDC feed: next week's orders as upserts; every 10th
-    # key deletes instead (same deterministic arithmetic as s06c).
-    feed = (
+    # 2. The day's CDC feed: next week's orders as INSERTS (keys disjoint
+    # from base — o_orderkey is unique), PLUS genuine changes to BASE
+    # keys so the retraction path is actually exercised: every 7th base
+    # key arrives as an update (+100.00, and every other one also moves
+    # to a different priority group) or as a delete. Without the base
+    # overlap the retract/delete branches would run on provably empty
+    # sets and the equality assert below would prove nothing.
+    inserts = (
         orders.filter(
             (F.col("o_orderdate") >= cutoff) & (F.col("o_orderdate") < feed_end)
         )
         .drop("o_orderdate")
+        .withColumn("op", F.lit("U"))
+    )
+    base_changes = (
+        base.filter(F.col("o_orderkey") % 7 == 3)
         .withColumn(
             "op",
-            F.when(F.col("o_orderkey") % 10 == 0, F.lit("D")).otherwise(F.lit("U")),
+            F.when(F.col("o_orderkey") % 21 == 3, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("op") == "U", F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                (F.col("op") == "U") & (F.col("o_orderkey") % 14 == 3),
+                F.lit("1-URGENT"),  # cross-group move: retract from old
+            ).otherwise(F.col("o_orderpriority")),
         )
     )
+    feed = inserts.unionByName(base_changes)
 
     # 3. MERGE: full-outer on the key; change rows win, deletes drop out.
     ch = feed.select(
@@ -138,6 +163,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     maintained = {k: (n, t) for k, (n, t) in maintained.items() if n > 0}
 
     # 5. Proof: the maintained partial == full recompute over the merge.
+    # Guard against vacuity first — the retraction/delete branches must
+    # have processed real rows, or the equality would prove nothing.
+    n_retracts = retract.count()
+    n_deletes = feed.filter(F.col("op") == "D").count()
+    assert n_retracts > 0, "retraction branch ran on an empty set"
+    assert n_deletes > 0, "delete branch ran on an empty set"
     recomputed = {
         r["o_orderpriority"]: (r["n"], r["total"])
         for r in partial_agg(merged).collect()
@@ -148,6 +179,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "base_rows": base.count(),
         "merged_rows": merged.count(),
         "groups": len(recomputed),
+        "retracted": n_retracts,
+        "deleted": n_deletes,
     }
     print(summary)
     return summary

@@ -405,10 +405,19 @@ def test_having_join_aggregates_before_joining(spark):
     """Q18: the HAVING aggregate must reduce lineitem to qualifying keys
     BEFORE the orders/customer joins — the only shuffle is the orderkey
     aggregation; the joins build on the tiny survivor side."""
+    import re
+
     plan = formatted_plan(_build(spark, "s12b_having_join"))
-    agg_pos = plan.find("HashAggregate")
-    join_pos = plan.find("Join")
-    assert 0 <= agg_pos and 0 <= join_pos
+    # Formatted-plan node ids number the operators in EXECUTION order
+    # (children lower than parents), so aggregate-before-join means the
+    # first HashAggregate id is smaller than every Join id.
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    join_ids = [int(m) for m in re.findall(r"Join \w+ \w+ \((\d+)\)", plan)]
+    assert agg_ids and join_ids, plan
+    assert min(agg_ids) < min(join_ids), (
+        f"aggregate (node {min(agg_ids)}) must execute before the first "
+        f"join (node {min(join_ids)})"
+    )
     assert plan.count(") Exchange") <= 1, "joins must not add shuffles"
 
 

@@ -331,3 +331,38 @@ def test_session_window_emits_at_exact_watermark_boundary(spark, tmp_path):
     assert any(r.user_id == 1 for r in rows), (
         "the boundary-aligned session must be emitted: " + str(rows)
     )
+
+
+def test_cdc_snapshot_sink_recovers_from_disk_after_restart(spark, tmp_path):
+    """The versioned MERGE sink must survive a driver restart: the merge
+    base is recovered from disk, so a replayed batch (same batch_id,
+    fresh driver with no in-memory state) merges against the snapshot
+    BELOW it and rewrites its own output idempotently — no earlier keys
+    are lost."""
+    from xgboost_ray_spark.streaming.queries import snapshot_merge_sink
+
+    snaps = str(tmp_path / "snaps")
+    import os
+
+    os.makedirs(snaps)
+
+    def ev(rows):
+        # latest_per_key expects the events schema incl. event_type.
+        return _mk_events(spark, rows).withColumn(
+            "event_type", F.lit("click")
+        )
+
+    merge, committed = snapshot_merge_sink(snaps)
+    merge(ev([(1, 0, 1, 1.0), (2, 1, 2, 2.0)]), 0)       # batch 0
+    merge(ev([(1, 10, 3, 3.0)]), 1)                       # batch 1
+    # -- driver crash: a NEW sink instance (no shared memory) replays
+    # batch 1, then continues with batch 2.
+    merge2, committed2 = snapshot_merge_sink(snaps)
+    merge2(ev([(1, 10, 3, 3.0)]), 1)                      # replay of batch 1
+    merge2(ev([(3, 20, 4, 4.0)]), 2)                      # batch 2
+    assert committed2() == [0, 1, 2]
+    final = spark.read.parquet(os.path.join(snaps, "v2"))
+    rows = {r.user_id: (r.event_id, r.value) for r in final.collect()}
+    # user 2 arrived only in batch 0 — it must survive the replay;
+    # user 1's latest is batch 1's event 3; user 3 is batch 2's.
+    assert rows == {1: (3, 3.0), 2: (2, 2.0), 3: (4, 4.0)}

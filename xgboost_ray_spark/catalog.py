@@ -50,8 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = normalize_event_ts(df)
+        df = _fold_nanos_ts(df)
+    # Single NTZ-cast site: normalize_event_ts's legacy nanos fold above
+    # never produces NTZ, so one normalize_timestamps covers every table.
     return normalize_timestamps(df)
+
+
+def _fold_nanos_ts(df: DataFrame) -> DataFrame:
+    """ns->us fold only (TIMESTAMP(NANOS) read as long under nanosAsLong);
+    integer floor division matches DuckDB's nanos truncation exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -60,13 +73,9 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     The testdata has shipped ts as TIMESTAMP(NANOS) — read as a long under
     nanosAsLong; converted ns -> us with integer floor division, exactly
     DuckDB's nanos truncation — and, since the 2026-08-13 regen, as naive
-    TIMESTAMP(MICROS) (handled by :func:`normalize_timestamps`)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return normalize_timestamps(df)
+    TIMESTAMP(MICROS) (the NTZ cast). Public entry point for streaming
+    readers; ``load_table`` composes the same two steps itself."""
+    return normalize_timestamps(_fold_nanos_ts(df))
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:

@@ -52,8 +52,6 @@ def gemm_topk(
     qm = np.ascontiguousarray(np.asarray(queries, dtype=np.float64))
     if qm.ndim != 2:
         raise ValueError(f"queries must be 2-D (Q, dim), got {qm.shape}")
-    qnorm = np.linalg.norm(qm, axis=1)
-    qnorm[qnorm == 0.0] = 1.0
     n_q = qm.shape[0]
     bq = df.sparkSession.sparkContext.broadcast(qm)
 
@@ -61,7 +59,11 @@ def gemm_topk(
         q = bq.value
         qn = np.linalg.norm(q, axis=1)
         qn[qn == 0.0] = 1.0
-        # per-query min-heap of (cos, vec_id): partition-local top-k
+        # Per-query min-heap of (cos, -vec_id): partition-local top-k.
+        # vec_id is NEGATED so a cosine tie at the heap root prefers the
+        # SMALLEST id — the same tie-break the final window (and the
+        # exact JVM path) applies; (cos, vec_id) would evict the id the
+        # window wants to keep.
         heaps: list[list[tuple[float, int]]] = [[] for _ in range(n_q)]
         for pdf in batches:
             if len(pdf) == 0:
@@ -80,16 +82,16 @@ def gemm_topk(
                     cand = range(sims.shape[1])
                 heap = heaps[qi]
                 for j in cand:
-                    item = (float(row[j]), int(ids[j]))
+                    item = (float(row[j]), -int(ids[j]))
                     if len(heap) < k:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:
                         heapq.heappushpop(heap, item)
         out_q, out_id, out_cos = [], [], []
         for qi, heap in enumerate(heaps):
-            for cos, vid in heap:
+            for cos, neg_vid in heap:
                 out_q.append(qi)
-                out_id.append(vid)
+                out_id.append(-neg_vid)
                 out_cos.append(cos)
         yield pd.DataFrame(
             {"query_id": pd.Series(out_q, dtype="int64"),

@@ -839,7 +839,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
         # on the previous round's; by ~5 rounds recompute-on-eviction and
         # planning time both blow up. localCheckpoint severs the chain.
         if (it + 1) % 5 == 0:
-            labels = prev_labels = labels.localCheckpoint(eager=True)
+            checkpointed = labels.localCheckpoint(eager=True)
+            # The checkpoint owns its own blocks — release the persisted
+            # pre-checkpoint frame NOW, or its only reference is lost and
+            # the next round's unpersist() hits the checkpoint wrapper (a
+            # no-op), leaking one cached labels table per 5 rounds.
+            labels.unpersist()
+            labels = prev_labels = checkpointed
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_root"))
 

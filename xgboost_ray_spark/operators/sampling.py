@@ -494,7 +494,8 @@ _NEG_STEP = 2654435761
     WITH n AS (SELECT COUNT(*) AS c FROM documents),
     negs AS (
       SELECT doc_id, j,
-             (doc_id * {_NEG_MULT} + j * {_NEG_STEP}) % c AS neg_id
+             CAST((doc_id::DECIMAL(38,0) * {_NEG_MULT} + j * {_NEG_STEP})
+                  % c AS BIGINT) AS neg_id
       FROM documents
       CROSS JOIN n
       CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j)
@@ -534,10 +535,20 @@ def s31g_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("j").cast("int").alias("neg_rank"),
+            # DECIMAL(38,0) keeps doc_id * MULT exact for any real id
+            # space — int64 would wrap above doc_id ~8.4e9 (silently in
+            # Spark, an error in DuckDB), producing negative neg_ids
+            # that match nothing and quietly starve anchors of
+            # negatives.
             (
-                (F.col("doc_id") * _NEG_MULT + F.col("j") * _NEG_STEP)
+                (
+                    F.col("doc_id").cast("decimal(38,0)") * _NEG_MULT
+                    + F.col("j").cast("decimal(38,0)") * _NEG_STEP
+                )
                 % F.col("c")
-            ).alias("neg_id"),
+            )
+            .cast("bigint")
+            .alias("neg_id"),
         )
         .filter(F.col("neg_id") != F.col("doc_id"))
     )

@@ -295,6 +295,57 @@ def s25h_file_sink_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("event_id", "user_id", "value", "day")
 
 
+def latest_per_key(df: DataFrame) -> DataFrame:
+    """(user_id, latest row) — struct max orders by (ts, event_id, ...);
+    event_id is unique, so the reduction is total-order deterministic."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+    )
+
+
+def snapshot_merge_sink(snaps: str):
+    """Disk-recovering versioned-snapshot MERGE sink for ``foreachBatch``.
+
+    Returns ``(merge, committed_versions)``. ``merge(batch, batch_id)``
+    reduces the batch per key, unions it with the newest COMMITTED
+    snapshot below ``batch_id`` recovered from DISK (never driver
+    memory, never its own possibly-partial output), and overwrites
+    ``snaps/v{batch_id}``. A post-crash checkpoint replay of the same
+    batch therefore merges against the same base and rewrites the same
+    dir — idempotent, exactly-once across restarts. Dirs without
+    ``_SUCCESS`` (a crash mid-write) are skipped by recovery.
+    """
+    import os
+
+    def committed_versions() -> list[int]:
+        out = []
+        for d in os.listdir(snaps):
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and os.path.exists(os.path.join(snaps, d, "_SUCCESS"))
+            ):
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        upd = latest_per_key(batch)
+        prior_vs = [v for v in committed_versions() if v < batch_id]
+        if prior_vs:
+            prior = batch.sparkSession.read.parquet(
+                os.path.join(snaps, f"v{prior_vs[-1]}")
+            )
+            upd = latest_per_key(prior.unionByName(upd))
+        upd.write.mode("overwrite").parquet(os.path.join(snaps, f"v{batch_id}"))
+
+    return merge, committed_versions
+
+
+
 @register(
     "s25i_stream_cdc_upsert",
     oracle="""
@@ -313,10 +364,13 @@ def s25h_file_sink_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source files consumed one per microbatch (maxFilesPerTrigger=1), "
         "and a foreachBatch merge maintains a latest-row-per-user "
         "snapshot across batches — each batch reduces to its per-key max "
-        "(ts, event_id) struct, unions with the prior snapshot, and "
-        "re-reduces, writing a batchId-versioned snapshot dir so a "
-        "replayed batch overwrites its own output (idempotent, "
-        "exactly-once with the checkpoint). The keyed-merge shape is "
+        "(ts, event_id) struct, unions with the prior snapshot "
+        "(recovered from disk — the newest committed version below the "
+        "current batchId, so a post-crash replay merges against the "
+        "right base), and re-reduces, writing a batchId-versioned "
+        "snapshot dir so a replayed batch overwrites its own output "
+        "(idempotent, exactly-once with the checkpoint). "
+        "The keyed-merge shape is "
         "MERGE INTO without a table format; at 100 TB the snapshot "
         "would be bucketed by user_id so each microbatch shuffles only "
         "the delta. Oracle: last event per user over the whole table.",
@@ -346,25 +400,7 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         4
     ).write.mode("overwrite").parquet(src)
 
-    def latest_per_key(df: DataFrame) -> DataFrame:
-        # struct max orders by (ts, event_id, ...) — event_id is unique,
-        # so the reduction is total-order deterministic.
-        return (
-            df.groupBy("user_id")
-            .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
-            .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
-        )
-
-    state = {"latest": None}
-
-    def merge(batch: DataFrame, batch_id: int) -> None:
-        upd = latest_per_key(batch)
-        if state["latest"] is not None:
-            prior = batch.sparkSession.read.parquet(state["latest"])
-            upd = latest_per_key(prior.unionByName(upd))
-        out = os.path.join(snaps, f"v{batch_id}")
-        upd.write.mode("overwrite").parquet(out)
-        state["latest"] = out
+    merge, committed_versions = snapshot_merge_sink(snaps)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -384,7 +420,8 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
 
-    final = spark.read.parquet(state["latest"])
+    latest = committed_versions()[-1]
+    final = spark.read.parquet(os.path.join(snaps, f"v{latest}"))
     return final.select(
         "user_id",
         F.col("event_type").alias("last_type"),
