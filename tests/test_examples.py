@@ -53,3 +53,12 @@ def test_similarity_search(spark):
     out = main()
     assert out["exact"] == out["gemm"] == 20
     assert 0.0 <= out["recall"] <= 1.0
+
+
+def test_continuous_corpus(spark):
+    """The incremental curation loop self-verifies: near-dup pairs found
+    against the STORED index, duplicate delta docs dropped, band index
+    appended, refreshed ANN serves k neighbors per query."""
+    summary = _load("continuous_corpus").main()
+    assert summary["delta_dropped"] > 0
+    assert summary["index_rows"] > summary["base_docs"]
