@@ -1,0 +1,91 @@
+"""Unit tests for the reusable as-of join — each case is a bug the naive
+union+window spelling had: chimera fills from mixed right rows, NULL
+right-times acting as universal matches, and nondeterministic time ties."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from xgboost_ray_spark.operators.joins import asof_join
+
+
+def _left(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "lt", "lid"])
+    )
+
+
+def _right(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "rt", "price", "qty"]).astype(
+            {"price": "float64"}
+        )
+    )
+
+
+def test_attached_values_come_from_one_right_row(spark):
+    """A NULL field in the matched right row must stay NULL — not be
+    backfilled from an older right row (the per-column last(ignorenulls)
+    chimera)."""
+    left = _left(spark, [(1, 3, 100)])
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1], "rt": [1, 2], "price": [10.0, 20.0],
+             "qty": [5.0, None]}
+        )
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["price", "qty"], tiebreak=["rt"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].price == 20.0
+    assert out[0].qty is None, "qty must come from the t=2 row (NULL)"
+
+
+def test_null_right_time_never_matches(spark):
+    """A right row with NULL time is not 'earliest' — it matches nothing."""
+    left = _left(spark, [(1, 5, 100)])
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "rt": [None, 7], "price": [99.0, 1.0],
+                      "qty": [0.0, 0.0]})
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["price"], tiebreak=["rt"],
+    ).collect()
+    assert len(out) == 1
+    # rt=7 > lt=5 and rt=NULL is dropped -> no match at all.
+    assert out[0].price is None
+
+
+def test_time_ties_break_deterministically(spark):
+    """Right rows sharing (k, rt) must resolve by the tiebreak column —
+    identical results under any partitioning."""
+    left = _left(spark, [(1, 5, 100)])
+    rows = [(1, 5, float(p), 0.0) for p in (7, 3, 9, 1)]
+    right = _right(spark, rows)
+    for parts in (1, 4, 7):
+        out = asof_join(
+            left.repartition(parts), right.repartition(parts),
+            on="k", left_time="lt", right_time="rt",
+            right_cols=["price"], tiebreak=["price"],
+        ).collect()
+        assert out[0].price == 9.0, "max tiebreak value must win"
+
+
+def test_inclusive_boundary_and_basic_attach(spark):
+    """rt == lt matches (as-of is <=); the latest earlier row wins."""
+    left = _left(spark, [(1, 2, 100), (1, 10, 101), (2, 1, 102)])
+    right = _right(
+        spark, [(1, 2, 20.0, 0.0), (1, 7, 70.0, 0.0), (2, 5, 50.0, 0.0)]
+    )
+    out = {
+        r.lid: r.price
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_cols=["price"], tiebreak=["rt"],
+        ).collect()
+    }
+    assert out == {100: 20.0, 101: 70.0, 102: None}

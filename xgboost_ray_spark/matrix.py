@@ -97,10 +97,15 @@ class MatrixSpec:
         return roles
 
     def features_of(self, df: DataFrame) -> list[str]:
-        """Feature columns, input order preserved (matrix.py:345-347)."""
+        """Feature columns, input order preserved (matrix.py:345-347).
+
+        This module's own sharding metadata (``__shard__``,
+        ``__row_id__``) is never a feature — without the exclusion a
+        sharded frame would silently train on the row index and shard
+        rank, a leaky unbounded feature."""
         if self.feature_cols is not None:
             return list(self.feature_cols)
-        roles = self.role_cols()
+        roles = self.role_cols() | {SHARD_COL, ROW_ID_COL}
         return [c for c in df.columns if c not in roles]
 
     def prepare(self, df: DataFrame) -> DataFrame:
@@ -130,12 +135,17 @@ def _with_contiguous_index(df: DataFrame, idx_col: str) -> DataFrame:
     assumes the input recomputes deterministically between the count job and
     the main job (true for file scans and deterministic lineage).
     """
-    tagged = df.withColumn("__pid__", F.spark_partition_id()).withColumn(
-        "__mid__", F.monotonically_increasing_id()
+    # Collision-safe temp names: clobbering a caller's identically-named
+    # column (then dropping it below) would silently destroy data.
+    pid_c, mid_c = "__pid__", "__mid__"
+    while pid_c in df.columns or mid_c in df.columns:
+        pid_c, mid_c = pid_c + "x", mid_c + "x"
+    tagged = df.withColumn(pid_c, F.spark_partition_id()).withColumn(
+        mid_c, F.monotonically_increasing_id()
     )
     counts = {
-        r["__pid__"]: r["count"]
-        for r in tagged.groupBy("__pid__").count().collect()
+        r[pid_c]: r["count"]
+        for r in tagged.groupBy(pid_c).count().collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -144,13 +154,13 @@ def _with_contiguous_index(df: DataFrame, idx_col: str) -> DataFrame:
     omap = F.create_map(
         *[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off]
     )
-    w = Window.partitionBy("__pid__").orderBy("__mid__")
+    w = Window.partitionBy(pid_c).orderBy(mid_c)
     return (
         tagged.withColumn(
             idx_col,
-            (omap[F.col("__pid__")] + F.row_number().over(w) - 1).cast("long"),
+            (omap[F.col(pid_c)] + F.row_number().over(w) - 1).cast("long"),
         )
-        .drop("__pid__", "__mid__")
+        .drop(pid_c, mid_c)
     )
 
 
@@ -189,10 +199,15 @@ def shard(df: DataFrame, num_shards: int, mode: ShardingMode = ShardingMode.INTE
         col = order_col
         out = df
         if col is None:
-            col = "__row_id__"
+            # Collision-safe temp name — hardcoding ROW_ID_COL here would
+            # clobber (and then drop) the row-id column of an already-
+            # sharded input, breaking its combine_data round trip.
+            col = "__batch_ord__"
+            while col in df.columns:
+                col += "x"
             out = df.withColumn(col, F.monotonically_increasing_id())
         out = out.repartitionByRange(num_shards, F.col(col))
-        return out.drop("__row_id__") if order_col is None else out
+        return out.drop(col) if order_col is None else out
     # FIXED: trust current placement; only adjust the partition count.
     return df.coalesce(num_shards)
 

@@ -207,6 +207,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_cols: list[str],
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` within the same ``on`` key.
@@ -214,33 +215,59 @@ def asof_join(
     Implemented as union + window ``last_value(ignorenulls)`` ordered by
     time: one shuffle on ``on``, linear scan within partitions — no range
     cross-join blowup at scale.
+
+    Correctness details a naive union+window spelling gets wrong (each
+    was a real bug once):
+      * right columns travel as ONE struct, so the attached values all
+        come from the SAME right row — per-column last(ignorenulls)
+        would backfill a NULL field from an older row, fabricating a
+        row that never existed;
+      * right rows with a NULL ``right_time`` are dropped up front —
+        under nulls-first ascending order they would otherwise become a
+        universal fallback match;
+      * ``tiebreak`` columns (right-side) order right rows sharing the
+        same (on, right_time); pass the right side's unique key for a
+        deterministic result — the repo-wide determinism policy.
     """
-    # Align schemas: left rows carry null right_cols, right rows carry null left cols.
-    right_types = dict(right.dtypes)
     left_types = dict(left.dtypes)
+    struct_cols = list(dict.fromkeys([*(tiebreak or []), *right_cols]))
     lt = left.select(
         on,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         *[c for c in left.columns if c != on],
-        *[F.lit(None).cast(right_types[c]).alias(c) for c in right_cols],
+        F.lit(None)
+        .cast(
+            f"struct<{', '.join(f'{c}: {dict(right.dtypes)[c]}' for c in struct_cols)}>"
+        )
+        .alias("__r"),
     )
-    rt = right.select(
+    rt = right.filter(F.col(right_time).isNotNull()).select(
         on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left.columns if c != on],
-        *right_cols,
+        F.struct(*struct_cols).alias("__r"),
     )
     merged = lt.unionByName(rt)
+    # __side separates rights (0) from lefts (1) at equal time — rights
+    # first, so the as-of is inclusive (<=). The tiebreak then orders
+    # right rows sharing (on, __t); the last one (max tiebreak) wins.
+    # Left rows carry null tiebreak values but are already past the
+    # __side key, so their relative order is irrelevant.
+    order = [F.col("__t").asc(), F.col("__side").asc()] + [
+        F.col("__r")[c].asc() for c in (tiebreak or [])
+    ]
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    merged = merged.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    out = merged.filter(F.col("__side") == 1)
     for c in right_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("__side") == 1).drop("__t", "__side")
+        out = out.withColumn(c, F.col("__r")[c])
+    return out.drop("__t", "__side", "__r")
 
 
 # ---------------------------------------------------------------------------
@@ -336,39 +363,23 @@ def s08b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") < 500)
         .select("event_id", "user_id", "ts")
     )
+    # Deterministic as-of via the reusable helper: latest o_orderdate <=
+    # ts, max orderkey on date ties (tiebreak ascending -> last wins).
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_orderkey"
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_orderkey"),
     )
-    # Deterministic as-of: latest o_orderdate <= ts, max orderkey on date ties.
-    lt = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("__t"),
-        F.lit(1).alias("__side"),
-        "event_id",
-        F.lit(None).cast("timestamp").alias("odate"),
-        F.lit(None).cast("bigint").alias("okey"),
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["last_orderkey"],
+        tiebreak=["last_orderkey"],
     )
-    rt = orders.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("__t"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.col("o_orderdate").alias("odate"),
-        F.col("o_orderkey").alias("okey"),
-    )
-    w = (
-        W.partitionBy("k")
-        # right rows first within equal times; among equal-date orders keep
-        # max orderkey by ordering ascending (last wins)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("okey").asc_nulls_first())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = lt.unionByName(rt).withColumn(
-        "last_orderkey", F.last("okey", ignorenulls=True).over(w)
-    )
-    return merged.filter(F.col("__side") == 1).select(
-        "event_id", F.col("k").alias("user_id"), "last_orderkey"
-    )
+    return out.select("event_id", "user_id", "last_orderkey")
 
 
 # ---------------------------------------------------------------------------

@@ -166,20 +166,29 @@ def s14b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S16 — Top-k per group
 # ---------------------------------------------------------------------------
 def top_k_per_group(
-    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Generic top-k per group via row_number ≤ k.
 
     One shuffle on the group key; at scale Spark evaluates the rank with a
-    partial sort, and AQE handles group-key skew.  ``order_cols`` must be a
-    total order for deterministic output.
+    partial sort (WindowGroupLimit pushes the k-bound below the shuffle),
+    and AQE handles group-key skew.  ``order_cols`` must be a total order
+    for deterministic output.  Pass ``rank_col`` to keep the 1-based rank
+    in the output (dropped otherwise).
     """
+    keep = rank_col is not None
+    rc = rank_col or "__rn"
+    while not keep and rc in df.columns:
+        rc += "x"
     w = W.partitionBy(*group_cols).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    out = df.withColumn(rc, F.row_number().over(w).cast("bigint")).filter(
+        F.col(rc) <= k
     )
+    return out if keep else out.drop(rc)
 
 
 @register(
@@ -204,12 +213,12 @@ def s16_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_orderkey", "o_totalprice"
     )
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 5)
+    return top_k_per_group(
+        orders,
+        group_cols=["o_orderpriority"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+        rank_col="rk",
     )
 
 
