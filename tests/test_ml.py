@@ -157,6 +157,43 @@ def test_eval_sets_recorded(spark):
     assert 0.0 <= metric_vals[0] <= 1.0
 
 
+def test_multiclass_eval_sets_use_multiclass_evaluator(spark):
+    """evals with a multi-class objective must not crash on the binary
+    AUC evaluator (rawPrediction length 3 != 2) — the multiclass branch
+    records mlogloss instead."""
+    df = fourclass_frame(spark)
+    spec = MatrixSpec(
+        label_cols=("label",), feature_cols=("f0", "f1", "f2", "f3")
+    )
+    result = train(
+        {"objective": "multi:softprob", "num_class": 4},
+        df,
+        spec,
+        num_boost_round=5,
+        evals=[(df, "train")],
+    )
+    assert "mlogloss" in result.evals_result["train"]
+    assert result.evals_result["train"]["mlogloss"][0] >= 0.0
+
+
+def test_classifier_refit_resets_objective(spark):
+    """sklearn refit semantics: a multi-class fit must not leak
+    multi:softprob into a later binary refit of the same instance."""
+    est = SparkXGBClassifier(n_estimators=4, max_depth=3)
+    est.fit(fourclass_frame(spark), "label",
+            feature_cols=["f0", "f1", "f2", "f3"])
+    assert est._objective == "multi:softprob"
+    est.fit(learnable_frame(spark), "label", feature_cols=["x1", "x2"])
+    assert est._objective == "binary:logistic"
+    assert est.n_classes_ == 2
+
+
+def test_predict_before_fit_raises_cleanly(spark):
+    df = learnable_frame(spark)
+    with pytest.raises(RuntimeError, match="not fitted"):
+        SparkXGBRegressor().predict(df)
+
+
 def test_checkpoint_save_and_reload(spark, tmp_path):
     df = learnable_frame(spark)
     spec = MatrixSpec(label_cols=("label",), feature_cols=("x1", "x2"))

@@ -366,3 +366,25 @@ def test_cdc_snapshot_sink_recovers_from_disk_after_restart(spark, tmp_path):
     # user 2 arrived only in batch 0 — it must survive the replay;
     # user 1's latest is batch 1's event 3; user 3 is batch 2's.
     assert rows == {1: (3, 3.0), 2: (2, 2.0), 3: (4, 4.0)}
+
+
+def test_late_event_does_not_kill_stateful_query(spark, tmp_path):
+    """applyInPandasWithState does NOT drop late rows: a batch arriving
+    entirely below the watermark must not crash the query with
+    INVALID_TIMEOUT_TIMESTAMP — the open session's timeout clamps to
+    just above the watermark and closes on the next advance."""
+    out = _run_batches(
+        spark,
+        tmp_path,
+        [
+            # watermark after batch 1: minute 100 - 10 = 90
+            [(1, 0, 1, 1.0), (2, 100, 2, 2.0)],
+            # batch 2 is entirely LATE for a new user (minute 10 << 90):
+            # its session timeout (10 + 30 = 40) is below the watermark
+            [(3, 10, 3, 3.0)],
+        ],
+    )
+    rows = out.collect()  # must not raise StreamingQueryException
+    # user 1's session (timeout at minute 30 < watermark 90) was emitted
+    # by the event-time timeout path.
+    assert any(r.user_id == 1 for r in rows)

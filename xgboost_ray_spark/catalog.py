@@ -28,6 +28,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Repo-local scratch root for operators that materialize artifacts
+# (indexes, compacted files, stream sinks). Derived from this file's
+# location so a relocated checkout keeps working; single definition so
+# the path can't drift between modules.
+SCRATCH_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")

@@ -40,12 +40,6 @@ from xgboost_ray_spark.matrix import MatrixSpec
 from xgboost_ray_spark.ml.params import GBTParams
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("", 0))
-        return s.getsockname()[1]
-
-
 def load_checkpoint(
     ckpt_path: str | None, num_boost_round: int
 ) -> tuple[bytes | None, int]:
@@ -185,9 +179,20 @@ def train_barrier(
         )
         tracker.start()
         tracker_args = tracker.worker_args()
-        return _run_barrier_job(
-            prev_model_bytes, rounds_left, done_before, tracker_args
-        )
+        try:
+            return _run_barrier_job(
+                prev_model_bytes, rounds_left, done_before, tracker_args
+            )
+        finally:
+            # Reap the tracker whether the attempt succeeded or died —
+            # otherwise every retry leaks a tracker thread and its bound
+            # socket, and a lingering non-daemon thread can keep the
+            # driver process alive (reference pattern: start -> join,
+            # main.py:256-290).
+            try:
+                tracker.wait_for(30)
+            except Exception:
+                pass  # a dead ring never reports in; the thread times out
 
     def _run_barrier_job(prev_model_bytes, rounds_left, done_before, tracker_args):
         def run_partition(batches):

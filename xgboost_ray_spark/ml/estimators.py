@@ -115,6 +115,8 @@ class _BaseEstimator:
         return self._result.evals_result
 
     def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        if self._result is None:
+            raise RuntimeError("estimator is not fitted")
         return _predict(self._result, df, self._spec, output_col=output_col)
 
 
@@ -132,10 +134,14 @@ class SparkXGBClassifier(_BaseEstimator):
     def fit(self, df: DataFrame, label_col: str, **kw) -> "SparkXGBClassifier":
         # n_classes_ detection (sklearn.py:704-719): switch to the
         # multi-class objective when the label has >2 distinct values.
+        # Re-derived on EVERY fit (sklearn refit semantics): a previous
+        # multi-class fit must not leak multi:softprob into a later
+        # binary fit of the same instance.
         n_classes = df.select(label_col).distinct().count()
         self.n_classes_ = n_classes
-        if n_classes > 2:
-            self._objective = "multi:softprob"
+        self._objective = (
+            "multi:softprob" if n_classes > 2 else type(self)._objective
+        )
         return super().fit(df, label_col, **kw)
 
     def _xgb_params(self) -> dict:

@@ -249,16 +249,29 @@ def train(
     if evals:
         from pyspark.ml.evaluation import (
             BinaryClassificationEvaluator,
+            MulticlassClassificationEvaluator,
             RegressionEvaluator,
         )
 
+        # BinaryClassificationEvaluator rejects rawPrediction vectors of
+        # length > 2, so multi-class objectives need the multiclass
+        # evaluator (logloss, matching xgboost's default mlogloss).
+        n_class = int(params.get("num_class", 2) or 2)
+        multi = kind == "classification" and (
+            n_class > 2 or str(params.get("objective", "")).startswith("multi")
+        )
         for eval_df, name in evals:
             ea, _ = assemble_features(eval_df, spec)
             ea = ea.withColumn(
                 "__label__", F.col(spec.label_cols[0]).cast("double")
             )
             scored = model.transform(ea)
-            if kind == "classification":
+            if multi:
+                metric = MulticlassClassificationEvaluator(
+                    labelCol="__label__", metricName="logLoss"
+                ).evaluate(scored)
+                evals_result[name] = {"mlogloss": [metric]}
+            elif kind == "classification":
                 metric = BinaryClassificationEvaluator(
                     labelCol="__label__", metricName="areaUnderROC"
                 ).evaluate(scored)

@@ -86,13 +86,22 @@ def grid_search(
         for params in grid:
             est = estimator_factory(**params)
             est.fit(train_df, label_col, feature_cols=feature_cols)
-            scored = est.predict(val_df)
             if metric == "auc":
+                # AUC needs the continuous score, not the thresholded
+                # class label — evaluating on hard 0/1 predictions
+                # collapses the ROC to two points and ties every trial
+                # with the same confusion matrix.
+                from pyspark.sql import functions as F
+
+                scored = est.predict_proba(val_df).withColumn(
+                    "__score__", F.col("probability_arr")[1]
+                )
                 val = BinaryClassificationEvaluator(
-                    labelCol=label_col, rawPredictionCol="prediction",
+                    labelCol=label_col, rawPredictionCol="__score__",
                     metricName="areaUnderROC",
                 ).evaluate(scored)
             elif metric == "rmse":
+                scored = est.predict(val_df)
                 val = RegressionEvaluator(
                     labelCol=label_col, predictionCol="prediction",
                     metricName="rmse",

@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from xgboost_ray_spark.catalog import load_table
 from xgboost_ray_spark.registry import davg, dsum, register, sql_davg, sql_dsum
 
-_SCRATCH = "/root/repo/.scratch"
+from xgboost_ray_spark.catalog import SCRATCH_DIR as _SCRATCH
 
 
 # ---------------------------------------------------------------------------

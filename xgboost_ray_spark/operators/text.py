@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
 from xgboost_ray_spark.operators.dedup import fan_out
-from xgboost_ray_spark.registry import register, sql_davg
+from xgboost_ray_spark.registry import register
 
 # Heuristic "stopword" lists over the synthetic corpus vocabulary; a real
 # deployment swaps per-language function words here.

@@ -290,7 +290,9 @@ def s25h_file_sink_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("day"),
         )
     )
-    out = os.path.join("/root/repo/.scratch", "events_etl")
+    from xgboost_ray_spark.catalog import SCRATCH_DIR
+
+    out = os.path.join(SCRATCH_DIR, "events_etl")
     got = run_stream_to_files(etl, spark, out, partition_by="day")
     return got.select("event_id", "user_id", "value", "day")
 
@@ -385,7 +387,9 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xgboost_ray_spark.catalog import load_table
     from xgboost_ray_spark.streaming.windows import STREAM_STATE_PARTITIONS
 
-    root = "/root/repo/.scratch/cdc_upsert"
+    from xgboost_ray_spark.catalog import SCRATCH_DIR
+
+    root = os.path.join(SCRATCH_DIR, "cdc_upsert")
     src = os.path.join(root, "src")
     chk = os.path.join(root, "chk")
     snaps = os.path.join(root, "snaps")

@@ -149,8 +149,16 @@ def close_user_sessions(
         (int(open_row["start"]), int(open_row["end"]), int(open_row["n"]),
          int(open_row["mic"]))
     )
-    # Close the open session once event time passes last_ts + gap.
-    state.setTimeoutTimestamp((int(open_row["end"]) + GAP_US) // 1000)
+    # Close the open session once event time passes last_ts + gap. A
+    # LATE batch (all events below the watermark — applyInPandasWithState
+    # does NOT drop late rows) would put that instant in the past, and
+    # setTimeoutTimestamp rejects timestamps under the watermark with
+    # INVALID_TIMEOUT_TIMESTAMP, killing the whole query. Clamp to just
+    # above the watermark: the session closes on the next watermark
+    # advance, which is the earliest legal moment anyway.
+    timeout_ms = (int(open_row["end"]) + GAP_US) // 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
     closed = sess.iloc[:-1]
     if len(closed):
