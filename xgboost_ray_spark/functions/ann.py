@@ -78,6 +78,15 @@ def gemm_topk(
                 row = sims[qi]
                 if sims.shape[1] > k:
                     cand = np.argpartition(row, -take)[-take:]
+                    # argpartition breaks score ties arbitrarily — a row
+                    # tied with the k-th score could be dropped before
+                    # the heap's (cos, -id) tiebreak sees it. Re-include
+                    # every row tied at the selection boundary; the heap
+                    # then resolves them deterministically.
+                    kth = row[cand].min()
+                    ties = np.nonzero(row == kth)[0]
+                    if len(ties) > (row[cand] == kth).sum():
+                        cand = np.union1d(cand, ties)
                 else:
                     cand = range(sims.shape[1])
                 heap = heaps[qi]

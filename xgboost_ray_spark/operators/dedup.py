@@ -454,8 +454,12 @@ def simhash64(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     tok = tok.withColumn("h", F.xxhash64("w"))
+    # bitwiseAND(1), NOT % 2: Spark's % keeps the dividend's sign, so a
+    # negative odd hash would vote -3 instead of +1 and poison bit 0.
     aggs = [
-        F.sum(F.shiftrightunsigned("h", j) % 2 * 2 - 1).alias(f"v{j}")
+        F.sum(
+            F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{j}")
         for j in range(64)
     ]
     votes = tok.groupBy("doc_id").agg(*aggs)
@@ -617,7 +621,6 @@ def ngram_jaccard_pairs(
     per hot shingle — at 100 TB run s26b (MinHash-LSH) first and this op
     only on its candidate pairs.
     """
-    words = F.split("text", " ")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
@@ -678,31 +681,9 @@ _JACCARD_PAIRS_SQL = f"""
 
 @register(
     "s26d_ngram_jaccard",
-    oracle=f"""
-    WITH ex AS (
-      SELECT doc_id, words,
-             unnest(generate_series(1, greatest(LEN(words) - {JACCARD_NGRAM - 1}, 1))) AS i
-      FROM (
-        SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
-      )
-    ), sh AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(words[CAST(i AS INT):CAST(i AS INT) + {JACCARD_NGRAM - 1}], ' ') AS g
-      FROM ex
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
-    """,
+    # Same pair definition as s26g's closure input — ONE constant, so the
+    # two entries can never silently check different pair sets.
+    oracle=_JACCARD_PAIRS_SQL,
     doc=f"Exact word-{JACCARD_NGRAM}-gram Jaccard >= {JACCARD_THRESHOLD} over "
         "shared-shingle candidates. 100TB path: MinHash-LSH prefilter "
         "(s26b), then this as the verify stage.",
@@ -809,6 +790,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     # 64-bit ids could wrap).
     prev_labels = None
     prev_sum = None
+    converged = False
     for it in range(max_iter):
         nbr_min = (
             edges.join(
@@ -833,6 +815,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
             prev_labels.unpersist()  # new_labels is materialized; safe now
         prev_labels = labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
         # Truncate lineage periodically: each round's plan stacks two joins
@@ -847,6 +830,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
             labels.unpersist()
             labels = prev_labels = checkpointed
     edges.unpersist()
+    if not converged:
+        # Exiting with partially-propagated labels would silently return
+        # wrong cluster roots (the oracle computes a full transitive
+        # closure). A duplicate chain longer than max_iter is the only
+        # way here — fail loudly so the caller raises the bound.
+        raise RuntimeError(
+            f"connected components did not converge within {max_iter} "
+            "rounds; raise max_iter (graph diameter exceeds it)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_root"))
 
 

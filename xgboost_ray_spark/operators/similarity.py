@@ -17,29 +17,27 @@ count / adds multi-probe as corpus density grows.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.operators.dedup import _obs_name
 from xgboost_ray_spark.registry import register
 
 N_PLANES = 8
 TOP_K = 5
 _HEX = "0123456789abcdef"
 
-# Sequential-double dot product of two float arrays, cast elementwise to
-# double first (exact). Spark evaluates aggregate() left-to-right, matching
-# DuckDB's list_dot_product loop.
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-    " cast(0.0 as double), (acc, v) -> acc + v)"
-)
+# Sequential-double dot product (exact left-to-right fold, matching
+# DuckDB's list_dot_product loop). ONE implementation repo-wide —
+# functions/vector.py owns it; a second copy here once existed and is
+# exactly the kind of bit-stability contract that must not fork.
+from xgboost_ray_spark.functions.vector import dot as _vector_dot
 
 
 def _dot(a: str, b: str) -> F.Column:
-    return F.expr(_DOT.format(a=a, b=b))
+    """Dot product of two columns given by name or SQL expression."""
+    return _vector_dot(F.expr(a), F.expr(b))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -147,17 +145,26 @@ def lsh_bucket_expr(dim: int, n_planes: int = N_PLANES, col: str = "embedding") 
     bucket = None
     for p in range(n_planes):
         arr = "array(" + ",".join(f"{s:.1f}D" for s in signs[p]) + ")"
-        proj = _DOT.format(a=col, b=arr)
-        term = F.when(F.expr(proj) >= 0, 2**p).otherwise(0)
+        term = F.when(_dot(col, arr) >= 0, 2**p).otherwise(0)
         bucket = term if bucket is None else bucket + term
     return bucket.cast("int")
 
 
+def embedding_dim(vectors: DataFrame, col: str = "embedding") -> int:
+    """Probe the corpus width from the first row (one tiny driver job).
+    Hardcoding a width is a silent-corruption hazard: zip_with null-pads
+    a mismatched literal array, the aggregate folds to null, and every
+    plane term falls to 0 — ALL vectors land in bucket 0."""
+    first = vectors.select(F.size(col).alias("d")).first()
+    if first is None:
+        raise ValueError("embedding_dim: empty corpus")
+    return first.d
+
+
 def lsh_buckets(spark: SparkSession, vectors: DataFrame) -> DataFrame:
     """(vec_id, bucket) under N_PLANES md5-derived hyperplanes."""
-    dim = 64  # embeddings fixture dim; production: probe len(first row)
     return vectors.select(
-        "vec_id", lsh_bucket_expr(dim).alias("bucket")
+        "vec_id", lsh_bucket_expr(embedding_dim(vectors)).alias("bucket")
     )
 
 
@@ -182,7 +189,7 @@ def lsh_cosine_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.sqrt(_dot("embedding", "embedding")).alias("cn"),
-        lsh_bucket_expr(64).alias("bucket"),
+        lsh_bucket_expr(embedding_dim(corpus)).alias("bucket"),
     )
     cand = cside.join(F.broadcast(qside), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -197,18 +204,23 @@ def lsh_cosine_topk(
     )
 
 
-def _lsh_oracle() -> str:
-    # Sign lists are embedded as literals (same md5 derivation as the Spark
-    # plan, executed here at query-build time); each projection is a
-    # sequential-double list_dot_product — bit-identical to Spark's
-    # aggregate(zip_with(...)) fold.
-    signs = plane_sign_values(64, N_PLANES)
-    bucket_terms = " + ".join(
+def _bucket_terms_sql(dim: int = 64) -> str:
+    """SQL spelling of lsh_bucket_expr — ONE generator shared by every
+    LSH oracle (s27b, s27g), so the sign derivation and float formatting
+    can never drift between them. Each projection is a sequential-double
+    list_dot_product, bit-identical to Spark's aggregate(zip_with) fold;
+    the fixture dim is 64 (oracles run on the fixture only)."""
+    signs = plane_sign_values(dim, N_PLANES)
+    return " + ".join(
         "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
         + ", ".join(f"{s:.1f}" for s in signs[p])
         + f"]) >= 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(N_PLANES)
     )
+
+
+def _lsh_oracle() -> str:
+    bucket_terms = _bucket_terms_sql()
     return f"""
     WITH bucket AS (
       SELECT vec_id, CAST({bucket_terms} AS INT) AS bucket
@@ -556,16 +568,6 @@ NEARDUP_SIM = 0.2
 NEARDUP_MAX_BUCKET = 100
 
 
-def _bucket_terms_sql() -> str:
-    signs = plane_sign_values(64, N_PLANES)
-    return " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(f"{s:.1f}" for s in signs[p])
-        + f"]) >= 0 THEN {2 ** p} ELSE 0 END)"
-        for p in range(N_PLANES)
-    )
-
-
 @register(
     "s27g_lsh_neardup_pairs",
     oracle=f"""
@@ -606,7 +608,7 @@ def s27g_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.groupBy("bucket")
         .agg(F.count("*").alias("n"))
         .observe(
-            f"lsh_neardup_buckets_{uuid.uuid4().hex[:8]}",
+            _obs_name("lsh_neardup_buckets"),
             F.sum(
                 F.when(F.col("n") > NEARDUP_MAX_BUCKET, 1).otherwise(0)
             ).alias("mega_buckets_dropped"),

@@ -45,9 +45,8 @@ def scan_read_schema(df: DataFrame) -> list[str]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or (
-        "BroadcastNestedLoopJoin" in formatted_plan(df)
-    )
+    plan = formatted_plan(df)  # one compile; explain is not free
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def simple_plan(df: DataFrame) -> str:
