@@ -161,10 +161,14 @@ def embedding_dim(vectors: DataFrame, col: str = "embedding") -> int:
     return first.d
 
 
-def lsh_buckets(spark: SparkSession, vectors: DataFrame) -> DataFrame:
-    """(vec_id, bucket) under N_PLANES md5-derived hyperplanes."""
+def lsh_buckets(
+    spark: SparkSession, vectors: DataFrame, dim: int | None = None
+) -> DataFrame:
+    """(vec_id, bucket) under N_PLANES md5-derived hyperplanes. Pass
+    ``dim`` when the caller already probed it (one driver job saved)."""
     return vectors.select(
-        "vec_id", lsh_bucket_expr(embedding_dim(vectors)).alias("bucket")
+        "vec_id",
+        lsh_bucket_expr(dim or embedding_dim(vectors)).alias("bucket"),
     )
 
 
@@ -176,7 +180,8 @@ def lsh_cosine_topk(
     One pass over the corpus computing buckets inline, broadcast-joined to
     the (small) bucketed query set — a single scan, no corpus shuffle.
     """
-    qb = lsh_buckets(spark, queries).select(
+    dim = embedding_dim(corpus)  # one probe serves both sides
+    qb = lsh_buckets(spark, queries, dim=dim).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )
     q = queries.select(
@@ -189,7 +194,7 @@ def lsh_cosine_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.sqrt(_dot("embedding", "embedding")).alias("cn"),
-        lsh_bucket_expr(embedding_dim(corpus)).alias("bucket"),
+        lsh_bucket_expr(dim).alias("bucket"),
     )
     cand = cside.join(F.broadcast(qside), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
