@@ -28,27 +28,49 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize_cell(v):
+    """Normalize a cell to a ``(kind, value)`` tag pair.
+
+    The kind tag makes the comparison TYPE-STRICT, matching the driver's
+    string-hash semantics where ``0`` (int64) and ``0.0`` (float64) hash
+    differently. Round 3 shipped a red driver row (s33) precisely because
+    the old comparator used Python ``==``, under which ``0 == 0.0`` — an
+    oracle whose DuckDB HUGEINT window sum leaked float64 passed locally
+    and failed the driver. Kinds: null / bool / int / float / str / ts /
+    bytes / seq. ``bool`` is tagged before ``int`` (bool subclasses int in
+    Python, and "True" vs "1" hash differently driver-side).
+    """
     if v is None or v is pd.NaT:
-        return None
+        return ("null", None)
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, float) and math.isnan(v):
-        return None
+        # Both engines emit Decimal only when the query builder casts to
+        # an explicit DECIMAL type; scale is part of the contract.
+        return ("dec", str(v))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("null", None)
+        return ("float", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
     if hasattr(v, "isoformat"):
         # Unify date vs midnight-datetime (pandas coerces DATE columns to
         # datetime64; Spark keeps datetime.date) — both sides normalize the
         # same way, so comparison stays sound.
-        return pd.Timestamp(v).isoformat()
+        return ("ts", pd.Timestamp(v).isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_normalize_cell(x) for x in v)
+        return ("seq", tuple(_normalize_cell(x) for x in v))
     if type(v).__module__ == "numpy":
         # DuckDB fetchdf materializes LIST columns as numpy arrays and
         # scalars as numpy types; fold both into plain Python so cell
-        # equality is well-defined.
+        # equality is well-defined. numpy integer/floating kinds collapse
+        # to the same tags as their Python scalars via .item().
         if getattr(v, "ndim", 0):
-            return tuple(_normalize_cell(x) for x in v.tolist())
+            return ("seq", tuple(_normalize_cell(x) for x in v.tolist()))
         return _normalize_cell(v.item())
-    return v
+    return (type(v).__name__, v)
 
 
 def normalize_frame(df: pd.DataFrame) -> list[tuple]:
@@ -57,7 +79,10 @@ def normalize_frame(df: pd.DataFrame) -> list[tuple]:
         tuple(_normalize_cell(v) for v in row)
         for row in df[cols].itertuples(index=False, name=None)
     ]
-    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    # repr is an injective deterministic key over the tagged cells, so
+    # equal multisets always sort identically on both sides (a collision-
+    # prone key could pair equal rows in different orders).
+    return sorted(rows, key=repr)
 
 
 def compare(spark_df, oracle: str, sf_dir: str) -> None:

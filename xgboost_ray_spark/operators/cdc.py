@@ -154,7 +154,9 @@ INC_CUTOFF = "2000-01-01"
     "s09g_incremental_agg",
     oracle="""
     SELECT o_orderpriority,
-           SUM(n) AS n_orders,
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders as
+           -- float64 and the driver hash rejects against Spark's int64.
+           CAST(SUM(n) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(total AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
            MAX(mx) AS max_price
     FROM (

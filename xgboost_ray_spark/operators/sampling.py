@@ -178,7 +178,10 @@ TOKEN_BUDGET = 512
       FROM t
     )
     SELECT doc_id, source, n_tokens,
-           (run - n_tokens) // {TOKEN_BUDGET} AS chunk_id
+           -- DuckDB windowed SUM(BIGINT) is HUGEINT; without the CAST the
+           -- chunk_id column reaches pandas as float64 and hash-mismatches
+           -- Spark's int64 even when every value is identical.
+           CAST((run - n_tokens) // {TOKEN_BUDGET} AS BIGINT) AS chunk_id
     FROM r
     """,
     doc=f"Sequence packing: greedy-fill documents (doc_id order) into "

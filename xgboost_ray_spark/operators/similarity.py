@@ -761,7 +761,9 @@ def quantized_vectors(
       FROM flat f JOIN stats s USING (pos)
     )
     SELECT vec_id,
-           SUM(qv) AS q_sum,
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT -> float64 in pandas,
+           -- which the driver hash rejects against Spark's int64.
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
            CAST(MIN(qv) AS BIGINT) AS q_min,
            CAST(MAX(qv) AS BIGINT) AS q_max,
            ROUND(SUM(err ORDER BY pos) / COUNT(*), 6) AS mae
