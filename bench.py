@@ -39,6 +39,8 @@ HEADLINE = [
     "s28c_quality_score",     # quality filtering
     "s29e_frame_sample",      # multimodal frame sampling (mapInPandas)
     "s30_gbt_train_predict",  # distributed GBT train+predict
+    "s08c_range_join",        # interval/range join (bin-bucketed)
+    "s26g_dup_clusters",      # iterative connected components
 ]
 
 

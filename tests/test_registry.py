@@ -74,3 +74,34 @@ def test_window_prefers_oracle_checked_entries(registry):
     # no SQL-expressible member; nothing else may spend a window slot without
     # an oracle.
     assert all(family(n) == "s30" for n in rows_only), rows_only
+
+
+def test_approx_count_distinct_tracks_exact(spark, registry):
+    """s10b is rows-only under the driver (HLL sketches differ across
+    engines), so pin its accuracy here instead: at rsd=0.01 the HLL++
+    estimate must sit within 5% of the exact distinct count the
+    hash-checked s10 path computes (HLL++'s error is ~1% rsd; 5% gives
+    headroom without ever letting an off-by-10x regression through)."""
+    from pyspark.sql import functions as F
+
+    approx = registry["s10b_approx_count_distinct"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    exact = (
+        approx.sparkSession.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+    )
+    joined = {r["l_returnflag"]: r for r in approx.join(exact, "l_returnflag").collect()}
+    assert joined, "no groups compared"
+    for flag, r in joined.items():
+        for a, e in (
+            (r["approx_parts"], r["exact_parts"]),
+            (r["approx_orders"], r["exact_orders"]),
+        ):
+            assert e > 0 and abs(a - e) / e < 0.05, (flag, a, e)

@@ -188,34 +188,52 @@ INC_CUTOFF = "2000-01-01"
     tags=("cdc", "agg", "incremental"),
 )
 def s09g_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xgboost_ray_spark.registry import dsum
-
     cutoff = F.lit(INC_CUTOFF).cast("timestamp")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_orderdate", "o_totalprice"
     )
-
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count("*").alias("n"),
-            dsum(F.col("o_totalprice"), "total"),
-            F.max("o_totalprice").alias("mx"),
-        )
-
-    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
-    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    base = order_partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = order_partial(orders.filter(F.col("o_orderdate") >= cutoff))
     # The merge: algebraic combine of partial states — what a nightly job
     # does against a STORED base partial instead of recomputing it.
-    return (
-        base.unionAll(delta)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum("n").alias("n_orders"),
-            F.sum(F.col("total").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("sum_price"),
-            F.max("mx").alias("max_price"),
-        )
+    return finalize_order_agg(merge_order_partials(base, delta))
+
+
+def order_partial(df: DataFrame) -> DataFrame:
+    """Per-priority partial state ``(n, total, mx)`` of an orders slice.
+    ``total`` accumulates in DECIMAL(28,6) then stores as double — exact
+    for money totals below ~9e9 (2^53/10^6), so merging partials is
+    associative in that regime and a day's state can round-trip storage."""
+    from xgboost_ray_spark.registry import dsum
+
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), "total"),
+        F.max("o_totalprice").alias("mx"),
+    )
+
+
+def merge_order_partials(*parts: DataFrame) -> DataFrame:
+    """Combine partial states into a partial of the SAME shape, so the
+    output can be stored and merged again next cycle (count-sum / decimal
+    sum-of-sums / max-of-maxes — each algebraic)."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionAll(p)
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col("total").cast("decimal(28,6)")).cast("double").alias("total"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finalize_order_agg(partial: DataFrame) -> DataFrame:
+    """Present a partial state with the query's public column names."""
+    return partial.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("total").alias("sum_price"),
+        F.col("mx").alias("max_price"),
     )
 
 

@@ -625,7 +625,16 @@ def ngram_jaccard_pairs(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
     )
-    sh = fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct()
+    # The shingle frame feeds three plan branches (sizes + both join
+    # sides); without a persist Catalyst executes the explode+distinct
+    # subtree once per branch. Spark's CacheManager dedupes by canonical
+    # plan, so repeated builds of this query share one cache entry.
+    sh = (
+        fan_out(docs)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -772,11 +781,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     In production: persist edges, checkpoint labels every few rounds to
     truncate lineage, and pre-shrink with per-partition union-find.
     """
+    # The union reads `pairs` twice; persist so an expensive upstream pair
+    # generator (e.g. the Jaccard shingle join) executes once, and force
+    # edges immediately so the pair frame can release before the loop.
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .persist()
     )
+    edges.count()
+    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -1390,7 +1390,12 @@ HIST_N = 5  # events of history per training example
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {HIST_N} PRECEDING AND 1 PRECEDING
              ) AS hist
-      FROM events
+      -- NULL event_type rows are excluded up front in BOTH engines:
+      -- Spark's collect_list silently drops NULLs while DuckDB's list()
+      -- keeps them, so an unfiltered NULL would shift the two histories
+      -- apart. The events fixture has no NULL types today; the filter
+      -- pins the semantics so that can never change silently.
+      FROM events WHERE event_type IS NOT NULL
     )
     WHERE len(hist) > 0
     """,
@@ -1410,8 +1415,12 @@ HIST_N = 5  # events of history per training example
 def s24f_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        # collect_list drops NULLs but DuckDB's list() keeps them; filter
+        # NULL types explicitly so both engines see the same timeline.
+        .filter(F.col("event_type").isNotNull())
     )
     w = (
         W.partitionBy("user_id")

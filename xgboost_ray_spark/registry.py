@@ -203,45 +203,69 @@ def sql_davg(expr: str, alias: str) -> str:
 #
 # The driver's correctness sweep checks the FIRST 50 entries of ``queries()``
 # in iteration order, so the order below is chosen — not incidental:
-#   * slots 1-50 contain at least one entry from every S-op family
-#     (s01..s33, SURVEY.md §2.2), so every family gets a driver-verified row;
-#   * within the window, entries are sorted by measured sf0.01 wall time
-#     (scripts/driver_sim.py, min-of-1 on 2026-08-13) so that if the sweep is
-#     ever time-bounded the cheap entries land first;
-#   * expensive family members (s26g 29s, s08c 16s, s25d 15s, s26b 6.5s) sit
-#     after slot 50 — their families are represented by cheaper siblings, and
-#     they remain covered by tests/test_oracle.py and scripts/driver_sim.py.
+#   * slots 1-50 always contain one CANONICAL entry per S-op family
+#     (s01..s33, SURVEY.md §2.2), so every family gets a driver-verified row
+#     every round;
+#   * the other 17 slots ROTATE each round toward entries the driver has
+#     never hashed, retiring the verification backlog (~17/round);
+#   * within the window, entries are roughly cost-ordered (sf0.01 wall time
+#     via scripts/driver_sim.py) so a time-bounded sweep still covers most
+#     families;
+#   * the most expensive entries (s26g ~29s, s08c ~16s) sit after slot 50 —
+#     their families are represented by cheaper siblings, and every entry
+#     stays covered by tests/test_oracle.py and scripts/driver_sim.py.
+#
+# Rotation log (driver-hashed rounds):
+#   r1-r3 checked 68 distinct entries (see CORRECTNESS_r0*.json).
+#   r4 window rotates in 15 never-checked entries (s04c s07b s09e s12b s14e
+#   s21b s22c s24c s25 s25d s27b s28g s29g s31f s33b) plus s26b/s26e, whose
+#   kernels were refactored in r3 AFTER their last driver row (r2) — the
+#   near-dup stack re-validates under the driver hash. Rotated out to 51+:
+#   s06b s09c s10c s11d s11e s14b s15b s22b s23b s28b s28c s28d s28f s29c
+#   s29e s31b s31c (all driver-green r3).
+#   Backlog after r4: ~55 entries never driver-checked — next rounds rotate
+#   in s05d-g, s07c/d, s09f/g, s26h-k, s27d-i, s28h-l, s25g-k, s31d/e/g,
+#   s01b-f, s13b, s14c/d, s23c, s24d/e/f, s06c/d, s04b, s29f/h/i, s32b/c.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: all 33 S-op families, cheap first ----------------------
-    "s03_projection", "s15b_sort_nulls", "s22_array_funcs", "s21_conditional",
-    "s28d_fingerprint", "s20_math_funcs", "s22b_array_hof",
-    "s16_topk_per_group", "s15_sort_limit", "s28_token_stats", "s12_having",
-    "s14b_range_frame", "s31_hash_split", "s19_date_funcs",
-    "s18_string_funcs", "s31b_stratified_sample", "s28f_regex_tokens",
-    "s28c_quality_score", "s11e_unpivot", "s04_filter", "s28b_lang_id",
-    "s23b_from_json", "s10c_distinct_rows", "s11c_grouping_sets",
-    "s13_window_rank", "s09d_argmax", "s24_tumbling_window",
-    "s14_window_analytic", "s06_outer_join", "s10_count_distinct",
-    "s11d_pivot", "s01_parquet_scan", "s29e_frame_sample", "s23_json",
-    "s09c_salted_agg", "s06b_full_outer_join", "s29_pandas_udf",
-    "s29c_grouped_map", "s27c_embedding_neardup", "s31c_group_sample",
-    "s02_csv_scan", "s05b_salted_join", "s07_semi_anti_join", "s17_setops",
-    "s08_broadcast_join", "s33_sequence_pack", "s25e_stream_dedup",
-    "s26f_canonical_dedup", "s32_profile", "s30b_ltr_rank",
-    # -- slots 51+: variants of already-covered families --------------------
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r4 set), ----
+    # -- ordered by measured sf0.01 wall (driver_sim 2026-08-14); s03 -------
+    # -- leads so the cheapest query absorbs the one-off JVM warmup ---------
+    "s03_projection", "s01_parquet_scan", "s31f_weighted_sample",
+    "s19_date_funcs", "s15_sort_limit", "s33_sequence_pack", "s09d_argmax",
+    "s04_filter", "s28_token_stats", "s26f_canonical_dedup", "s23_json",
+    "s24_tumbling_window", "s10_count_distinct", "s04c_tpch_q6",
+    "s21_conditional", "s14_window_analytic", "s33b_chunk_overlap",
+    "s07_semi_anti_join", "s31_hash_split", "s13_window_rank",
+    "s21b_promo_revenue", "s06_outer_join", "s02_csv_scan",
+    "s11c_grouping_sets", "s20_math_funcs", "s05b_salted_join",
+    "s24c_funnel", "s12_having", "s17_setops", "s08_broadcast_join",
+    "s14e_gaps_islands", "s09e_quantile_filter", "s27c_embedding_neardup",
+    "s22c_map_funcs", "s29g_udtf_token_runs", "s12b_having_join",
+    "s22_array_funcs", "s16_topk_per_group", "s25_stream_tumbling",
+    "s07b_exists_subquery", "s18_string_funcs", "s26b_minhash_lsh",
+    "s32_profile", "s28g_repetition_score", "s25e_stream_dedup",
+    "s27b_lsh_topk", "s26e_hamming_pairs", "s29_pandas_udf",
+    "s25d_stateful_sessions", "s30b_ltr_rank",
+    # -- slots 51+: driver-green variants rotated out in r4 -----------------
+    "s15b_sort_nulls", "s28d_fingerprint", "s22b_array_hof",
+    "s14b_range_frame", "s31b_stratified_sample", "s28f_regex_tokens",
+    "s28c_quality_score", "s11e_unpivot", "s28b_lang_id", "s23b_from_json",
+    "s10c_distinct_rows", "s11d_pivot", "s29e_frame_sample",
+    "s09c_salted_agg", "s06b_full_outer_join", "s29c_grouped_map",
+    "s31c_group_sample",
+    # -- and the rest of the catalog ---------------------------------------
     "s10b_approx_count_distinct", "s11_rollup", "s24b_sessionization",
     "s11b_cube", "s27_cosine_topk", "s05_inner_join", "s27e_knn_classify",
-    "s24c_funnel", "s05c_tpch_q3", "s09b_stats_agg", "s09_groupby_agg",
-    "s08b_asof_join", "s27d_ivf_topk", "s27b_lsh_topk",
+    "s05c_tpch_q3", "s09b_stats_agg", "s09_groupby_agg",
+    "s08b_asof_join", "s27d_ivf_topk",
     "s25f_stream_static_join", "s29d_multimodal_resize",
-    "s26e_hamming_pairs", "s25c_stream_watermark_append",
+    "s25c_stream_watermark_append",
     "s25b_stream_sliding", "s28e_tfidf_top_terms", "s26c_simhash",
     "s26d_ngram_jaccard", "s26_dedup_exact", "s29b_multimodal_decode",
-    "s30_gbt_train_predict", "s26b_minhash_lsh", "s25_stream_tumbling",
-    "s25d_stateful_sessions", "s08c_range_join", "s26g_dup_clusters",
+    "s30_gbt_train_predict", "s08c_range_join", "s26g_dup_clusters",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.

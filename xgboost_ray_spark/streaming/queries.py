@@ -424,7 +424,14 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
 
-    latest = committed_versions()[-1]
+    versions = committed_versions()
+    if not versions:
+        raise RuntimeError(
+            "snapshot sink produced no committed version — the stream ran "
+            "zero microbatches (empty source dir?) or every snapshot dir "
+            "lost its _SUCCESS marker (crashed mid-commit)"
+        )
+    latest = versions[-1]
     final = spark.read.parquet(os.path.join(snaps, f"v{latest}"))
     return final.select(
         "user_id",
