@@ -1182,7 +1182,8 @@ Q6_HI = "1998-01-01"
         "it the standard what-does-IO-cost yardstick. With this, every "
         "TPC-H shape expressible over the driver schema (no partsupp "
         "table, no shipmode/commitdate columns) has an entry: "
-        "Q1,Q3-Q8,Q10,Q13,Q14,Q17-Q19,Q21,Q22.",
+        "Q1,Q3-Q10,Q12-Q15,Q17-Q19,Q21,Q22 (Q9/Q12 adapted to the "
+        "schema; Q2/Q11/Q16/Q20 need partsupp).",
     tags=("filter", "agg", "scan"),
 )
 def s04c_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,4 +1200,160 @@ def s04c_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.agg(
         F.count("*").alias("n_items"),
         dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5 variant — TPC-H Q9 shape: product-line profit by nation and year
+# ---------------------------------------------------------------------------
+Q9_PART_WORD = "widget"
+
+
+@register(
+    "s05h_tpch_q9",
+    oracle=f"""
+    SELECT
+      n_name,
+      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      {sql_dsum("l_extendedprice * (1 - l_discount)", "profit")}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%{Q9_PART_WORD}%'
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape (profit = discounted revenue; the driver schema "
+        "has no partsupp, so supply cost is absent): revenue of one "
+        "product line grouped by supplier nation and order year. Plan "
+        "strategy: the LIKE filter prunes part to a fraction and part/"
+        "supplier/nation all broadcast; lineitem-orders is the only "
+        "fact-fact shuffle, keyed on l_orderkey. The year is extracted "
+        "AFTER the join (cheap int expr), grouped as (25 nations x "
+        "years) — a tiny final shuffle.",
+    tags=("join", "agg"),
+)
+def s05h_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_PART_WORD))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(profit, "profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16 variant — TPC-H Q15: top supplier(s) by quarter revenue
+# ---------------------------------------------------------------------------
+Q15_LO = "1996-01-01"
+Q15_HI = "1996-04-01"
+
+
+@register(
+    "s16b_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+        AND l_shipdate <  TIMESTAMP '{Q15_HI}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15: the supplier(s) with maximum revenue over one "
+        "quarter — the classic view + scalar-subquery-max pattern. The "
+        "revenue aggregate computes ONCE and is reused for both the max "
+        "and the final filter (persist-free: the max is a one-row "
+        "broadcast joined back, not a window over all suppliers, so no "
+        "global single-partition sort exists in the plan). Ties all "
+        "surface, exactly as the spec's WHERE = MAX does. The decimal-"
+        "accumulated revenue makes the cross-engine equality exact.",
+    tags=("join", "topk"),
+)
+def s16b_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit(Q15_LO).cast("timestamp")
+    hi = F.lit(Q15_HI).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S21 variant — TPC-H Q12 shape: late shipments by priority class
+# ---------------------------------------------------------------------------
+Q12_LATE_DAYS = 90
+
+
+@register(
+    "s21c_tpch_q12",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (the driver schema has no shipmode/commitdate, "
+        "so 'late' = shipped more than 90 days after the order date and "
+        "l_returnflag stands in for l_shipmode): conditional-aggregate "
+        "split of late lines into high/low priority. The lateness "
+        "predicate compares two columns from different tables, so it "
+        "applies post-join — but both scans still prune to three "
+        "columns each, and the CASE sums are one partial/final pair. "
+        "CASTs pin the counts to BIGINT (DuckDB SUM(int) is HUGEINT).",
+    tags=("join", "conditional", "agg"),
+)
+def s21c_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q12_LATE_DAYS} DAYS"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
     )
