@@ -44,3 +44,49 @@ def test_gemm_topk_matches_jvm_bruteforce(spark):
         )
         assert list(mine.vec_id) == list(jvm.vec_id), f"query {qi} neighbor set"
         assert np.allclose(mine.cos.to_numpy(), jvm.cos.to_numpy(), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Quantized two-stage ANN (operators/similarity.py) invariants
+# ---------------------------------------------------------------------------
+def test_quantized_topk_partition_layout_invariant(spark):
+    """Stage 1's candidate cut pre-reduces per (input partition, query);
+    the FINAL result must not depend on how the corpus happens to be
+    partitioned (the global top-rerank is contained in every union of
+    per-partition top-reranks)."""
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.operators.similarity import quantized_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def rows(corpus):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rk, r.sim)
+            for r in quantized_topk(q, corpus).collect()
+        )
+
+    base = rows(emb)
+    assert base, "fixture produced no neighbors"
+    assert rows(emb.repartition(13)) == base
+    assert rows(emb.coalesce(1)) == base
+
+
+def test_search_codes_zero_vector_is_all_zero_codes(spark):
+    """An all-zero embedding must quantize to all-zero codes (norm
+    clamped to 1), never NaN-through-floor garbage."""
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.operators.similarity import search_codes
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: list(r.q) for r in search_codes(df).collect()}
+    assert got[1] == [0, 0, 0]
+    # sanity on a real vector: floor(3/5*127), floor(4/5*127), 0
+    assert got[2] == [76, 101, 0]

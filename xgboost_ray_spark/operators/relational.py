@@ -98,6 +98,39 @@ def s01b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1g — JSON-lines scan (the LLM-corpus interchange format)
+# ---------------------------------------------------------------------------
+@register(
+    "s01g_jsonl_scan",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE n_chars >= 64
+    """,
+    doc="JSON-lines source with an explicit schema — the interchange "
+        "format most LLM corpora actually arrive in (one JSON object per "
+        "line, newline-delimited, splittable). Explicit schema keeps the "
+        "read single-pass: with inference Spark would scan every file "
+        "twice, which at 100 TB doubles ingest cost for nothing. The "
+        "filter applies post-parse (JSON rows carry no column stats — "
+        "exactly why the first pipeline step should be converting JSONL "
+        "to parquet; the round trip here is that conversion's read side). "
+        "Oracle runs on the parquet twin of the same rows.",
+    tags=("scan",),
+)
+def s01g_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.sources.readers import read_json
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = os.path.join(_SCRATCH, "documents_jsonl")
+    docs.write.mode("overwrite").json(out)
+    schema = "doc_id bigint, lang string, source string, n_chars bigint"
+    return read_json(spark, out, schema=schema).filter(F.col("n_chars") >= 64)
+
+
+# ---------------------------------------------------------------------------
 # S1c — Hive-partitioned layout: write partitioned, read back with pruning
 # ---------------------------------------------------------------------------
 @register(
@@ -202,6 +235,44 @@ def s01e_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compact)
     )
     return spark.read.parquet(compact)
+
+
+# ---------------------------------------------------------------------------
+# S1h — z-order clustered layout: multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+ZORDER_FILES = 8
+
+
+@register(
+    "s01h_zorder_layout",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey < 50
+    """,
+    doc="Z-order (Morton) clustered rewrite of lineitem on (l_partkey, "
+        "l_suppkey): per-column min/max broadcast once, 8-bit scaled "
+        "codes bit-interleaved by a pure shift/and expression tree "
+        "(whole-stage codegen, no UDF), then ONE repartitionByRange "
+        "shuffle + in-partition sort. Every clustered dimension gets "
+        "partial locality, so parquet min/max footer stats skip most "
+        "row groups for selective filters on EITHER column — the "
+        "maintenance job that turns full-table scans into few-row-group "
+        "reads at 100 TB (Delta OPTIMIZE ZORDER's technique, built from "
+        "Spark primitives). Oracle checks the rewrite is content-exact; "
+        "tests/test_layout.py measures the per-file range shrinkage "
+        "that is the skipping evidence.",
+    tags=("scan", "layout", "maintenance"),
+)
+def s01h_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.sources.layout import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = os.path.join(_SCRATCH, "lineitem_zorder")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], ZORDER_FILES)
+    return spark.read.parquet(out).filter(F.col("l_partkey") < 50)
 
 
 # ---------------------------------------------------------------------------

@@ -248,3 +248,79 @@ def vector_norms(embeddings: DataFrame) -> DataFrame:
 def s29i_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return vector_norms(emb)
+
+
+# ---------------------------------------------------------------------------
+# S29j — Unicode NFC normalization (pandas UDF; no JVM builtin exists)
+# ---------------------------------------------------------------------------
+
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm_hash, bytes_before, bytes_after, changed) — Unicode
+    NFC canonical composition of the text column.
+
+    Real corpora mix precomposed and combining-mark encodings of the
+    same glyphs ("e" + U+0301 vs "é"); exact dedup, shingle hashing and
+    tokenization all silently fragment unless the pipeline canonicalizes
+    first. Spark has no Unicode-normalization builtin, so this is a
+    legitimate pandas-UDF surface (SCALE.md rule 3): Arrow-batched,
+    `pd.Series.map` over Python's unicodedata (the same UCD tables
+    DuckDB's nfc_normalize uses), narrow per-row transform — zero
+    shuffle, scan-speed at 100 TB minus the Python hop.
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    raw = F.col(text_col)
+    norm = _nfc(raw)
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"),
+        F.octet_length(raw).alias("bytes_before"),
+        F.octet_length(norm).alias("bytes_after"),
+        (F.octet_length(raw) != F.octet_length(norm))
+        .cast("int")
+        .alias("changed"),
+    )
+
+
+@register(
+    "s29j_unicode_normalize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' caf' || 'e' || chr(769) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(raw)) AS norm_hash,
+           CAST(strlen(raw) AS INT) AS bytes_before,
+           CAST(strlen(nfc_normalize(raw)) AS INT) AS bytes_after,
+           CAST(strlen(raw) != strlen(nfc_normalize(raw)) AS INT) AS changed
+    FROM t
+    """,
+    doc="Unicode NFC canonicalization — the encode-before-you-hash step "
+        "every dedup/tokenize pipeline needs (decomposed combining marks "
+        "fragment shingles and exact-dup digests). The fixture text is "
+        "ASCII, so the entry appends a decomposed 'e'+U+0301 to every row "
+        "in BOTH engines: NFC must compose it to a precomposed é, "
+        "shrinking the byte length — `changed` proves normalization "
+        "actually fired, and the md5-of-normalized-text hash proves the "
+        "composed bytes are identical across Python's and DuckDB's UCD "
+        "implementations. Arrow-batched pandas UDF (no JVM builtin "
+        "exists), zero shuffle.",
+    tags=("pandas-udf", "text", "pipeline"),
+)
+def s29j_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # \u0301 = combining acute: explicitly DECOMPOSED so NFC has
+        # work to do (a precomposed \u00e9 literal would be a no-op and
+        # an editor could silently recompose a raw one).
+        F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"),
+    )
+    return nfc_normalize(docs)
