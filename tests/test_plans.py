@@ -822,3 +822,13 @@ def test_quantized_topk_broadcasts_both_stages(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count(") Exchange") <= 4, plan
+
+
+def test_dynamic_partition_pruning_subquery_in_scan(spark):
+    """s01i: the fact scan's PartitionFilters must carry a dynamicpruning
+    subquery — partitions chosen at runtime by the filtered dim's build
+    side, never a full fact scan followed by a post-join filter."""
+    from xgboost_ray_spark.plans.explain import has_dynamic_pruning
+
+    df = _build(spark, "s01i_dynamic_partition_pruning")
+    assert has_dynamic_pruning(df)

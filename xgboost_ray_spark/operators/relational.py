@@ -163,6 +163,73 @@ def s01c_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1i — DYNAMIC partition pruning: partitions picked by a runtime join
+# ---------------------------------------------------------------------------
+DPP_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "s01i_dynamic_partition_pruning",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_orderpriority IN ('{DPP_HIGH[0]}', '{DPP_HIGH[1]}')
+    GROUP BY o_orderpriority
+    """,
+    doc="DYNAMIC partition pruning: the fact table is partitioned by "
+        "o_orderpriority, but which partitions matter is only known at "
+        "runtime — a dimension table filtered on a NON-partition column "
+        "(pclass = 'high') decides. Spark inserts a dynamicpruning "
+        "subquery into the fact scan's PartitionFilters (audited in "
+        "tests/test_plans.py): the broadcast dim executes first and the "
+        "fact scan then skips whole directories, no footer reads. At "
+        "100 TB this is star-schema bread and butter — the date-dim "
+        "filter pruning the fact's date partitions without anyone "
+        "hard-coding dates into the query. Static pruning (s01c) "
+        "handles literal predicates; this handles join-derived ones.",
+    tags=("scan", "layout", "join"),
+)
+def s01i_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.registry import dsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    fact_path = os.path.join(_SCRATCH, "orders_dpp_fact")
+    dim_path = os.path.join(_SCRATCH, "priority_dim")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        fact_path
+    )
+    # The dim: priority -> class, stored as its own table so the 'high'
+    # filter cannot constant-fold into a static partition predicate.
+    (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "pclass",
+            F.when(F.col("o_orderpriority").isin(*DPP_HIGH), "high").otherwise(
+                "low"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("pclass") == "high")
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # S1 variant — schema-evolution scan (mergeSchema over heterogeneous files)
 # ---------------------------------------------------------------------------
 @register(

@@ -93,3 +93,11 @@ def has_partition_filters(df: DataFrame) -> bool:
         if "PartitionFilters:" in line and "PartitionFilters: []" not in line:
             return True
     return False
+
+
+def has_dynamic_pruning(df: DataFrame) -> bool:
+    """True when a scan's PartitionFilters carry a ``dynamicpruning``
+    subquery — partitions chosen at RUNTIME by a join's build side, the
+    star-schema pruning path (static literals show up via
+    :func:`has_partition_filters` instead)."""
+    return "dynamicpruning" in formatted_plan(df).lower()
