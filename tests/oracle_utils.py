@@ -52,7 +52,12 @@ def _normalize_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("null", None)
-        return ("float", v)
+        # repr, not the float itself: driver-faithful (it hashes the string
+        # form, under which -0.0 != 0.0 while Python's == calls them equal)
+        # and consistent with the repr-based row sort below — a numeric
+        # cell value would let equal-under-== rows sort differently per
+        # side and report spurious mismatches.
+        return ("float", repr(v))
     if isinstance(v, (bytes, bytearray)):
         return ("bytes", bytes(v))
     if hasattr(v, "isoformat"):

@@ -84,9 +84,12 @@ def test_neardup_two_cycle_matches_full_recompute(spark, tmp_path):
     caps can't diverge at this sf — asserted via the observation).
     """
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") % 5 < 4)
+    base = docs.filter((F.col("doc_id") % 5).isin(1, 2, 3))
     delta1 = docs.filter(F.col("doc_id") % 5 == 4)
     delta2 = docs.filter(F.col("doc_id") % 5 == 0)
+    # The three slices must partition the corpus — a delta overlapping the
+    # base would make its cycle vacuous (its pairs already in base_pairs).
+    assert base.count() + delta1.count() + delta2.count() == docs.count()
     assert delta1.count() > 0 and delta2.count() > 0
 
     index0_path = os.path.join(str(tmp_path), "lsh_index_v0")

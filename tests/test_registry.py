@@ -84,13 +84,12 @@ def test_approx_count_distinct_tracks_exact(spark, registry):
     headroom without ever letting an off-by-10x regression through)."""
     from pyspark.sql import functions as F
 
-    approx = registry["s10b_approx_count_distinct"].build(
-        spark, "/root/testdata/sf0.001"
-    )
+    from tests.conftest import SF_SMOKE
+    from xgboost_ray_spark.catalog import load_table
+
+    approx = registry["s10b_approx_count_distinct"].build(spark, SF_SMOKE)
     exact = (
-        approx.sparkSession.read.parquet(
-            "/root/testdata/sf0.001/lineitem.parquet"
-        )
+        load_table(spark, SF_SMOKE, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("exact_parts"),

@@ -217,9 +217,12 @@ def merge_order_partials(*parts: DataFrame) -> DataFrame:
     """Combine partial states into a partial of the SAME shape, so the
     output can be stored and merged again next cycle (count-sum / decimal
     sum-of-sums / max-of-maxes — each algebraic)."""
+    # unionByName: a partial read back from storage may carry its columns
+    # in any order; a positional union would silently pair `total` with
+    # `mx` (both doubles — no error, wrong report).
     merged = parts[0]
     for p in parts[1:]:
-        merged = merged.unionAll(p)
+        merged = merged.unionByName(p)
     return merged.groupBy("o_orderpriority").agg(
         F.sum("n").alias("n"),
         F.sum(F.col("total").cast("decimal(28,6)")).cast("double").alias("total"),

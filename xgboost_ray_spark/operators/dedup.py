@@ -22,13 +22,33 @@ the 100TB path.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xgboost_ray_spark.catalog import load_table
+from xgboost_ray_spark.catalog import SCRATCH_DIR, load_table
 from xgboost_ray_spark.registry import register
+
+
+def spill(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize a multiply-consumed frame to scratch parquet and read it
+    back. Contrast ``persist()``: Spark's CacheManager shares cache entries
+    by canonical plan across repeated builds of the same query, so a
+    persisted intermediate (a) stays in executor memory for the session and
+    (b) silently turns benchmark reruns into cached reads. The spill costs
+    one write per build, retains nothing, and each consumer reads a plain
+    parquet scan. The path is keyed by the input's analyzed plan so
+    interleaved builds over different inputs never overwrite a spill
+    another lazily-evaluated result still reads."""
+    key = hashlib.md5(
+        df._jdf.queryExecution().analyzed().toString().encode()
+    ).hexdigest()[:12]
+    path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{key}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 # observe() names must be unique within a query plan; composing the same
 # operator twice with the default name would raise AnalysisException, so
@@ -626,14 +646,13 @@ def ngram_jaccard_pairs(
         f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
     )
     # The shingle frame feeds three plan branches (sizes + both join
-    # sides); without a persist Catalyst executes the explode+distinct
-    # subtree once per branch. Spark's CacheManager dedupes by canonical
-    # plan, so repeated builds of this query share one cache entry.
-    sh = (
-        fan_out(docs)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .distinct()
-        .persist()
+    # sides); without materialization Catalyst executes the
+    # explode+distinct subtree once per branch. Spilled, not persisted —
+    # see :func:`spill` for why (bench honesty + no session-lifetime
+    # cache retention).
+    sh = spill(
+        fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct(),
+        "jaccard_shingles",
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")

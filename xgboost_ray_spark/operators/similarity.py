@@ -162,14 +162,23 @@ def embedding_dim(vectors: DataFrame, col: str = "embedding") -> int:
 
 
 # The embedding width is a constant of a stored table, so the one-row
-# probe job runs at most once per parquet path per session — repeated
-# query builds (a bench loop, a dashboard) pay zero driver jobs for it.
-_DIM_CACHE: dict[str, int] = {}
+# probe job runs at most once per parquet (path, mtime) per session —
+# repeated query builds (a bench loop, a dashboard) pay zero driver jobs
+# for it, while an in-place rewrite of the table (new mtime) re-probes
+# instead of serving a stale width.
+_DIM_CACHE: dict[tuple[str, float], int] = {}
 
 
 def table_embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     """Memoized :func:`embedding_dim` for the catalog's embeddings table."""
-    key = table_path(sf_dir, "embeddings")
+    import os
+
+    path = table_path(sf_dir, "embeddings")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0  # non-local path (e.g. dfs URI): probe once per session
+    key = (path, mtime)
     dim = _DIM_CACHE.get(key)
     if dim is None:
         dim = embedding_dim(load_table(spark, sf_dir, "embeddings"))
