@@ -832,3 +832,51 @@ def test_dynamic_partition_pruning_subquery_in_scan(spark):
 
     df = _build(spark, "s01i_dynamic_partition_pruning")
     assert has_dynamic_pruning(df)
+
+
+def test_tpch_q9_broadcasts_all_dims(spark):
+    """Q9: part (LIKE-filtered), supplier, and nation must all broadcast —
+    the only fact-fact shuffle is lineitem-orders on l_orderkey. The
+    p_name filter cannot push (LIKE '%..%' is unsargable) but part's scan
+    must still prune to p_partkey+p_name."""
+    df = _build(spark, "s05h_tpch_q9")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    read = set(scan_read_schema(df))
+    assert "p_retailprice" not in read and "p_brand" not in read
+    assert "l_tax" not in read
+
+
+def test_tpch_q15_no_global_single_partition_sort(spark):
+    """Q15's max-revenue selection must be a one-row broadcast joined
+    back, never a window over a single partition (the classic
+    rank-over-empty-partitionBy scale trap)."""
+    df = _build(spark, "s16b_tpch_q15")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "max selection must not use a global window"
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)  # l_shipdate range reaches the scan
+
+
+def test_tpch_q12_scans_prune_to_three_columns_each(spark):
+    df = _build(spark, "s21c_tpch_q12")
+    read = set(scan_read_schema(df))
+    assert "o_totalprice" not in read and "l_quantity" not in read
+    assert {"o_orderdate", "l_shipdate", "l_returnflag"} <= read
+
+
+def test_jsonl_scan_reads_explicit_schema_only(spark):
+    """The JSONL read must carry the explicit 4-column schema (one-pass,
+    no inference job) — ReadSchema on the JSON scan node lists exactly
+    the declared fields."""
+    df = _build(spark, "s01g_jsonl_scan")
+    read = set(scan_read_schema(df))
+    assert read == {"doc_id", "lang", "source", "n_chars"}
+
+
+def test_unicode_normalize_is_shuffle_free(spark):
+    """NFC normalization is a narrow per-row transform: no Exchange
+    anywhere in the plan (scan -> pandas UDF -> project)."""
+    plan = formatted_plan(_build(spark, "s29j_unicode_normalize"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
