@@ -1,0 +1,89 @@
+"""Compute the next round's driver-window rotation.
+
+The correctness driver hashes only the first ``DRIVER_WINDOW`` entries of
+``queries()``. Policy (registry.py): the 33 family canonicals stay pinned;
+the other 17 slots rotate toward entries the driver has never checked,
+retiring the verification backlog ~17 entries per round.
+
+Usage: python scripts/rotate_window.py [timings.log]
+
+Reads every CORRECTNESS_r*.json in the repo root to learn which entries
+have ever received a driver row, then prints:
+  - the backlog (never-checked entries), cheapest-first when a
+    driver_sim log with per-entry timings is given;
+  - a suggested next window (canonicals + the 17 cheapest backlog
+    entries), ready to paste into registry._DRIVER_ORDER.
+
+This script only REPORTS — a human edits registry.py, so each rotation
+stays a reviewed decision (which entries deserve re-verification after a
+refactor is judgment, not bookkeeping).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xgboost_ray_spark.registry import (  # noqa: E402
+    CANONICAL_ENTRIES,
+    DRIVER_WINDOW,
+    all_queries,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_timings(path: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    with open(path) as fh:
+        for m in re.finditer(
+            r"^(s\S+)\s+(?:pass|rows_only\(\d+\))\s+([\d.]+)s",
+            fh.read(),
+            re.M,
+        ):
+            times[m.group(1)] = float(m.group(2))
+    return times
+
+
+def main() -> None:
+    times = parse_timings(sys.argv[1]) if len(sys.argv) > 1 else {}
+
+    seen: set[str] = set()
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    for path in rounds:
+        with open(path) as fh:
+            seen |= set(json.load(fh))
+    names = list(all_queries())
+
+    missing_canon = [c for c in CANONICAL_ENTRIES if c not in names]
+    if missing_canon:
+        raise SystemExit(f"canonicals not in registry: {missing_canon}")
+
+    backlog = [n for n in names if n not in seen and n not in CANONICAL_ENTRIES]
+    backlog.sort(key=lambda n: (times.get(n, float("inf")), n))
+
+    n_rot = DRIVER_WINDOW - len(CANONICAL_ENTRIES)
+    rotation = backlog[:n_rot]
+    window = sorted(
+        list(CANONICAL_ENTRIES) + rotation,
+        key=lambda n: (times.get(n, float("inf")), n),
+    )
+
+    print(f"driver rows so far: {len(seen)} entries across {len(rounds)} rounds")
+    print(f"backlog (never checked, non-canonical): {len(backlog)}")
+    for n in backlog:
+        t = times.get(n)
+        print(f"  {t:7.2f}s  {n}" if t is not None else f"      ?    {n}")
+    print(f"\nsuggested next window ({len(window)} entries, cheap-first):")
+    for n in window:
+        tag = "  <- rotated in" if n in rotation else ""
+        print(f'    "{n}",{tag}')
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,14 @@ def test_approx_count_distinct_tracks_exact(spark, registry):
             (r["approx_orders"], r["exact_orders"]),
         ):
             assert e > 0 and abs(a - e) / e < 0.05, (flag, a, e)
+
+
+def test_canonicals_pinned_in_window(registry):
+    """Rotation policy: every family canonical stays inside the driver's
+    window every round; only the remaining slots rotate."""
+    from xgboost_ray_spark.registry import CANONICAL_ENTRIES
+
+    window = set(list(registry)[:DRIVER_WINDOW])
+    assert set(CANONICAL_ENTRIES) <= window
+    assert len(CANONICAL_ENTRIES) == 33
+    assert len({family(c) for c in CANONICAL_ENTRIES}) == 33

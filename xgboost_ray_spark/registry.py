@@ -271,6 +271,23 @@ _DRIVER_ORDER = [
 # How many leading entries of queries() the driver's correctness sweep reads.
 DRIVER_WINDOW = 50
 
+# The 33 per-family canonicals pinned inside the window every round; the
+# remaining DRIVER_WINDOW - 33 slots rotate toward never-driver-checked
+# entries (scripts/rotate_window.py computes the next rotation from the
+# CORRECTNESS_r*.json history).
+CANONICAL_ENTRIES = (
+    "s01_parquet_scan", "s02_csv_scan", "s03_projection", "s04_filter",
+    "s05b_salted_join", "s06_outer_join", "s07_semi_anti_join",
+    "s08_broadcast_join", "s09d_argmax", "s10_count_distinct",
+    "s11c_grouping_sets", "s12_having", "s13_window_rank",
+    "s14_window_analytic", "s15_sort_limit", "s16_topk_per_group",
+    "s17_setops", "s18_string_funcs", "s19_date_funcs", "s20_math_funcs",
+    "s21_conditional", "s22_array_funcs", "s23_json", "s24_tumbling_window",
+    "s25e_stream_dedup", "s26f_canonical_dedup", "s27c_embedding_neardup",
+    "s28_token_stats", "s29_pandas_udf", "s30b_ltr_rank", "s31_hash_split",
+    "s32_profile", "s33_sequence_pack",
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (triggering registration) and return the
