@@ -62,3 +62,10 @@ def test_continuous_corpus(spark):
     summary = _load("continuous_corpus").main()
     assert summary["delta_dropped"] > 0
     assert summary["index_rows"] > summary["base_docs"]
+
+
+def test_table_maintenance(spark):
+    """Compaction + partitioned z-order rewrite + DPP read-back, each
+    step content-exact."""
+    summary = _load("table_maintenance").main()
+    assert summary["dpp_in_plan"] and summary["compacted_files"] <= 4
