@@ -1,0 +1,84 @@
+"""Config-perturbation determinism sweep.
+
+Every oracle-checked query is supposed to be a pure function of its input
+tables — independent of partition counts, adaptive execution, or codegen.
+Violations are exactly the bug class that passes a fixed-config oracle
+comparison and then flakes on a real cluster (where AQE coalesces
+differently and shuffle widths differ per deployment): window ties broken
+by arrival order, per-partition sampling, accumulation-order-sensitive
+floats.
+
+This sweep re-runs the layout-risky registry entries under three
+perturbed session configs and asserts bit-identical results against the
+default-config baseline. Spark-vs-Spark (not DuckDB), so it composes
+with — rather than repeats — the oracle suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import normalize_frame
+from xgboost_ray_spark.registry import all_queries
+
+# Entries whose plans involve windows without obviously-total orders,
+# sampling, pair generation, iterative propagation, ANN candidate cuts,
+# packing, or float accumulation — the shapes where layout sensitivity
+# hides. Cheap (sf0.001) and batch-only.
+RISKY = [
+    "s05b_salted_join",
+    "s09c_salted_agg",
+    "s09e_quantile_filter",
+    "s10_count_distinct",
+    "s13_window_rank",
+    "s14_window_analytic",
+    "s14e_gaps_islands",
+    "s16_topk_per_group",
+    "s24b_sessionization",
+    "s26b_minhash_lsh",
+    "s26c_simhash",
+    "s26d_ngram_jaccard",
+    "s26e_hamming_pairs",
+    "s26g_dup_clusters",
+    "s27_cosine_topk",
+    "s27b_lsh_topk",
+    "s27d_ivf_topk",
+    "s27i_quantized_topk",
+    "s28e_tfidf_top_terms",
+    "s29g_udtf_token_runs",
+    "s31_hash_split",
+    "s31f_weighted_sample",
+    "s33_sequence_pack",
+    "s33b_chunk_overlap",
+]
+
+# (conf, perturbed value, restore-to-default value is read per test)
+PERTURBATIONS = [
+    ("spark.sql.shuffle.partitions", "5"),
+    ("spark.sql.adaptive.enabled", "false"),
+    ("spark.sql.codegen.wholeStage", "false"),
+]
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_result_invariant_under_config_perturbation(spark, name):
+    spec = all_queries()[name]
+
+    def run():
+        return normalize_frame(spec.build(spark, SF_SMOKE).toPandas())
+
+    baseline = run()
+    assert baseline, f"{name} returned no rows at {SF_SMOKE}"
+    for conf, value in PERTURBATIONS:
+        default = spark.conf.get(conf)
+        spark.conf.set(conf, value)
+        try:
+            perturbed = run()
+        finally:
+            spark.conf.set(conf, default)
+        assert perturbed == baseline, (
+            f"{name} changed results under {conf}={value}: "
+            f"{len(perturbed)} vs {len(baseline)} rows; first diff: "
+            f"{next((a, b) for a, b in zip(perturbed, baseline) if a != b) if len(perturbed) == len(baseline) else 'row-count'}"
+        )
