@@ -96,3 +96,140 @@ def s30b_ltr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rel")
     )
+
+
+# ---------------------------------------------------------------------------
+# S30c/d — closed-form linear model: the sufficient-statistics train path
+# ---------------------------------------------------------------------------
+_OLS_STATS_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                AS DOUBLE) AS sxx
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def ols_coefficients(li: DataFrame) -> DataFrame:
+    """Per-returnflag simple linear regression l_extendedprice ~ l_quantity
+    via the normal equations over sufficient statistics.
+
+    This IS how linear models train at 100 TB: ONE partial-aggregated pass
+    reduces the data to per-group (n, Sx, Sy, Sxy, Sxx) — bytes
+    proportional to groups, never rows — and the solve is arithmetic on
+    those scalars. The sums accumulate in DECIMAL(28,6) (exact for
+    integral quantities x 2dp prices), so unlike iterative fitters the
+    learned coefficients are bit-reproducible across engines, partition
+    layouts and cluster sizes. Slope/intercept are continuous values,
+    rounded to 6dp for the hash. Reference analogue: train() reduces
+    gradients with allreduce (main.py:1341); here the 'allreduce' is
+    Spark's partial aggregation.
+    """
+    from xgboost_ray_spark.registry import dsum
+
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity"), "sx"),
+        dsum(F.col("l_extendedprice"), "sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@register(
+    "s30c_linear_model_train",
+    oracle=f"""
+    WITH s AS ({_OLS_STATS_SQL})
+    SELECT l_returnflag, n,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+           ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+    doc="Distributed model training with an EXACT oracle: per-group OLS "
+        "(price ~ quantity) solved from sufficient statistics — one "
+        "partial-agg pass, decimal-exact sums, closed-form solve. The "
+        "hash-checkable member of the ML family (GBT entries are "
+        "rows-only: tree fitting is not SQL-expressible).",
+    tags=("ml", "train"),
+)
+def s30c_linear_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return ols_coefficients(li)
+
+
+@register(
+    "s30d_linear_model_score",
+    oracle=f"""
+    WITH s AS ({_OLS_STATS_SQL}),
+    m AS (
+      SELECT l_returnflag,
+             (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+             (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+      FROM s
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(sqrt(SUM((l.l_extendedprice
+                           - (m.intercept + m.slope * l.l_quantity))
+                          * (l.l_extendedprice
+                             - (m.intercept + m.slope * l.l_quantity)))
+                      / COUNT(*)), 4) AS rmse
+    FROM lineitem l JOIN m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Distributed scoring of the trained linear model: the per-group "
+        "coefficients (a few rows) BROADCAST back onto the fact scan — "
+        "the train->predict round trip of the reference (broadcast "
+        "booster, main.py:1750-1806) with a closed-form model, so even "
+        "the predictions are oracle-checkable. Emits per-group RMSE; "
+        "residual float sums are continuous, rounded to 4dp.",
+    tags=("ml", "predict"),
+)
+def s30d_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    from xgboost_ray_spark.registry import dsum
+
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity"), "sx"),
+        dsum(F.col("l_extendedprice"), "sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+    )
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    model = stats.select(
+        "l_returnflag",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+    resid = F.col("l_extendedprice") - (
+        F.col("intercept") + F.col("slope") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(model), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sqrt(F.sum(resid * resid) / F.count("*")), 4).alias(
+                "rmse"
+            ),
+        )
+    )

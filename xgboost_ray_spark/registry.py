@@ -248,8 +248,12 @@ _DRIVER_ORDER = [
     "s07b_exists_subquery", "s18_string_funcs", "s26b_minhash_lsh",
     "s32_profile", "s28g_repetition_score", "s25e_stream_dedup",
     "s27b_lsh_topk", "s26e_hamming_pairs", "s29_pandas_udf",
-    "s25d_stateful_sessions", "s30b_ltr_rank",
+    "s25d_stateful_sessions", "s30c_linear_model_train",
     # -- slots 51+: driver-green variants rotated out in r4 -----------------
+    # (s30b was driver-checked rows-only in r3; the family's window slot
+    # now goes to s30c, whose closed-form training is hash-checkable —
+    # the first exact driver row for the ML family)
+    "s30b_ltr_rank",
     "s15b_sort_nulls", "s28d_fingerprint", "s22b_array_hof",
     "s14b_range_frame", "s31b_stratified_sample", "s28f_regex_tokens",
     "s28c_quality_score", "s11e_unpivot", "s28b_lang_id", "s23b_from_json",
@@ -284,8 +288,8 @@ CANONICAL_ENTRIES = (
     "s17_setops", "s18_string_funcs", "s19_date_funcs", "s20_math_funcs",
     "s21_conditional", "s22_array_funcs", "s23_json", "s24_tumbling_window",
     "s25e_stream_dedup", "s26f_canonical_dedup", "s27c_embedding_neardup",
-    "s28_token_stats", "s29_pandas_udf", "s30b_ltr_rank", "s31_hash_split",
-    "s32_profile", "s33_sequence_pack",
+    "s28_token_stats", "s29_pandas_udf", "s30c_linear_model_train",
+    "s31_hash_split", "s32_profile", "s33_sequence_pack",
 )
 
 
