@@ -1110,3 +1110,112 @@ def s26j_fuzzy_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= SNM_MAX_DIST)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs/PPJoin candidate pruning)
+# ---------------------------------------------------------------------------
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame, n: int = JACCARD_NGRAM, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering.
+
+    Same result as :func:`ngram_jaccard_pairs` (the pruning is lossless),
+    different candidate generator: order every doc's shingles rare-first by
+    global document frequency and join only on each doc's length-p PREFIX,
+    p = sz - ceil(t*sz) + 1.  Two sets with J >= t must share a prefix
+    token under a common global order (AllPairs/PPJoin theorem), so no
+    qualifying pair is lost — but a hot shingle shared by k docs now fans
+    out k^2 candidate rows only if it lands in both docs' rare prefixes,
+    which by construction it almost never does.  That turns the scale
+    killer of the naive join (stop-word shingles) into a no-op: candidates
+    are driven by RARE features, the frequency skew works for us instead
+    of against us.
+
+    Verification is per-candidate and bounded: each doc's distinct-shingle
+    set rides along as an array (memory proportional to the text itself),
+    and the exact intersection is one JVM ``array_intersect`` — no second
+    shuffle over the shingle frame.  At 100 TB this is the verify stage of
+    choice when exact-threshold output is required; s26b (MinHash-LSH)
+    remains the approximate prefilter when a small false-negative rate is
+    acceptable.
+    """
+    from pyspark.sql import Window as W
+
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1),"
+        f" 1), i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    sh = spill(
+        fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct(),
+        "ppjoin_shingles",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "g").withColumn(
+        "r",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "g")),
+    )
+    # p = sz - ceil(t*sz) + 1, in exact integer arithmetic for t = 1/2.
+    # (General t = num/den: ceil(t*sz) = (sz*num + den - 1) div den.)
+    assert abs(threshold - 0.5) < 1e-12, "prefix length derived for t=1/2"
+    pref = ranked.join(sizes, "doc_id").filter(
+        F.col("r") <= F.expr("sz - ((sz + 1) div 2) + 1")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = sh.groupBy("doc_id").agg(
+        F.collect_set("g").alias("ts"), F.count("*").alias("sz")
+    )
+    return (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ts").alias("ta"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ts").alias("tb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "s26l_prefix_filter_join",
+    # Same oracle as s26d: prefix filtering is provably lossless, so the
+    # optimized candidate generator must reproduce the naive all-pairs
+    # definition EXACTLY — the strongest possible check of the pruning.
+    oracle=_JACCARD_PAIRS_SQL,
+    doc="PPJoin-style prefix-filtered exact Jaccard join: docs join only "
+        "on their rarest-(sz - ceil(t*sz) + 1) shingles under a global "
+        "document-frequency order, then candidates verify via one "
+        "array_intersect per pair. Hash-checked against the NAIVE "
+        "all-pairs oracle — the pruning is provably lossless, and the "
+        "driver hash proves it row-for-row.",
+    tags=("dedup", "scale"),
+)
+def s26l_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_filtered_jaccard_pairs(docs)

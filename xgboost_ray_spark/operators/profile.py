@@ -271,3 +271,79 @@ def s32c_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 8).alias("psi"),
         F.count("*").alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group outlier flags (3-sigma), integer cross-multiplied
+# ---------------------------------------------------------------------------
+SIGMA_K = 3  # flag |x - mean| > K * sample-stddev
+
+
+@register(
+    "s32d_outlier_flags",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type,
+             value,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ), s AS (
+      SELECT event_id, event_type, value, v,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(v) OVER w AS HUGEINT) AS s1,
+             CAST(SUM(v * v) OVER w AS HUGEINT) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type, value
+    FROM s
+    WHERE n >= 2
+      AND (n * v - s1) * (n * v - s1) * (n - 1)
+            > {SIGMA_K * SIGMA_K} * n * (n * s2 - s1 * s1)
+    """,
+    doc=f"Per-group {SIGMA_K}-sigma outlier detection with an EXACT "
+        "predicate: |x-mean| > K*stddev is cross-multiplied into pure "
+        "integer arithmetic on cent-scaled values — "
+        "(n*x-S1)^2*(n-1) > K^2*n*(n*S2-S1^2) — so the flag is "
+        "bit-reproducible (no sqrt, no float accumulation) and the "
+        "anomaly report hash-matches across engines and partition "
+        "layouts. One window shuffle on the group key; sums fit "
+        "DECIMAL(38,0)/HUGEINT up to ~1e6-row groups at these magnitudes "
+        "— beyond that, drop the fixed-point factor a digit. The 100 TB "
+        "shape is identical to the profiling pass: partial aggregates, "
+        "then a broadcast-back of |groups| stat rows instead of the "
+        "window (same result, join instead of sort-based window).",
+    tags=("events", "profiling", "quality"),
+)
+def s32d_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    DEC38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
+    )
+    w = W.partitionBy("event_type")
+    st = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).cast(DEC38).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast(DEC38).alias("s2"),
+    )
+    n = F.col("n").cast(DEC38)
+    v = F.col("v").cast(DEC38)
+    dev = n * v - F.col("s1")
+    lhs = dev * dev * (n - 1)
+    rhs = (
+        F.lit(SIGMA_K * SIGMA_K).cast(DEC38)
+        * n
+        * (n * F.col("s2") - F.col("s1") * F.col("s1"))
+    )
+    return st.filter((F.col("n") >= 2) & (lhs > rhs)).select(
+        "event_id", "event_type", "value"
+    )

@@ -301,6 +301,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from xgboost_ray_spark.operators import (  # noqa: F401
         cdc,
         dedup,
+        graph,
         joins,
         multimodal,
         profile,
