@@ -914,3 +914,13 @@ def test_prefix_filter_join_avoids_cartesian(spark):
     plan = formatted_plan(_build(spark, "s26l_prefix_filter_join"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_zero_shuffle(spark):
+    """Centroids are plan literals, so the returned assignment plan is a
+    cache read + JVM projection — no Exchange, no join."""
+    df = _build(spark, "s27j_kmeans")
+    plan = formatted_plan(df)
+    assert ") Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert set(scan_read_schema(df)) == {"vec_id", "embedding"}

@@ -981,3 +981,177 @@ def quantized_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_full", 4).alias("sim"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point distributed k-means over the embedding corpus
+# ---------------------------------------------------------------------------
+KM_K = 8  # clusters
+KM_ITERS = 2  # (assign, update) rounds before the final assignment
+KM_SCALE = 10_000  # fixed-point factor; [-0.5,0.5] floats -> [0,10000] ints
+
+
+def _km_quantize_expr() -> Column:
+    """Embedding -> non-negative fixed-point bigint array.
+
+    FLOOR((x + 0.5) * SCALE): explicit FLOOR because engines disagree on
+    double->int casts (DuckDB rounds, Spark truncates), and the +0.5 shift
+    keeps every coordinate NON-NEGATIVE so integral division in the
+    centroid update floors identically in both engines (Spark's `div`
+    truncates toward zero, DuckDB's `//` floors — they differ below zero).
+    """
+    # CAST(x AS DOUBLE) before the arithmetic: both engines must run the
+    # shift/scale in DOUBLE — DuckDB would otherwise evaluate FLOAT + 0.5
+    # in narrower precision and floor a few boundary coordinates lower.
+    return F.expr(
+        f"transform(embedding, x -> CAST(FLOOR((CAST(x AS DOUBLE) + 0.5D)"
+        f" * {KM_SCALE}) AS BIGINT))"
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Exact fixed-point Lloyd's k-means: (vec_id, cluster, dist).
+
+    The MLlib/production shape: centroids live on the driver (K*dim ints —
+    O(1) w.r.t. corpus size, the same bounded-driver-state class as s26g's
+    convergence scalar) and are pushed into the plan as literals, so the
+    ASSIGNMENT step is a zero-shuffle JVM map — per row, one
+    ``array_min(transform(centroids, ...))`` over zip_with squared
+    distances; struct ordering (dist, k) gives the deterministic
+    tie-break. The UPDATE step explodes assigned points to (cluster, dim)
+    partials — map-side combine reduces the shuffle to K*dim rows per
+    partition. All arithmetic is integer (quantized coords, integral-mean
+    centroids), so every round is associative and the full trajectory is
+    bit-reproducible — hash-checked against a CTE-unrolled oracle, which
+    floating-point k-means could never be.
+
+    Seeds: the K lowest-vec_id points (deterministic; production swaps in
+    k-means|| over the same loop).
+    """
+    pts = vectors.select("vec_id", _km_quantize_expr().alias("q")).persist()
+    pts.count()
+    seeds = pts.orderBy("vec_id").limit(k).collect()
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(row["q"])) for i, row in enumerate(seeds)
+    ]
+
+    def cent_literal() -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(kk).cast("bigint").alias("k"),
+                    F.array(*[F.lit(int(v)).cast("bigint") for v in c]).alias("c"),
+                )
+                for kk, c in cents
+            ]
+        )
+
+    def assign(frame: DataFrame) -> DataFrame:
+        best = F.expr(
+            "array_min(transform(cents, s -> struct("
+            "aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d, s.k AS k)))"
+        )
+        return frame.withColumn("cents", cent_literal()).select(
+            "vec_id",
+            "q",
+            best["k"].alias("cluster"),
+            best["d"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(pts)
+        new_cents = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("d", "qd")
+            )
+            .groupBy("cluster", "d")
+            .agg(F.expr("sum(qd) div count(*)").alias("cq"))
+            .orderBy("cluster", "d")
+            .collect()
+        )
+        by_k: dict[int, list[int]] = {}
+        for row in new_cents:
+            by_k.setdefault(row["cluster"], []).append(row["cq"])
+        # A cluster that captured no points keeps its previous centroid.
+        cents = [(kk, by_k.get(kk, c)) for kk, c in cents]
+    out = assign(pts).select("vec_id", "cluster", "dist")
+    pts.unpersist()
+    return out
+
+
+def _kmeans_oracle_sql() -> str:
+    """CTE-unrolled fixed-point Lloyd's rounds (same integer arithmetic)."""
+    assign_tpl = """a{i} AS (
+      SELECT vec_id, k AS cluster, dist
+      FROM (
+        SELECT p.vec_id, c.k,
+               SUM((p.q - c.q) * (p.q - c.q)) AS dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY SUM((p.q - c.q) * (p.q - c.q)), c.k) AS rn
+        FROM pts p JOIN {cents} c ON p.d = c.d
+        GROUP BY 1, 2
+      ) WHERE rn = 1
+    )"""
+    update_tpl = """c{j} AS (
+      SELECT cm.k, cm.d,
+             COALESCE(u.q, cm.q) AS q
+      FROM c{prev} cm LEFT JOIN (
+        SELECT a.cluster AS k, p.d, SUM(p.q) // COUNT(*) AS q
+        FROM pts p JOIN a{i} a USING (vec_id)
+        GROUP BY 1, 2
+      ) u ON u.k = cm.k AND u.d = cm.d
+    )"""
+    ctes = [
+        f"""pts AS (
+          SELECT vec_id, d,
+                 CAST(FLOOR((CAST(embedding[CAST(d AS INT)] AS DOUBLE)
+                             + 0.5) * {KM_SCALE}) AS BIGINT) AS q
+          FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, LEN(embedding))) AS d
+            FROM embeddings
+          )
+        )""",
+        f"""seeds AS (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+          FROM embeddings ORDER BY vec_id LIMIT {KM_K}
+        )""",
+        """c0 AS (
+          SELECT s.k, p.d, p.q FROM pts p JOIN seeds s USING (vec_id)
+        )""",
+    ]
+    prev = 0
+    for i in range(1, KM_ITERS + 1):
+        ctes.append(assign_tpl.format(i=i, cents=f"c{prev}"))
+        ctes.append(update_tpl.format(j=i, prev=prev, i=i))
+        prev = i
+    ctes.append(assign_tpl.format(i=KM_ITERS + 1, cents=f"c{prev}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(dist AS BIGINT) AS dist
+        FROM a{KM_ITERS + 1}"""
+    )
+
+
+@register(
+    "s27j_kmeans",
+    oracle=_kmeans_oracle_sql(),
+    doc=f"Exact fixed-point k-means (K={KM_K}, {KM_ITERS} Lloyd rounds) "
+        "over quantized embeddings — centroids broadcast as plan literals "
+        "(the MLlib shape: driver holds K*dim ints, assignment is a "
+        "zero-shuffle JVM HOF map, update shuffles only K*dim partials "
+        "after map-side combine). Integer coordinates and integral-mean "
+        "centroids make the whole iterative trajectory bit-reproducible, "
+        "so the clustering is hash-checked against a CTE-unrolled oracle.",
+    tags=("embeddings", "similarity", "iterative"),
+)
+def s27j_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign(vecs)
