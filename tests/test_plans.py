@@ -924,3 +924,9 @@ def test_kmeans_assignment_is_zero_shuffle(spark):
     assert ") Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert set(scan_read_schema(df)) == {"vec_id", "embedding"}
+
+
+def test_quantile_bins_single_window_shuffle(spark):
+    plan = formatted_plan(_build(spark, "s31h_quantile_bins"))
+    assert plan.count(") Exchange") == 1
+    assert "Window" in plan

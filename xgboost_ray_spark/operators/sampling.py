@@ -563,3 +563,39 @@ def s31g_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchors.join(meta, F.col("neg_id") == F.col("m_id")).select(
         "doc_id", "neg_rank", "neg_id", "neg_source", "neg_lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency feature discretization (exact ntile binning)
+# ---------------------------------------------------------------------------
+N_BINS = 10
+
+
+@register(
+    "s31h_quantile_bins",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           CAST(ntile({N_BINS}) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+           ) AS BIGINT) AS bin
+    FROM events
+    """,
+    doc=f"Equal-frequency discretization: each event's value mapped to its "
+        f"per-group decile (ntile({N_BINS}) over a TOTAL order — value "
+        "then id — so bucket boundaries are deterministic and the "
+        "assignment hash-matches across engines). One window shuffle on "
+        "the group key. ntile sorts each group; at 100 TB the production "
+        "variant computes approx-percentile cutpoints in one aggregate "
+        "pass and broadcasts them back (the s09e histogram-threshold "
+        "pattern) — same feature, sort-free, at the cost of boundary "
+        "approximation.",
+    tags=("events", "sampling", "features"),
+)
+def s31h_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.withColumn("bin", F.ntile(N_BINS).over(w).cast("bigint"))
