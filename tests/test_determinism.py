@@ -36,19 +36,23 @@ RISKY = [
     "s14e_gaps_islands",
     "s16_topk_per_group",
     "s24b_sessionization",
+    "s24g_pagerank",
     "s26b_minhash_lsh",
     "s26c_simhash",
     "s26d_ngram_jaccard",
     "s26e_hamming_pairs",
     "s26g_dup_clusters",
+    "s26l_prefix_filter_join",
     "s27_cosine_topk",
     "s27b_lsh_topk",
     "s27d_ivf_topk",
     "s27i_quantized_topk",
+    "s27j_kmeans",
     "s28e_tfidf_top_terms",
     "s29g_udtf_token_runs",
     "s31_hash_split",
     "s31f_weighted_sample",
+    "s31h_quantile_bins",
     "s33_sequence_pack",
     "s33b_chunk_overlap",
 ]
