@@ -882,20 +882,20 @@ def test_unicode_normalize_is_shuffle_free(spark):
     assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
 
 
-def test_pagerank_iterations_reuse_persisted_edges(spark):
-    """Each PageRank round must read the persisted (src,dst,od) edge list
-    and |nodes| rank state — never re-derive the lineitem⋈orders graph.
-    The final round's plan therefore contains cached scans and no parquet
-    scan of the fact tables."""
-    plan = formatted_plan(_build(spark, "s24g_pagerank"))
-    # The returned frame is the materialized final-round cache: the
-    # EXECUTED plan is a bare cache read (the parquet lineage appears only
-    # inside the InMemoryRelation's stored description).
-    top = plan.split("+- InMemoryRelation")[0]
-    assert "InMemoryTableScan" in top, top
-    assert ") Exchange" not in top, (
+def test_pagerank_returns_materialized_state_without_cache_retention(spark):
+    """The returned rank state is a localCheckpoint: consumers read
+    materialized blocks with no shuffle and no recompute, and nothing
+    stays registered with the CacheManager (a rebuild re-executes the
+    loop — what keeps the determinism sweep honest)."""
+    df = _build(spark, "s24g_pagerank")
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert ") Exchange" not in plan, (
         "reading the final rank state must not shuffle"
     )
+    # Cache-retention is guarded behaviorally: the determinism sweep
+    # rebuilds s24g under perturbed configs and would read stale cache
+    # entries if the loop's persists leaked past the call.
 
 
 def test_outlier_flags_single_window_shuffle(spark):

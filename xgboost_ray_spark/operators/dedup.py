@@ -26,7 +26,7 @@ import hashlib
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import SCRATCH_DIR, load_table
@@ -629,6 +629,28 @@ def s26e_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 JACCARD_NGRAM = 3
 JACCARD_THRESHOLD = 0.5
+# The threshold as an exact rational: J >= num/den is decided by the
+# all-integer predicate (den+num)*inter >= num*(sz_a+sz_b), never by
+# comparing a rounded float.  A ROUND(j,6) >= t filter would admit pairs
+# with true J marginally below t on huge shingle sets — and the prefix
+# filter (s26l) only guarantees candidate recall for exact J >= t, so a
+# rounded boundary would be a soundness hole, not just cosmetics.
+from fractions import Fraction as _Fraction
+
+
+def _jaccard_rational(threshold: float) -> tuple[int, int]:
+    frac = _Fraction(threshold).limit_denominator(10**6)
+    return frac.numerator, frac.denominator
+
+
+def _gram_expr(n: int) -> Column:
+    """Word n-gram shingles of ``text`` — THE shingle definition every
+    Jaccard entry (s26d, s26g, s26l) shares, so their pair sets can never
+    silently diverge."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -641,10 +663,8 @@ def ngram_jaccard_pairs(
     per hot shingle — at 100 TB run s26b (MinHash-LSH) first and this op
     only on its candidate pairs.
     """
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
-    )
+    grams = _gram_expr(n)
+    num, den = _jaccard_rational(threshold)
     # The shingle frame feeds three plan branches (sizes + both join
     # sides); without materialization Catalyst executes the
     # explode+distinct subtree once per branch. Spilled, not persisted —
@@ -675,11 +695,15 @@ def ngram_jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(
+            (den + num) * F.col("inter")
+            >= num * (F.col("sz_a") + F.col("sz_b"))
+        )
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
+_J_NUM, _J_DEN = _jaccard_rational(JACCARD_THRESHOLD)
 _JACCARD_PAIRS_SQL = f"""
     WITH ex AS (
       SELECT doc_id, words,
@@ -703,7 +727,7 @@ _JACCARD_PAIRS_SQL = f"""
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}
+    WHERE {_J_DEN + _J_NUM} * inter >= {_J_NUM} * (sa.sz + sb.sz)
 """
 
 
@@ -1142,10 +1166,8 @@ def prefix_filtered_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1),"
-        f" 1), i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
-    )
+    grams = _gram_expr(n)
+    num, den = _jaccard_rational(threshold)
     sh = spill(
         fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct(),
         "ppjoin_shingles",
@@ -1156,11 +1178,11 @@ def prefix_filtered_jaccard_pairs(
         "r",
         F.row_number().over(W.partitionBy("doc_id").orderBy("df", "g")),
     )
-    # p = sz - ceil(t*sz) + 1, in exact integer arithmetic for t = 1/2.
-    # (General t = num/den: ceil(t*sz) = (sz*num + den - 1) div den.)
-    assert abs(threshold - 0.5) < 1e-12, "prefix length derived for t=1/2"
+    # p = sz - ceil(t*sz) + 1 in exact integer arithmetic:
+    # ceil((num/den)*sz) = (sz*num + den - 1) div den.
     pref = ranked.join(sizes, "doc_id").filter(
-        F.col("r") <= F.expr("sz - ((sz + 1) div 2) + 1")
+        F.col("r")
+        <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
     )
     cand = (
         pref.select(F.col("doc_id").alias("doc_a"), "g")
@@ -1169,27 +1191,19 @@ def prefix_filtered_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = sh.groupBy("doc_id").agg(
-        F.collect_set("g").alias("ts"), F.count("*").alias("sz")
-    )
+    toks = sh.groupBy("doc_id").agg(F.collect_set("g").alias("ts"))
     return (
         cand.join(
-            toks.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("ts").alias("ta"),
-                F.col("sz").alias("sz_a"),
-            ),
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")),
             "doc_a",
         )
         .join(
-            toks.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("ts").alias("tb"),
-                F.col("sz").alias("sz_b"),
-            ),
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")),
             "doc_b",
         )
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("sz_a", F.size("ta"))
+        .withColumn("sz_b", F.size("tb"))
         .withColumn(
             "jaccard",
             F.round(
@@ -1197,7 +1211,10 @@ def prefix_filtered_jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(
+            (den + num) * F.col("inter")
+            >= num * (F.col("sz_a") + F.col("sz_b"))
+        )
         .select("doc_a", "doc_b", "jaccard")
     )
 

@@ -86,7 +86,18 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         if prev is not None:
             prev.unpersist()
         prev = ranks
-    return ranks
+    # Hand back a localCheckpoint, NOT the persisted frame: consumers read
+    # materialized blocks without re-running the loop, while nothing stays
+    # registered with the CacheManager — a later rebuild of the same query
+    # therefore re-executes from the source instead of silently matching
+    # this build's cache by canonical plan (the spill() rationale in
+    # dedup.py; also what keeps the config-perturbation determinism sweep
+    # honest).  All loop-scoped persists are released before returning.
+    out = ranks.localCheckpoint(eager=True)
+    ranks.unpersist()
+    esrc.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def _pagerank_oracle_sql() -> str:

@@ -576,7 +576,11 @@ N_BINS = 10
     oracle=f"""
     SELECT event_id, event_type, value,
            CAST(ntile({N_BINS}) OVER (
-             PARTITION BY event_type ORDER BY value, event_id
+             PARTITION BY event_type
+             -- NULLS LAST pinned on BOTH sides: Spark's ASC default is
+             -- NULLS FIRST, DuckDB's is NULLS LAST — a NULL value would
+             -- silently shift every bucket boundary in its group.
+             ORDER BY value ASC NULLS LAST, event_id
            ) AS BIGINT) AS bin
     FROM events
     """,
@@ -592,10 +596,10 @@ N_BINS = 10
     tags=("events", "sampling", "features"),
 )
 def s31h_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    w = W.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return ev.withColumn("bin", F.ntile(N_BINS).over(w).cast("bigint"))

@@ -992,13 +992,17 @@ KM_SCALE = 10_000  # fixed-point factor; [-0.5,0.5] floats -> [0,10000] ints
 
 
 def _km_quantize_expr() -> Column:
-    """Embedding -> non-negative fixed-point bigint array.
+    """Embedding -> fixed-point bigint array (non-negative for in-range
+    inputs; tail coordinates outside [-0.5, 0.5] may still quantize
+    negative, which is safe — see below).
 
     FLOOR((x + 0.5) * SCALE): explicit FLOOR because engines disagree on
-    double->int casts (DuckDB rounds, Spark truncates), and the +0.5 shift
-    keeps every coordinate NON-NEGATIVE so integral division in the
-    centroid update floors identically in both engines (Spark's `div`
-    truncates toward zero, DuckDB's `//` floors — they differ below zero).
+    double->int CASTS (DuckDB rounds, Spark truncates).  Integral division
+    in the centroid update is engine-identical for ANY sign: Spark's
+    ``div`` and DuckDB's ``//`` both truncate toward zero (verified:
+    -7 // 2 = -3 in DuckDB, -7 div 2 = -3 in Spark), so negative
+    coordinate sums cannot diverge; the +0.5 shift merely centers the
+    data's bulk in the non-negative lattice.
     """
     # CAST(x AS DOUBLE) before the arithmetic: both engines must run the
     # shift/scale in DOUBLE — DuckDB would otherwise evaluate FLOAT + 0.5
