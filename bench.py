@@ -41,6 +41,8 @@ HEADLINE = [
     "s30_gbt_train_predict",  # distributed GBT train+predict
     "s08c_range_join",        # interval/range join (bin-bucketed)
     "s26g_dup_clusters",      # iterative connected components
+    "s24g_pagerank",          # fixed-point iterative graph rounds
+    "s27j_kmeans",            # fixed-point Lloyd's k-means
 ]
 
 

@@ -69,3 +69,9 @@ def test_table_maintenance(spark):
     step content-exact."""
     summary = _load("table_maintenance").main()
     assert summary["dpp_in_plan"] and summary["compacted_files"] <= 4
+
+
+def test_feature_engineering(spark):
+    out = _load("feature_engineering").main()
+    assert out["n_features"] == 150
+    assert sum(out["splits"].values()) == out["n_features"]

@@ -59,7 +59,14 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     nodes = esrc.select(F.col("src").alias("node")).distinct().persist()
 
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
-    prev = None
+    # The rounds COMPOSE LAZILY: for a fixed small iteration count there is
+    # no data-dependent driver decision, so nothing forces per-round
+    # materialization — each round's join reads the persisted edge cache,
+    # and the whole nested plan executes exactly once at the final eager
+    # checkpoint (3 joins + 3 aggregates total, zero intermediate cache
+    # writes or count jobs).  An open-ended tolerance loop would need the
+    # per-round persist + convergence-metric + lineage-checkpoint idiom —
+    # that pattern lives in s26g (dedup.dup_clusters).
     for _ in range(iters):
         inc = (
             esrc.join(ranks, esrc["src"] == ranks["node"])
@@ -68,25 +75,17 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = (
-            nodes.join(inc, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(PR_BASE)
-                    + F.expr(
-                        f"({PR_DAMP_PCT} * coalesce(inc, cast(0 as bigint)))"
-                        " div 100"
-                    )
-                ).alias("rank"),
-            )
-            .persist()
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + F.expr(
+                    f"({PR_DAMP_PCT} * coalesce(inc, cast(0 as bigint)))"
+                    " div 100"
+                )
+            ).alias("rank"),
         )
-        ranks.count()  # materialize so the previous round can release
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    # Hand back a localCheckpoint, NOT the persisted frame: consumers read
+    # Hand back a localCheckpoint, NOT a persisted frame: consumers read
     # materialized blocks without re-running the loop, while nothing stays
     # registered with the CacheManager — a later rebuild of the same query
     # therefore re-executes from the source instead of silently matching
@@ -94,7 +93,6 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # dedup.py; also what keeps the config-perturbation determinism sweep
     # honest).  All loop-scoped persists are released before returning.
     out = ranks.localCheckpoint(eager=True)
-    ranks.unpersist()
     esrc.unpersist()
     nodes.unpersist()
     return out
