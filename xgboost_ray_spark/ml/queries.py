@@ -233,3 +233,147 @@ def s30d_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact K-fold cross-validation over the closed-form OLS track
+# ---------------------------------------------------------------------------
+CV_FOLDS = 5
+# Row key -> fold: the repo's shared md5-bucket idiom (sampling._SPARK_BUCKET
+# folds 15 hex chars into a sign-safe bigint), mod K. linenumber is 1..7 so
+# orderkey*10 + linenumber is collision-free.
+_CV_FOLD_SPARK = (
+    F.conv(
+        F.substring(
+            F.md5(
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                    "string"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    % CV_FOLDS
+)
+_CV_FOLD_SQL = (
+    "CAST(('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber"
+    f" AS VARCHAR)), 1, 15)) AS BIGINT) % {CV_FOLDS}"
+)
+
+
+@register(
+    "s30e_cv_ols",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_returnflag, {_CV_FOLD_SQL} AS fold,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx_d,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy_d,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+               AS sxy_d,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx_d
+      FROM f GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, fold, n,
+             CAST(SUM(n) OVER w - n AS BIGINT) AS cn,
+             CAST(SUM(sx_d) OVER w - sx_d AS DOUBLE) AS csx,
+             CAST(SUM(sy_d) OVER w - sy_d AS DOUBLE) AS csy,
+             CAST(SUM(sxy_d) OVER w - sxy_d AS DOUBLE) AS csxy,
+             CAST(SUM(sxx_d) OVER w - sxx_d AS DOUBLE) AS csxx
+      FROM s WINDOW w AS (PARTITION BY l_returnflag)
+    ), m AS (
+      SELECT l_returnflag, fold, n,
+             (cn*csxy - csx*csy) / (cn*csxx - csx*csx) AS slope,
+             (csy - (cn*csxy - csx*csy) / (cn*csxx - csx*csx) * csx) / cn
+               AS intercept
+      FROM c
+    )
+    SELECT fl.l_returnflag, CAST(fl.fold AS BIGINT) AS fold,
+           m.n AS n_test,
+           ROUND(sqrt(CAST(SUM(CAST(
+               (fl.l_extendedprice
+                  - (m.intercept + m.slope * fl.l_quantity))
+               * (fl.l_extendedprice
+                  - (m.intercept + m.slope * fl.l_quantity))
+             AS DECIMAL(28,6))) AS DOUBLE) / m.n), 4) AS rmse
+    FROM f fl
+    JOIN m ON fl.l_returnflag = m.l_returnflag AND fl.fold = m.fold
+    GROUP BY fl.l_returnflag, fl.fold, m.n
+    """,
+    doc=f"EXACT {CV_FOLDS}-fold cross-validation of the closed-form OLS "
+        "model — the sufficient-statistics pattern composed: per-(group, "
+        "fold) stats are computed ONCE in one partial-agg pass, and each "
+        "fold's held-out model is derived ALGEBRAICALLY as (total - "
+        "fold) over decimal-exact sums — K models from one data pass, "
+        "no per-fold rescans (the trick that makes CV affordable at "
+        "100 TB). Fold membership is the md5-bucket idiom (layout- and "
+        "cluster-size-independent); held-out RMSE accumulates residual "
+        "squares in DECIMAL so even the scoring pass is "
+        "order-independent. Hash-checked end to end.",
+    tags=("ml", "train", "cv"),
+)
+def s30e_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    DEC = "decimal(28,6)"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        _CV_FOLD_SPARK.alias("fold"),
+    )
+    stats = li.groupBy("l_returnflag", "fold").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sx_d"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy_d"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).alias(
+            "sxy_d"
+        ),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC)).alias(
+            "sxx_d"
+        ),
+    )
+    w = W.partitionBy("l_returnflag")
+    comp = stats.select(
+        "l_returnflag",
+        "fold",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).cast("bigint").alias("cn"),
+        (F.sum("sx_d").over(w) - F.col("sx_d")).cast("double").alias("csx"),
+        (F.sum("sy_d").over(w) - F.col("sy_d")).cast("double").alias("csy"),
+        (F.sum("sxy_d").over(w) - F.col("sxy_d")).cast("double").alias("csxy"),
+        (F.sum("sxx_d").over(w) - F.col("sxx_d")).cast("double").alias("csxx"),
+    )
+    cn, csx, csy = F.col("cn"), F.col("csx"), F.col("csy")
+    slope = (cn * F.col("csxy") - csx * csy) / (cn * F.col("csxx") - csx * csx)
+    model = comp.select(
+        "l_returnflag",
+        "fold",
+        F.col("n").alias("n_test"),
+        slope.alias("slope"),
+        ((csy - slope * csx) / cn).alias("intercept"),
+    )
+    resid = F.col("l_extendedprice") - (
+        F.col("intercept") + F.col("slope") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(model), ["l_returnflag", "fold"])
+        .groupBy("l_returnflag", "fold", "n_test")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((resid * resid).cast(DEC)).cast("double")
+                    / F.col("n_test")
+                ),
+                4,
+            ).alias("rmse")
+        )
+        .select("l_returnflag", "fold", "n_test", "rmse")
+    )
