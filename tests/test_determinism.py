@@ -50,6 +50,7 @@ RISKY = [
     "s27j_kmeans",
     "s28e_tfidf_top_terms",
     "s29g_udtf_token_runs",
+    "s30e_cv_ols",
     "s31_hash_split",
     "s31f_weighted_sample",
     "s31h_quantile_bins",
