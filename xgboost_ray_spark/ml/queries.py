@@ -242,22 +242,25 @@ CV_FOLDS = 5
 # Row key -> fold: the repo's shared md5-bucket idiom (sampling._SPARK_BUCKET
 # folds 15 hex chars into a sign-safe bigint), mod K. linenumber is 1..7 so
 # orderkey*10 + linenumber is collision-free.
-_CV_FOLD_SPARK = (
-    F.conv(
-        F.substring(
-            F.md5(
-                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
-                    "string"
-                )
+def _cv_fold_spark():
+    # Built lazily: classic-mode Column construction needs an active
+    # SparkContext, and this module imports at registry load time.
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                        "string"
+                    )
+                ),
+                1,
+                15,
             ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    % CV_FOLDS
-)
+            16,
+            10,
+        ).cast("bigint")
+        % CV_FOLDS
+    )
 _CV_FOLD_SQL = (
     "CAST(('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber"
     f" AS VARCHAR)), 1, 15)) AS BIGINT) % {CV_FOLDS}"
@@ -327,7 +330,7 @@ def s30e_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_quantity",
         "l_extendedprice",
-        _CV_FOLD_SPARK.alias("fold"),
+        _cv_fold_spark().alias("fold"),
     )
     stats = li.groupBy("l_returnflag", "fold").agg(
         F.count("*").alias("n"),
@@ -376,4 +379,125 @@ def s30e_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rmse")
         )
         .select("l_returnflag", "fold", "n_test", "rmse")
+    )
+
+
+@register(
+    "s30f_learning_curve",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_returnflag, {_CV_FOLD_SQL} AS fold,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, fold,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx_d,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy_d,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+               AS sxy_d,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx_d
+      FROM f WHERE fold < {CV_FOLDS - 1}
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, fold,
+             CAST(SUM(n) OVER w AS BIGINT) AS tn,
+             CAST(SUM(sx_d) OVER w AS DOUBLE) AS csx,
+             CAST(SUM(sy_d) OVER w AS DOUBLE) AS csy,
+             CAST(SUM(sxy_d) OVER w AS DOUBLE) AS csxy,
+             CAST(SUM(sxx_d) OVER w AS DOUBLE) AS csxx
+      FROM s
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY fold
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+      SELECT l_returnflag, CAST(fold + 1 AS BIGINT) AS train_folds, tn,
+             (tn*csxy - csx*csy) / (tn*csxx - csx*csx) AS slope,
+             (csy - (tn*csxy - csx*csy) / (tn*csxx - csx*csx) * csx) / tn
+               AS intercept
+      FROM cum
+    )
+    SELECT h.l_returnflag, m.train_folds, m.tn AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(sqrt(CAST(SUM(CAST(
+               (h.l_extendedprice
+                  - (m.intercept + m.slope * h.l_quantity))
+               * (h.l_extendedprice
+                  - (m.intercept + m.slope * h.l_quantity))
+             AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)), 4) AS rmse
+    FROM f h JOIN m ON h.l_returnflag = m.l_returnflag
+    WHERE h.fold = {CV_FOLDS - 1}
+    GROUP BY h.l_returnflag, m.train_folds, m.tn
+    """,
+    doc=f"Learning curve from ONE data pass: nested training subsets are "
+        f"the cumulative fold prefixes (folds 0..j, j < {CV_FOLDS - 1}), "
+        "each model derived algebraically from a decimal-exact window "
+        "CUMSUM over the per-fold sufficient statistics, all scored "
+        "against the same held-out fold. The sample-efficiency "
+        "diagnostic ('would more data help?') costs one aggregate pass "
+        "plus a |groups|*K broadcast — never K rescans. Hash-checked "
+        "end to end; rmse must trend down as train_folds grows.",
+    tags=("ml", "train", "cv"),
+)
+def s30f_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    DEC = "decimal(28,6)"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        _cv_fold_spark().alias("fold"),
+    )
+    train = li.filter(F.col("fold") < CV_FOLDS - 1)
+    stats = train.groupBy("l_returnflag", "fold").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sx_d"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy_d"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).alias(
+            "sxy_d"
+        ),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC)).alias(
+            "sxx_d"
+        ),
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("fold")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = stats.select(
+        "l_returnflag",
+        "fold",
+        F.sum("n").over(w).cast("bigint").alias("tn"),
+        F.sum("sx_d").over(w).cast("double").alias("csx"),
+        F.sum("sy_d").over(w).cast("double").alias("csy"),
+        F.sum("sxy_d").over(w).cast("double").alias("csxy"),
+        F.sum("sxx_d").over(w).cast("double").alias("csxx"),
+    )
+    tn, csx, csy = F.col("tn"), F.col("csx"), F.col("csy")
+    slope = (tn * F.col("csxy") - csx * csy) / (tn * F.col("csxx") - csx * csx)
+    model = cum.select(
+        "l_returnflag",
+        (F.col("fold") + 1).cast("bigint").alias("train_folds"),
+        F.col("tn").alias("n_train"),
+        slope.alias("slope"),
+        ((csy - slope * csx) / tn).alias("intercept"),
+    )
+    heldout = li.filter(F.col("fold") == CV_FOLDS - 1)
+    resid = F.col("l_extendedprice") - (
+        F.col("intercept") + F.col("slope") * F.col("l_quantity")
+    )
+    return (
+        heldout.join(F.broadcast(model), "l_returnflag")
+        .groupBy("l_returnflag", "train_folds", "n_train")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(
+                F.sqrt(
+                    F.sum((resid * resid).cast(DEC)).cast("double")
+                    / F.count("*")
+                ),
+                4,
+            ).alias("rmse"),
+        )
     )
