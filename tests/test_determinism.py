@@ -51,6 +51,7 @@ RISKY = [
     "s28e_tfidf_top_terms",
     "s29g_udtf_token_runs",
     "s30e_cv_ols",
+    "s30f_learning_curve",
     "s31_hash_split",
     "s31f_weighted_sample",
     "s31h_quantile_bins",
