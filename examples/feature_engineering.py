@@ -6,20 +6,22 @@ this is how those columns get built at 100 TB).
 Stages, each a registry operator reused as a library function:
 
   1. graph centrality: fixed-point PageRank over the customer⟷supplier
-     purchase graph (s24g kernel)                    — entity importance
+     purchase graph (the s24g builder, called directly) — entity importance
   2. behavior embedding cluster: fixed-point k-means assignment over the
      embeddings table (s27j kernel)                  — categorical cluster id
-  3. spend discretization: per-group equal-frequency deciles of event
-     value (s31h shape)                              — bounded-cardinality bins
-  4. anomaly mask: exact 3-sigma outlier flags (s32d shape) — drop rows a
-     monitoring gate would quarantine
+  3. spend discretization: per-NATION equal-frequency deciles of customer
+     spend (s31h shape: ntile over a total order within each group)
+  4. anomaly mask: exact 3-sigma outlier flag on spend (the s32d kernel,
+     `exact_outlier_flags`) — rows a monitoring gate would quarantine are
+     DROPPED before assembly
   5. assemble: one wide feature frame keyed by customer, split
      train/valid/test by key hash (s31 kernel)       — reproducible folds
 
 Every derived feature here is bit-reproducible by construction (integer
-fixed-point state, md5 splits), so the SAME rows with the SAME values come
-out on any cluster size or partition layout — the property that makes a
-training set auditable months later.
+fixed-point state, cross-multiplied integer predicates, md5 splits), so
+the SAME rows with the SAME values come out on any cluster size or
+partition layout — the property that makes a training set auditable
+months later.
 
 Run: python examples/feature_engineering.py [--sf-dir /root/testdata/sf0.001]
 """
@@ -35,7 +37,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
-from xgboost_ray_spark.operators.graph import pagerank
+from xgboost_ray_spark.operators.graph import s24g_pagerank
+from xgboost_ray_spark.operators.profile import exact_outlier_flags
 from xgboost_ray_spark.operators.sampling import hash_split
 from xgboost_ray_spark.operators.similarity import kmeans_assign
 from xgboost_ray_spark.session import get_spark
@@ -45,22 +48,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     spark = get_spark(app_name="example-feature-engineering")
 
     # 1. PageRank over the purchase graph -> per-customer centrality.
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    base = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    ranks = pagerank(edges)
+    # The registered builder IS the library function: one graph
+    # definition, shared with the oracle-checked entry.
+    ranks = s24g_pagerank(spark, sf_dir)
     cust_rank = ranks.filter(F.col("node") % 2 == 0).select(
         (F.col("node") / 2).cast("bigint").alias("custkey"),
         F.col("rank").alias("graph_rank"),
@@ -73,27 +63,46 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ).select(F.col("vec_id").alias("custkey"), "cluster")
 
-    # 3. Per-customer order-value decile (equal-frequency discretization
-    # of total spend — deterministic ntile over a total order).
-    spend = orders.join(
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice"
-        ),
-        "o_orderkey",
-    ).groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("spend")
+    # 3. Customer spend -> per-nation equal-frequency decile (the s31h
+    # shape: deterministic ntile over a total order WITHIN each group —
+    # never a global single-partition sort).
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("spend"))
     )
-    spend = spend.withColumn(
+    nations = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    spend = spend.join(F.broadcast(nations), "custkey").withColumn(
         "spend_decile",
-        F.ntile(10).over(
-            W.orderBy(F.asc_nulls_last("spend"), "custkey")
-        ).cast("bigint"),
+        F.ntile(10)
+        .over(
+            W.partitionBy("c_nationkey").orderBy(
+                F.asc_nulls_last("spend"), "custkey"
+            )
+        )
+        .cast("bigint"),
     )
 
-    # 4. Assemble + reproducible split (md5-hash on the key).
+    # 4. Anomaly mask: quarantine customers whose spend is a 3-sigma
+    # outlier within their nation (exact integer predicate — the s32d
+    # kernel on micro-unit fixed-point spend).
+    spend = spend.withColumn(
+        "spend_mu", (F.col("spend") * 1_000_000).cast("bigint")
+    )
+    masked = (
+        exact_outlier_flags(spend, "c_nationkey", "spend_mu")
+        .filter(~F.col("is_outlier"))
+        .select("custkey", "spend_decile")
+    )
+    n_quarantined = spend.count() - masked.count()
+
+    # 5. Assemble + reproducible split (md5-hash on the key).
     feats = (
         cust_rank.join(clusters, "custkey", "left")
-        .join(spend.select("custkey", "spend_decile"), "custkey", "left")
+        .join(masked, "custkey", "inner")
         .select("custkey", "graph_rank", "cluster", "spend_decile")
     )
     split = hash_split(feats, "custkey")
@@ -104,7 +113,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
 
     n_feats = feats.count()
     assert n_feats > 0 and sum(counts.values()) == n_feats
-    return {"n_features": n_feats, "splits": counts}
+    return {
+        "n_features": n_feats,
+        "n_quarantined": n_quarantined,
+        "splits": counts,
+    }
 
 
 if __name__ == "__main__":

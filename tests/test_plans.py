@@ -887,15 +887,23 @@ def test_pagerank_returns_materialized_state_without_cache_retention(spark):
     materialized blocks with no shuffle and no recompute, and nothing
     stays registered with the CacheManager (a rebuild re-executes the
     loop — what keeps the determinism sweep honest)."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
     df = _build(spark, "s24g_pagerank")
+    after = sc._jsc.getPersistentRDDs().size()
     plan = formatted_plan(df)
     assert "ExistingRDD" in plan, plan
     assert ") Exchange" not in plan, (
         "reading the final rank state must not shuffle"
     )
-    # Cache-retention is guarded behaviorally: the determinism sweep
-    # rebuilds s24g under perturbed configs and would read stale cache
-    # entries if the loop's persists leaked past the call.
+    # delta, not absolute: other session-scoped caches may exist. Exactly
+    # ONE new persisted RDD is allowed — the returned localCheckpoint's
+    # own storage (freed when the frame is GC'd, and not plan-keyed in
+    # the CacheManager, so it can never serve a rebuild). The loop's
+    # esrc/nodes/ranks persists must all be gone.
+    assert after <= before + 1, (
+        f"pagerank leaked {after - before - 1} loop-scoped persist(s)"
+    )
 
 
 def test_outlier_flags_single_window_shuffle(spark):

@@ -16,6 +16,7 @@ from xgboost_ray_spark.catalog import load_table
 from xgboost_ray_spark.matrix import MatrixSpec
 from xgboost_ray_spark.ml.params import GBTParams
 from xgboost_ray_spark.ml.train import predict, train
+from xgboost_ray_spark.operators.sampling import spark_bucket, sql_bucket
 from xgboost_ray_spark.registry import register
 
 LINEITEM_FEATURES = [
@@ -239,32 +240,17 @@ def s30d_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact K-fold cross-validation over the closed-form OLS track
 # ---------------------------------------------------------------------------
 CV_FOLDS = 5
-# Row key -> fold: the repo's shared md5-bucket idiom (sampling._SPARK_BUCKET
-# folds 15 hex chars into a sign-safe bigint), mod K. linenumber is 1..7 so
-# orderkey*10 + linenumber is collision-free.
+# Row key -> fold: THE shared md5-bucket idiom (sampling.spark_bucket),
+# mod K. linenumber is 1..7 so orderkey*10 + linenumber is collision-free.
 def _cv_fold_spark():
     # Built lazily: classic-mode Column construction needs an active
     # SparkContext, and this module imports at registry load time.
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
-                        "string"
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % CV_FOLDS
+    return spark_bucket(
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"), CV_FOLDS
     )
-_CV_FOLD_SQL = (
-    "CAST(('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber"
-    f" AS VARCHAR)), 1, 15)) AS BIGINT) % {CV_FOLDS}"
-)
+
+
+_CV_FOLD_SQL = sql_bucket("l_orderkey * 10 + l_linenumber", CV_FOLDS)
 
 
 @register(

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import os
+from fractions import Fraction as _Fraction
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -635,9 +636,6 @@ JACCARD_THRESHOLD = 0.5
 # with true J marginally below t on huge shingle sets — and the prefix
 # filter (s26l) only guarantees candidate recall for exact J >= t, so a
 # rounded boundary would be a soundness hole, not just cosmetics.
-from fractions import Fraction as _Fraction
-
-
 def _jaccard_rational(threshold: float) -> tuple[int, int]:
     frac = _Fraction(threshold).limit_denominator(10**6)
     return frac.numerator, frac.denominator

@@ -316,34 +316,53 @@ SIGMA_K = 3  # flag |x - mean| > K * sample-stddev
     tags=("events", "profiling", "quality"),
 )
 def s32d_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    DEC38 = "decimal(38,0)"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         "value",
         (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("v"),
     )
-    w = W.partitionBy("event_type")
-    st = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        "v",
-        F.count("*").over(w).alias("n"),
-        F.sum("v").over(w).cast(DEC38).alias("s1"),
-        F.sum(F.col("v") * F.col("v")).over(w).cast(DEC38).alias("s2"),
+    return (
+        exact_outlier_flags(ev, "event_type", "v")
+        .filter(F.col("is_outlier"))
+        .select("event_id", "event_type", "value")
     )
-    n = F.col("n").cast(DEC38)
-    v = F.col("v").cast(DEC38)
-    dev = n * v - F.col("s1")
+
+
+def exact_outlier_flags(
+    df: DataFrame, group_col: str, cents_col: str, k: int = SIGMA_K
+) -> DataFrame:
+    """Append ``is_outlier``: |x - mean| > k*stddev per ``group_col``,
+    decided by the cross-multiplied INTEGER predicate over a fixed-point
+    bigint value column — (n*x-S1)^2*(n-1) > k^2*n*(n*S2-S1^2) — so the
+    flag is bit-reproducible (no sqrt, no float accumulation). Reusable
+    anomaly-mask kernel; s32d is its registered events spelling.
+    """
+    from pyspark.sql import Window as W
+
+    DEC38 = "decimal(38,0)"
+    w = W.partitionBy(group_col)
+    st = df.withColumns(
+        {
+            "_n": F.count("*").over(w),
+            "_s1": F.sum(cents_col).over(w).cast(DEC38),
+            # square in DECIMAL: a bigint*bigint square overflows long
+            # for fixed-point values beyond ~3e9; the decimal product is
+            # exact and the sum stays well inside 38 digits
+            "_s2": F.sum(
+                F.col(cents_col).cast(DEC38) * F.col(cents_col).cast(DEC38)
+            ).over(w),
+        }
+    )
+    n = F.col("_n").cast(DEC38)
+    v = F.col(cents_col).cast(DEC38)
+    dev = n * v - F.col("_s1")
     lhs = dev * dev * (n - 1)
     rhs = (
-        F.lit(SIGMA_K * SIGMA_K).cast(DEC38)
+        F.lit(k * k).cast(DEC38)
         * n
-        * (n * F.col("s2") - F.col("s1") * F.col("s1"))
+        * (n * F.col("_s2") - F.col("_s1") * F.col("_s1"))
     )
-    return st.filter((F.col("n") >= 2) & (lhs > rhs)).select(
-        "event_id", "event_type", "value"
-    )
+    return st.withColumn(
+        "is_outlier", (F.col("_n") >= 2) & (lhs > rhs)
+    ).drop("_n", "_s1", "_s2")

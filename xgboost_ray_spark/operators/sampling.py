@@ -17,22 +17,32 @@ pre-split in pandas. At Spark scale the split must happen inside the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
 from xgboost_ray_spark.registry import register, sql_davg
 
-# md5(key) folded to 15 hex chars (60 bits, sign-safe in a BIGINT) — the
-# shared Spark/DuckDB idiom used by the dedup family.
-_SPARK_BUCKET = (
-    lambda col: F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
-    .cast("bigint") % 100
-)
+# md5(key) folded to 15 hex chars (60 bits, sign-safe in a BIGINT) — THE
+# shared Spark/DuckDB hash-bucket idiom (splits, sampling, CV folds); one
+# definition so the membership function can never quietly fork.
+def spark_bucket(col: Column, mod: int = 100) -> Column:
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % mod
+    )
 
 
-def _sql_bucket(expr: str) -> str:
-    return f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+def sql_bucket(expr: str, mod: int = 100) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {mod}"
+    )
+
+
+_SPARK_BUCKET = spark_bucket  # legacy local aliases
+_sql_bucket = sql_bucket
 
 
 # ---------------------------------------------------------------------------

@@ -223,9 +223,9 @@ def sql_davg(expr: str, alias: str) -> str:
 #   near-dup stack re-validates under the driver hash. Rotated out to 51+:
 #   s06b s09c s10c s11d s11e s14b s15b s22b s23b s28b s28c s28d s28f s29c
 #   s29e s31b s31c (all driver-green r3).
-#   Backlog after r4: ~60 entries never driver-checked (incl. the six
-#   operators added late in r4: s24g s26l s27j s31h s32d s30d, appended
-#   after slot 50 in registration order) — next rounds rotate
+#   Backlog after r4: ~62 entries never driver-checked (incl. the eight
+#   operators added late in r4: s24g s26l s27j s31h s32d s30d s30e s30f,
+#   appended after slot 50 in registration order) — next rounds rotate
 #   in s05d-g, s07c/d, s09f/g, s26h-k, s27d-i, s28h-l, s25g-k, s31d/e/g,
 #   s01b-f, s13b, s14c/d, s23c, s24d/e/f, s06c/d, s04b, s29f/h/i, s32b/c.
 # Entries registered but not listed here (newly added operators) append at
