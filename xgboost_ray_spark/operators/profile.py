@@ -279,9 +279,9 @@ def s32c_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIGMA_K = 3  # flag |x - mean| > K * sample-stddev
 
 
-@register(
-    "s32d_outlier_flags",
-    oracle=f"""
+# Shared with s25l_stream_outlier_guard: the streaming guard broadcasts
+# these same full-table stats, so both spellings answer to ONE oracle.
+OUTLIER_FLAGS_SQL = f"""
     WITH c AS (
       SELECT event_id, event_type,
              value,
@@ -300,7 +300,12 @@ SIGMA_K = 3  # flag |x - mean| > K * sample-stddev
     WHERE n >= 2
       AND (n * v - s1) * (n * v - s1) * (n - 1)
             > {SIGMA_K * SIGMA_K} * n * (n * s2 - s1 * s1)
-    """,
+"""
+
+
+@register(
+    "s32d_outlier_flags",
+    oracle=OUTLIER_FLAGS_SQL,
     doc=f"Per-group {SIGMA_K}-sigma outlier detection with an EXACT "
         "predicate: |x-mean| > K*stddev is cross-multiplied into pure "
         "integer arithmetic on cent-scaled values — "

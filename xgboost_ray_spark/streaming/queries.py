@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from xgboost_ray_spark.operators.profile import OUTLIER_FLAGS_SQL
 from xgboost_ray_spark.registry import register, sql_dsum
 from xgboost_ray_spark.streaming.windows import (
     read_events_stream,
@@ -552,3 +553,56 @@ def s25k_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, spark, output_mode="append")
+
+
+@register(
+    "s25l_stream_outlier_guard",
+    # The batch entry's oracle, verbatim: the guard broadcasts stats
+    # computed over the full static table and the stream replays that
+    # same table, so the flagged set must match s32d row-for-row.
+    oracle=OUTLIER_FLAGS_SQL,
+    doc="Streaming training-serving guard: the event stream is scored "
+        "against BROADCAST per-group (n, S1, S2) statistics — the "
+        "exact integer 3-sigma predicate of s32d, spelled as the "
+        "100 TB deployment would run it in production (stats computed "
+        "at training time, streamed events flagged per-row with no "
+        "stream-side shuffle or state). Same oracle as the batch "
+        "window spelling: two topologies, one truth.",
+    tags=("streaming", "quality"),
+)
+def s25l_stream_outlier_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.operators.profile import SIGMA_K
+
+    DEC38 = "decimal(38,0)"
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    static = load_table(spark, sf_dir, "events").select(
+        "event_type", cents.alias("v")
+    )
+    stats = static.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast(DEC38).alias("s1"),
+        F.sum(F.col("v").cast(DEC38) * F.col("v").cast(DEC38)).alias("s2"),
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value", cents.alias("v")
+    )
+    n = F.col("n").cast(DEC38)
+    v = F.col("v").cast(DEC38)
+    dev = n * v - F.col("s1")
+    lhs = dev * dev * (n - 1)
+    rhs = (
+        F.lit(SIGMA_K * SIGMA_K).cast(DEC38)
+        * n
+        * (n * F.col("s2") - F.col("s1") * F.col("s1"))
+    )
+    flagged = (
+        stream.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") >= 2) & (lhs > rhs))
+        .select("event_id", "event_type", "value")
+    )
+    # per-row map with no aggregation: append mode (complete requires agg)
+    return run_stream_to_memory(flagged, spark, output_mode="append")
+
