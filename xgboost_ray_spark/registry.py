@@ -217,44 +217,51 @@ def sql_davg(expr: str, alias: str) -> str:
 #
 # Rotation log (driver-hashed rounds):
 #   r1-r3 checked 68 distinct entries (see CORRECTNESS_r0*.json).
-#   r4 window rotates in 15 never-checked entries (s04c s07b s09e s12b s14e
-#   s21b s22c s24c s25 s25d s27b s28g s29g s31f s33b) plus s26b/s26e, whose
-#   kernels were refactored in r3 AFTER their last driver row (r2) — the
-#   near-dup stack re-validates under the driver hash. Rotated out to 51+:
-#   s06b s09c s10c s11d s11e s14b s15b s22b s23b s28b s28c s28d s28f s29c
-#   s29e s31b s31c (all driver-green r3).
-#   Backlog after r4: ~62 entries never driver-checked (incl. the eight
-#   operators added late in r4: s24g s26l s27j s31h s32d s30d s30e s30f,
-#   appended after slot 50 in registration order) — next rounds rotate
-#   in s05d-g, s07c/d, s09f/g, s26h-k, s27d-i, s28h-l, s25g-k, s31d/e/g,
-#   s01b-f, s13b, s14c/d, s23c, s24d/e/f, s06c/d, s04b, s29f/h/i, s32b/c.
+#   r4 rotated in 15 never-checked entries plus s26b/s26e re-validation;
+#   CORRECTNESS_r04 came back 50/50 green. Backlog after r4: 73 never
+#   driver-checked.
+#   r5 window (this one) freezes catalog growth and rotates in 17
+#   never-checked entries per VERDICT r4 #1/#2: the eight late-r4
+#   operators (s24g s26l s27j s31h s32d s30d s30e s30f — the round's
+#   flagship iterative/ML work), the two risk-bearing advanced streaming
+#   entries (s25g stream-stream join, s25i foreachBatch CDC upsert), and
+#   seven TPC-H/agg variants (s05d s05e s05h s16b s21c s09f s09g).
+#   Rotated out to 51+ (all driver-green r4): s04c s07b s09e s12b s14e
+#   s21b s22c s24c s25 s25d s26b s26e s27b s28g s29g s31f s33b.
+#   Backlog after r5 (if sweep green): 56. Next rounds rotate in the
+#   heavy pair s26g/s08c (VERDICT #6, by end of r6), s13b, s23c,
+#   s05f/g, s07c/d, s26h-k, s27d-i, s28h-l, s25g-k remainder, s31d/e/g,
+#   s01b-i, s14c/d, s24d/e/f, s06c/d, s04b, s29f/h/i, s32b/c.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r4 set), ----
-    # -- ordered by measured sf0.01 wall (driver_sim 2026-08-14); s03 -------
-    # -- leads so the cheapest query absorbs the one-off JVM warmup ---------
-    "s03_projection", "s01_parquet_scan", "s31f_weighted_sample",
-    "s19_date_funcs", "s15_sort_limit", "s33_sequence_pack", "s09d_argmax",
-    "s04_filter", "s28_token_stats", "s26f_canonical_dedup", "s23_json",
-    "s24_tumbling_window", "s10_count_distinct", "s04c_tpch_q6",
-    "s21_conditional", "s14_window_analytic", "s33b_chunk_overlap",
-    "s07_semi_anti_join", "s31_hash_split", "s13_window_rank",
-    "s21b_promo_revenue", "s06_outer_join", "s02_csv_scan",
-    "s11c_grouping_sets", "s20_math_funcs", "s05b_salted_join",
-    "s24c_funnel", "s12_having", "s17_setops", "s08_broadcast_join",
-    "s14e_gaps_islands", "s09e_quantile_filter", "s27c_embedding_neardup",
-    "s22c_map_funcs", "s29g_udtf_token_runs", "s12b_having_join",
-    "s22_array_funcs", "s16_topk_per_group", "s25_stream_tumbling",
-    "s07b_exists_subquery", "s18_string_funcs", "s26b_minhash_lsh",
-    "s32_profile", "s28g_repetition_score", "s25e_stream_dedup",
-    "s27b_lsh_topk", "s26e_hamming_pairs", "s29_pandas_udf",
-    "s25d_stateful_sessions", "s30c_linear_model_train",
-    # -- slots 51+: driver-green variants rotated out in r4 -----------------
-    # (s30b was driver-checked rows-only in r3; the family's window slot
-    # now goes to s30c, whose closed-form training is hash-checkable —
-    # the first exact driver row for the ML family)
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r5 set), ----
+    # -- ordered by measured sf0.01 wall (bare-session run 2026-08-14);  ----
+    # -- s03 leads so the cheapest query absorbs the one-off JVM warmup -----
+    "s03_projection", "s28_token_stats", "s15_sort_limit",
+    "s22_array_funcs", "s21_conditional", "s20_math_funcs",
+    "s19_date_funcs", "s33_sequence_pack", "s12_having", "s31_hash_split",
+    "s16_topk_per_group", "s09g_incremental_agg", "s21c_tpch_q12",
+    "s23_json", "s18_string_funcs", "s31h_quantile_bins", "s16b_tpch_q15",
+    "s32d_outlier_flags", "s11c_grouping_sets", "s24_tumbling_window",
+    "s01_parquet_scan", "s09d_argmax", "s30c_linear_model_train",
+    "s14_window_analytic", "s07_semi_anti_join", "s26f_canonical_dedup",
+    "s10_count_distinct", "s05e_tpch_q10", "s13_window_rank", "s17_setops",
+    "s02_csv_scan", "s05h_tpch_q9", "s08_broadcast_join", "s04_filter",
+    "s30d_linear_model_score", "s27c_embedding_neardup", "s06_outer_join",
+    "s05d_tpch_q5", "s30f_learning_curve", "s09f_scalar_subquery",
+    "s29_pandas_udf", "s30e_cv_ols", "s25e_stream_dedup", "s32_profile",
+    "s05b_salted_join", "s25i_stream_cdc_upsert", "s26l_prefix_filter_join",
+    "s25g_stream_stream_join", "s27j_kmeans", "s24g_pagerank",
+    # -- slots 51+: driver-green entries rotated out in r5 ------------------
+    "s31f_weighted_sample", "s09e_quantile_filter", "s04c_tpch_q6",
+    "s14e_gaps_islands", "s33b_chunk_overlap", "s07b_exists_subquery",
+    "s21b_promo_revenue", "s22c_map_funcs", "s29g_udtf_token_runs",
+    "s12b_having_join", "s25_stream_tumbling", "s24c_funnel",
+    "s26b_minhash_lsh", "s28g_repetition_score", "s25d_stateful_sessions",
+    "s27b_lsh_topk", "s26e_hamming_pairs",
+    # -- driver-green variants rotated out in earlier rounds ----------------
     "s30b_ltr_rank",
     "s15b_sort_nulls", "s28d_fingerprint", "s22b_array_hof",
     "s14b_range_frame", "s31b_stratified_sample", "s28f_regex_tokens",
