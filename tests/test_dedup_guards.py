@@ -81,6 +81,63 @@ def test_default_observation_names_compose(spark):
     assert ha.union(hb).count() >= ha.count()
 
 
+def test_spill_rebuilds_do_not_accumulate_dirs(spark):
+    """Stable spill keys: rebuilding the same registered query (bench loops,
+    determinism sweeps) must reuse the same scratch dir, not mint a new one
+    per build."""
+    import os
+
+    from xgboost_ray_spark.catalog import SCRATCH_DIR
+    from xgboost_ray_spark.registry import all_queries
+
+    build = all_queries()["s26d_ngram_jaccard"].build
+
+    def spill_dirs():
+        try:
+            return {
+                n for n in os.listdir(SCRATCH_DIR) if n.startswith("spill_")
+            }
+        except FileNotFoundError:
+            return set()
+
+    build(spark, SF_SMOKE).count()
+    after_first = spill_dirs()
+    build(spark, SF_SMOKE).count()
+    after_second = spill_dirs()
+    assert after_second == after_first, (
+        "rebuilding s26d over the same input minted new spill dirs: "
+        f"{sorted(after_second - after_first)}"
+    )
+
+
+def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
+    """prepare_session GCs spill dirs whose mtime predates this process."""
+    import os
+
+    from xgboost_ray_spark import catalog
+    from xgboost_ray_spark.catalog import SCRATCH_DIR, sweep_scratch
+
+    os.makedirs(SCRATCH_DIR, exist_ok=True)
+    stale = os.path.join(SCRATCH_DIR, "spill_testguard_deadbeef0000")
+    os.makedirs(stale, exist_ok=True)
+    old = catalog._SESSION_EPOCH - 3600
+    os.utime(stale, (old, old))
+    # A fresh dir (this session's epoch or later) must survive the sweep.
+    fresh = os.path.join(SCRATCH_DIR, "spill_testguard_feed00000000")
+    os.makedirs(fresh, exist_ok=True)
+    try:
+        catalog._SCRATCH_SWEPT = False  # re-arm the once-per-process guard
+        assert sweep_scratch() >= 1
+        assert not os.path.exists(stale)
+        assert os.path.exists(fresh)
+        # Second call in the same process is a no-op by design.
+        assert sweep_scratch() == 0
+    finally:
+        for d in (stale, fresh):
+            if os.path.exists(d):
+                os.rmdir(d)
+
+
 def test_simhash64_pairs_recall_vs_bruteforce(spark):
     """Blocked 64-bit candidate generation must equal brute-force all-pairs
     at distance <= 2 (pigeonhole guarantee, no capped buckets at n=150)."""

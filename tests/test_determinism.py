@@ -50,6 +50,7 @@ RISKY = [
     "s27j_kmeans",
     "s28e_tfidf_top_terms",
     "s29g_udtf_token_runs",
+    "s30d_linear_model_score",
     "s30e_cv_ols",
     "s30f_learning_curve",
     "s31_hash_split",

@@ -36,6 +36,49 @@ SCRATCH_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
 )
 
+# Epoch for scratch garbage collection: anything under SCRATCH_DIR whose
+# mtime predates this process belongs to a finished session and can go.
+_SESSION_EPOCH = __import__("time").time()
+_SCRATCH_SWEPT = False
+
+
+def sweep_scratch() -> int:
+    """Garbage-collect spill directories left behind by earlier sessions.
+
+    ``spill()`` materializes multiply-consumed intermediates under
+    ``SCRATCH_DIR/spill_*``; keys are stable within a session (input path +
+    operator params), so a session's footprint is bounded — but nothing in
+    a session can know when a *previous* session's lazily-evaluated readers
+    are gone. This sweep runs once per process (from
+    ``registry.prepare_session``) and removes every ``spill_*`` entry whose
+    mtime predates this process: those readers' sessions have exited, so
+    the data is garbage by construction. Concurrent sessions on one
+    checkout would race here; the engine's deployment unit is one session
+    per driver process, same as Spark's own ``spark-warehouse`` handling.
+    """
+    global _SCRATCH_SWEPT
+    if _SCRATCH_SWEPT:
+        return 0
+    _SCRATCH_SWEPT = True
+    import shutil
+
+    removed = 0
+    try:
+        entries = os.listdir(SCRATCH_DIR)
+    except FileNotFoundError:
+        return 0
+    for name in entries:
+        if not name.startswith("spill_"):
+            continue
+        path = os.path.join(SCRATCH_DIR, name)
+        try:
+            if os.path.getmtime(path) < _SESSION_EPOCH:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")

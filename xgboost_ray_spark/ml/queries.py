@@ -185,10 +185,12 @@ def s30c_linear_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(sqrt(SUM((l.l_extendedprice
-                           - (m.intercept + m.slope * l.l_quantity))
-                          * (l.l_extendedprice
-                             - (m.intercept + m.slope * l.l_quantity)))
+           ROUND(sqrt(CAST(SUM(CAST(
+                    (l.l_extendedprice
+                       - (m.intercept + m.slope * l.l_quantity))
+                    * (l.l_extendedprice
+                       - (m.intercept + m.slope * l.l_quantity))
+                  AS DECIMAL(28,6))) AS DOUBLE)
                       / COUNT(*)), 4) AS rmse
     FROM lineitem l JOIN m USING (l_returnflag)
     GROUP BY l.l_returnflag
@@ -198,7 +200,8 @@ def s30c_linear_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the train->predict round trip of the reference (broadcast "
         "booster, main.py:1750-1806) with a closed-form model, so even "
         "the predictions are oracle-checkable. Emits per-group RMSE; "
-        "residual float sums are continuous, rounded to 4dp.",
+        "residual squares accumulate in DECIMAL(28,6) (like s30e/s30f) "
+        "so the score is partition-layout-independent, then 4dp round.",
     tags=("ml", "predict"),
 )
 def s30d_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,9 +232,14 @@ def s30d_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sqrt(F.sum(resid * resid) / F.count("*")), 4).alias(
-                "rmse"
-            ),
+            F.round(
+                F.sqrt(
+                    F.sum((resid * resid).cast("decimal(28,6)"))
+                    .cast("double")
+                    / F.count("*")
+                ),
+                4,
+            ).alias("rmse"),
         )
     )
 

@@ -34,20 +34,31 @@ from xgboost_ray_spark.catalog import SCRATCH_DIR, load_table
 from xgboost_ray_spark.registry import register
 
 
-def spill(df: DataFrame, tag: str) -> DataFrame:
+def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     """Materialize a multiply-consumed frame to scratch parquet and read it
     back. Contrast ``persist()``: Spark's CacheManager shares cache entries
     by canonical plan across repeated builds of the same query, so a
     persisted intermediate (a) stays in executor memory for the session and
     (b) silently turns benchmark reruns into cached reads. The spill costs
     one write per build, retains nothing, and each consumer reads a plain
-    parquet scan. The path is keyed by the input's analyzed plan so
-    interleaved builds over different inputs never overwrite a spill
-    another lazily-evaluated result still reads."""
-    key = hashlib.md5(
-        df._jdf.queryExecution().analyzed().toString().encode()
-    ).hexdigest()[:12]
-    path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{key}")
+    parquet scan.
+
+    The path must differ across *different inputs* (interleaved builds over
+    two sf dirs must not overwrite a spill another lazily-evaluated result
+    still reads) but stay *stable across rebuilds of the same query*, or
+    bench loops and determinism sweeps grow scratch without bound. Pass
+    ``key`` = input path + operator params (registered builders do); the
+    fallback for arbitrary frames hashes the analyzed plan, which is unique
+    per input but ALSO per build (expression IDs differ), so keyless spills
+    are bounded only by :func:`catalog.sweep_scratch`'s cross-session GC.
+    """
+    key_src = (
+        key
+        if key is not None
+        else df._jdf.queryExecution().analyzed().toString()
+    )
+    digest = hashlib.md5(key_src.encode()).hexdigest()[:12]
+    path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -652,7 +663,10 @@ def _gram_expr(n: int) -> Column:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = JACCARD_NGRAM, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    n: int = JACCARD_NGRAM,
+    threshold: float = JACCARD_THRESHOLD,
+    spill_key: str | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for docs sharing >= 1 shingle.
 
@@ -671,6 +685,7 @@ def ngram_jaccard_pairs(
     sh = spill(
         fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct(),
         "jaccard_shingles",
+        key=spill_key and f"{spill_key}|n={n}|t={threshold}",
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -741,7 +756,7 @@ _JACCARD_PAIRS_SQL = f"""
 )
 def s26d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_pairs(docs)
+    return ngram_jaccard_pairs(docs, spill_key=os.path.abspath(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -925,7 +940,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
 )
 def s26g_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(
+        docs, spill_key=os.path.abspath(sf_dir)
+    ).select("doc_a", "doc_b")
     return dup_clusters(pairs)
 
 
@@ -1138,7 +1155,10 @@ def s26j_fuzzy_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Prefix-filtered set-similarity join (AllPairs/PPJoin candidate pruning)
 # ---------------------------------------------------------------------------
 def prefix_filtered_jaccard_pairs(
-    docs: DataFrame, n: int = JACCARD_NGRAM, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    n: int = JACCARD_NGRAM,
+    threshold: float = JACCARD_THRESHOLD,
+    spill_key: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering.
 
@@ -1169,6 +1189,7 @@ def prefix_filtered_jaccard_pairs(
     sh = spill(
         fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct(),
         "ppjoin_shingles",
+        key=spill_key and f"{spill_key}|n={n}|t={threshold}",
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
@@ -1233,4 +1254,6 @@ def prefix_filtered_jaccard_pairs(
 )
 def s26l_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return prefix_filtered_jaccard_pairs(docs)
+    return prefix_filtered_jaccard_pairs(
+        docs, spill_key=os.path.abspath(sf_dir)
+    )

@@ -368,6 +368,26 @@ def exact_outlier_flags(
         * n
         * (n * F.col("_s2") - F.col("_s1") * F.col("_s1"))
     )
+    # Overflow fails CLOSED, identically to the DuckDB oracle: past the
+    # documented ~1e6-row/“drop a fixed-point digit” bound, Spark's
+    # non-ANSI decimal arithmetic yields NULL where DuckDB's HUGEINT
+    # errors loudly — left unguarded, a NULL side would make the
+    # comparison false and silently UNFLAG real outliers. A non-null
+    # input value with a null predicate side can only mean DECIMAL(38,0)
+    # overflow, so raise instead of returning a wrong mask.
+    overflow = F.col(cents_col).isNotNull() & (lhs.isNull() | rhs.isNull())
+    flag = (F.col("_n") >= 2) & (lhs > rhs)
     return st.withColumn(
-        "is_outlier", (F.col("_n") >= 2) & (lhs > rhs)
+        "is_outlier",
+        F.when(
+            overflow,
+            F.raise_error(
+                F.lit(
+                    "exact_outlier_flags: DECIMAL(38,0) overflow in the "
+                    "integer 3-sigma predicate (group too large or values "
+                    "too hot for the fixed-point scale); rescale the "
+                    "cents column down a digit"
+                )
+            ).cast("boolean"),
+        ).otherwise(flag),
     ).drop("_n", "_s1", "_s2")

@@ -95,6 +95,10 @@ def prepare_session(spark: SparkSession) -> None:
     """Apply runtime-settable engine confs to an externally built session."""
     for k, v in _RUNTIME_CONF.items():
         set_runtime_conf(spark, k, v)
+    # GC spill dirs from finished sessions (no-op after the first call).
+    from xgboost_ray_spark.catalog import sweep_scratch
+
+    sweep_scratch()
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
