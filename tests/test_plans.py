@@ -938,3 +938,29 @@ def test_quantile_bins_single_window_shuffle(spark):
     plan = formatted_plan(_build(spark, "s31h_quantile_bins"))
     assert plan.count(") Exchange") == 1
     assert "Window" in plan
+
+
+def test_tfidf_single_corpus_explode(spark):
+    """The r4 bench regression: a df-branch spelled as tf.groupBy(w) gets
+    its partial aggregate pruned to distinct-only, defeats exchange reuse,
+    and re-runs the corpus explode. Pin the fixed shape: exactly one
+    Generate(explode) and one text-reading scan in the whole plan (the
+    second documents scan is the zero-column COUNT(*) for N), df via a
+    window count with no vocabulary-sized broadcast build."""
+    import re
+
+    df = _build(spark, "s28e_tfidf_top_terms")
+    plan = formatted_plan(df)
+    # formatted explain prints each node twice (tree + details); count the
+    # numbered detail headers, one per physical node.
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1, plan
+    text_scans = [
+        line
+        for line in plan.splitlines()
+        if "Scan parquet" in line or "ReadSchema" in line
+    ]
+    reading_text = [ln for ln in text_scans if "text" in ln]
+    assert len(reading_text) <= 1, reading_text
+    assert "BroadcastHashJoin" not in plan, (
+        "df must come from a window count, not a broadcast join"
+    )

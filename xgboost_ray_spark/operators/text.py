@@ -268,31 +268,34 @@ def s28d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """,
     doc="TF-IDF: tf per (doc, term), df per term, idf = ln(N/df); top-3 "
-        "terms per doc. Two shuffles (doc-term, term) + broadcast of N; "
-        "the df table is tiny relative to the corpus at any scale.",
+        "terms per doc. Single corpus explode; df is a window count over "
+        "the tf frame, so no duplicated subtree and no vocabulary-sized "
+        "broadcast (tests/test_plans.py pins one Generate in the plan).",
     tags=("text",),
 )
 def s28e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    # df from tf, not tok: tf rows are already distinct (doc, term), so the
-    # per-term doc count is a plain count — and Catalyst reuses tf's shuffle
-    # (ReusedExchange) instead of exploding the corpus a second time.
-    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    # df as COUNT(*) OVER (PARTITION BY w) on the tf frame — NOT a second
+    # aggregate branch joined back in. A `tf.groupBy(w)` branch looks
+    # shareable, but column pruning rewrites its partial aggregate to
+    # distinct-only (functions=[]), so it is never canonically equal to
+    # tf's and AQE re-executes the corpus explode+agg for it (r4's bench
+    # regression). The window spelling keeps ONE explode by construction,
+    # costs the same tf-sized shuffle on w the join branch needed, and
+    # drops the df broadcast — which a 100 TB vocabulary would overflow
+    # anyway.
+    withdf = tf.withColumn("df", F.count("*").over(W.partitionBy("w")))
     # N as a broadcast single-row cross join — stays inside the one job
     # instead of a second driver-side scan of the corpus.
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "w")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            F.col("w").alias("term"),
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("tfidf"),
-        )
+    scored = withdf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+        ).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
