@@ -71,6 +71,28 @@ def test_distributed_train_learns_mapping(spark):
     assert result.backend in ("mllib", "xgb")
 
 
+def test_s30_confusion_matrix_matches_golden_counts(spark):
+    """The registered s30 entry has no SQL oracle (tree fitting is not
+    SQL-expressible), so the driver's check is rows-only. This pins the
+    next-best thing, the reference's own parity-oracle spirit
+    (test_end_to_end.py:96-211): the seeded train->predict round trip is
+    deterministic, so the full confusion matrix at sf0.01 is a fixture.
+    Any regression in sharding, training, or broadcast-predict moves
+    these counts. The counts are a function of the session's parallelism
+    (data sharding feeds the tree learner), so they are pinned under THIS
+    suite's fixture config (local[8,2], 8 shuffle partitions) — stable
+    run-to-run, and re-derived only if the fixture session changes."""
+    from tests.conftest import SF_ORACLE
+    from xgboost_ray_spark.registry import all_queries
+
+    build = all_queries()["s30_gbt_train_predict"].build
+    got = sorted(
+        (r.label, r.prediction, r.n)
+        for r in build(spark, SF_ORACLE).collect()
+    )
+    assert got == [(0, 0, 39886), (0, 1, 68), (1, 0, 19964), (1, 1, 82)]
+
+
 def test_regressor_learns_linear_map(spark):
     pdf = [(float(i), float(i) * 2.0) for i in range(256)]
     df = spark.createDataFrame(pdf, ["x", "y"])

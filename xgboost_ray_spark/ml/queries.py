@@ -40,7 +40,13 @@ def lineitem_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s30_gbt_train_predict",
-    oracle=None,  # ML: tolerance/parity-checked in tests, rows-only here
+    # No SQL oracle (tree fitting is not SQL-expressible) => the driver
+    # records rows-only. The REAL regression gate is the pinned golden
+    # confusion matrix at sf0.01 (tests/test_ml.py::
+    # test_s30_confusion_matrix_matches_golden_counts): the run is seeded
+    # and deterministic, so those four counts move on any train/predict
+    # regression.
+    oracle=None,
     doc="Distributed GBT train (binary objective, 5 rounds) on lineitem + "
         "broadcast predict; returns the label x prediction confusion "
         "matrix. Parity with reference train/predict (main.py:1341,1810).",
