@@ -43,6 +43,7 @@ HEADLINE = [
     "s26g_dup_clusters",      # iterative connected components
     "s24g_pagerank",          # fixed-point iterative graph rounds
     "s27j_kmeans",            # fixed-point Lloyd's k-means
+    "s26l_prefix_filter_join", # PPJoin exact-threshold similarity join
 ]
 
 

@@ -233,9 +233,11 @@ def sql_davg(expr: str, alias: str) -> str:
 #   Rotated out to 51+ (all driver-green r4): s04c s07b s09e s12b s14e
 #   s21b s22c s24c s25 s25d s26b s26e s27b s28g s29g s31f s33b.
 #   Backlog after r5 (if sweep green): 56. Next rounds rotate in the
-#   heavy pair s26g/s08c (VERDICT #6, by end of r6), s13b, s23c,
-#   s05f/g, s07c/d, s26h-k, s27d-i, s28h-l, s25g-k remainder, s31d/e/g,
-#   s01b-i, s14c/d, s24d/e/f, s06c/d, s04b, s29f/h/i, s32b/c.
+#   pair s26g/s08c (VERDICT #6, by end of r6 — no longer "heavy": the
+#   2026-08-14 r5 sweep times them at 3.7s/2.2s incl. oracle at sf0.01,
+#   down from ~29s/~16s in r4), s13b, s23c, s05f/g, s07c/d, s26h-k,
+#   s27d-i, s28h-l, s25h/j/k, s31d/e/g, s01b-i, s14c/d, s24d/e/f,
+#   s06c/d, s04b, s29f/h/i, s32b/c.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
