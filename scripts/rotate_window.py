@@ -39,14 +39,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def parse_timings(path: str) -> dict[str, float]:
+    """Per-entry seconds from driver_sim output — either its JSON results
+    file (/tmp/driver_sim.json) or its printed log."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            return {
+                name: float(rec["sec"])
+                for name, rec in json.load(fh).items()
+                if rec.get("err") is None
+            }
     times: dict[str, float] = {}
     with open(path) as fh:
-        for m in re.finditer(
-            r"^(s\S+)\s+(?:pass|rows_only\(\d+\))\s+([\d.]+)s",
-            fh.read(),
-            re.M,
-        ):
-            times[m.group(1)] = float(m.group(2))
+        # tolerate progress-bar \r pollution in captured logs
+        text = fh.read().replace("\r", "\n")
+    for m in re.finditer(
+        r"^(s\S+)\s+(?:pass|rows_only\(\d+\))\s+([\d.]+)s", text, re.M
+    ):
+        times[m.group(1)] = float(m.group(2))
     return times
 
 
