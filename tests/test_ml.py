@@ -93,6 +93,24 @@ def test_s30_confusion_matrix_matches_golden_counts(spark):
     assert got == [(0, 0, 39886), (0, 1, 68), (1, 0, 19964), (1, 1, 82)]
 
 
+def test_s30b_ranker_output_matches_golden_counts(spark):
+    """Same pattern for the ranker's rows-only entry: the seeded fit ->
+    predict round trip is deterministic under the fixture session, so the
+    per-relevance counts and 4dp mean scores are a pinned fixture. The
+    hi-relevance tier scoring far above the lo tier is also the
+    monotonicity property, now with exact values."""
+    from tests.conftest import SF_ORACLE
+    from xgboost_ray_spark.registry import all_queries
+
+    got = sorted(
+        tuple(r)
+        for r in all_queries()["s30b_ltr_rank"]
+        .build(spark, SF_ORACLE)
+        .collect()
+    )
+    assert got == [(0, 5946, 0.0191), (1, 9054, 0.9874)]
+
+
 def test_regressor_learns_linear_map(spark):
     pdf = [(float(i), float(i) * 2.0) for i in range(256)]
     df = spark.createDataFrame(pdf, ["x", "y"])

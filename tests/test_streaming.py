@@ -388,3 +388,25 @@ def test_late_event_does_not_kill_stateful_query(spark, tmp_path):
     # user 1's session (timeout at minute 30 < watermark 90) was emitted
     # by the event-time timeout path.
     assert any(r.user_id == 1 for r in rows)
+
+
+def test_s25c_append_output_matches_golden_digest(spark):
+    """s25c is rows-only at the driver (append-mode emission timing is not
+    SQL-expressible), so pin the full deterministic replay output here:
+    row count and an order-insensitive content digest at sf0.01 under the
+    suite's fixture session. Any change to watermark arithmetic, window
+    assignment, or the file-replay source moves this digest."""
+    import hashlib
+
+    from tests.conftest import SF_ORACLE
+    from xgboost_ray_spark.registry import all_queries
+
+    df = all_queries()["s25c_stream_watermark_append"].build(
+        spark, SF_ORACLE
+    )
+    rows = sorted(tuple(str(v) for v in r) for r in df.collect())
+    digest = hashlib.md5(repr(rows).encode()).hexdigest()
+    assert (len(rows), digest) == (
+        3380,
+        "77ad9c219242e1526f009fba5cc7f73e",
+    )
