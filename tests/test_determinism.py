@@ -49,6 +49,7 @@ RISKY = [
     "s27i_quantized_topk",
     "s27j_kmeans",
     "s28e_tfidf_top_terms",
+    "s28l_unigram_logprob",
     "s29g_udtf_token_runs",
     "s30d_linear_model_score",
     "s30e_cv_ols",

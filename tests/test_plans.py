@@ -964,3 +964,31 @@ def test_tfidf_single_corpus_explode(spark):
     assert "BroadcastHashJoin" not in plan, (
         "df must come from a window count, not a broadcast join"
     )
+
+
+def test_unigram_logprob_single_corpus_explode(spark):
+    """Same duplication class as s28e: corpus frequencies must come from
+    a window over the tf frame, not a second explode branch; the total
+    token count is size(split()) straight off the scan — so exactly one
+    explode-Generate in the plan."""
+    import re
+
+    plan = formatted_plan(_build(spark, "s28l_unigram_logprob"))
+    explodes = [
+        m
+        for m in re.findall(r"^\(\d+\) Generate", plan, re.M)
+    ]
+    assert len(explodes) == 1, plan
+
+
+def test_data_quality_single_lineitem_pass(spark):
+    """All four lineitem rules (orphans via null build side, both range
+    checks, the temporal invariant) must ride ONE lineitem scan and one
+    join — rule-per-query spelling scanned the fact table 4x."""
+    plan = formatted_plan(_build(spark, "s32b_data_quality"))
+    li_scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "lineitem.parquet" in line
+    ]
+    assert len(li_scans) == 1, li_scans

@@ -662,14 +662,18 @@ def s28k_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of each document under the corpus's own unigram distribution — "
         "the CCNet-style LM filter with the LM reduced to unigrams so it "
         "stays exactly oracle-checkable. Rare-token-heavy (or "
-        "wrong-language) docs score high, boilerplate scores low. Scale: "
-        "the frequency table is vocab-sized — at 100 TB it broadcasts "
-        "into the token join rather than shuffling the exploded corpus a "
-        "second time (AQE makes that call from runtime sizes; the "
-        "explode + doc re-agg pair is the irreducible cost, same shape "
-        "as TF-IDF s28e). The total token count is one scalar. ln is "
-        "transcendental and the per-doc sum order differs across "
-        "engines, so the score rounds to 8 decimals.",
+        "wrong-language) docs score high, boilerplate scores low. Scale "
+        "(the s28e single-explode shape): ONE corpus explode into per-"
+        "(doc, token) counts; corpus frequencies come from a window SUM "
+        "over the tf frame (a freq branch spelled as groupBy gets its "
+        "partial agg pruned to distinct-only and re-runs the explode — "
+        "the duplication the plan audit caught here too), and the total "
+        "token count needs no explode at all: SUM(size(split(text))) "
+        "straight off the scan, one broadcast scalar. Per-doc score is "
+        "then sum(tf*ln(c/t))/sum(tf) over tf-sized rows, never corpus-"
+        "sized shuffles. ln is transcendental and per-doc accumulation "
+        "grouping differs across engines, so the score rounds to 8 "
+        "decimals.",
     tags=("text", "quality", "ml"),
 )
 def s28l_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,17 +685,24 @@ def s28l_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").alias("t"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    c = F.sum("tf").over(W.partitionBy("tok"))
+    total = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("t")
+    )
     scored = (
-        toks.join(freq, "tok")
-        .join(F.broadcast(total))
+        tf.withColumn("c", c)
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            F.log(F.col("c").cast("double") / F.col("t")).alias("lp"),
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("c").cast("double") / F.col("t"))
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(-F.sum("lp") / F.count("*"), 8).alias("avg_neg_logprob"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(-F.sum("lp") / F.sum("tf"), 8).alias("avg_neg_logprob"),
     )
