@@ -66,6 +66,10 @@ def main() -> None:
             print(f"{name:32s} ERR {repr(e)[:100]}", flush=True)
             continue
         n_gen = len(re.findall(r"(?:\*\(\d+\) )?Generate ", final))
+        # Row-at-a-time Python is never acceptable; Arrow nodes
+        # (ArrowEvalPython, MapInPandas/Arrow, FlatMapGroupsInPandas*)
+        # are the sanctioned Python surfaces.
+        n_slow_py = final.count("BatchEvalPython")
         scans: dict[str, int] = {}
         for m in re.finditer(
             r"Scan parquet[^\n]*?InMemoryFileIndex(?:\(\d+ paths?\))?"
@@ -76,10 +80,14 @@ def main() -> None:
             scans[path] = scans.get(path, 0) + 1
         worst = max(scans.values(), default=0)
         mark = ""
-        if n_gen >= 2 or worst >= 3:
+        if n_gen >= 2 or worst >= 3 or n_slow_py:
             mark = "  <== FLAG (triage against the by-design list)"
             flagged.append((name, n_gen, scans))
-        print(f"{name:32s} gen={n_gen} max_scan={worst}{mark}", flush=True)
+        slow = f" SLOW_PYTHON={n_slow_py}" if n_slow_py else ""
+        print(
+            f"{name:32s} gen={n_gen} max_scan={worst}{slow}{mark}",
+            flush=True,
+        )
 
     print(f"\n{len(flagged)} flagged:")
     for name, n_gen, scans in flagged:
