@@ -10,6 +10,7 @@ parquet row-group skips, not driver-side filtering.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,7 +39,7 @@ SCRATCH_DIR = os.path.join(
 
 # Epoch for scratch garbage collection: anything under SCRATCH_DIR whose
 # mtime predates this process belongs to a finished session and can go.
-_SESSION_EPOCH = __import__("time").time()
+_SESSION_EPOCH = time.time()
 _SCRATCH_SWEPT = False
 
 
