@@ -32,10 +32,11 @@ Usage: python scripts/audit_plan_duplication.py [sf_dir] [only_prefix]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

@@ -110,6 +110,24 @@ def test_spill_rebuilds_do_not_accumulate_dirs(spark):
     )
 
 
+def test_spill_shared_key_does_not_break_live_reader(spark):
+    """Two operators sharing one (tag, key) spill — s26d and s26g both
+    resolve to the 'jaccard_shingles' dir for the same input — must not
+    overwrite the dir under a frame whose reader already captured the old
+    part-file listing. Repro from round-5 ADVICE: build s26d, build s26g,
+    THEN collect s26d — the overwrite made that collect fail with
+    FAILED_READ_FILE.FILE_NOT_EXIST. spill() now reuses a path already
+    written by this process."""
+    from xgboost_ray_spark.registry import all_queries
+
+    q = all_queries()
+    first = q["s26d_ngram_jaccard"].build(spark, SF_SMOKE)
+    n_before = first.count()
+    q["s26g_dup_clusters"].build(spark, SF_SMOKE).count()
+    # The earlier frame must still be collectible after the sibling built.
+    assert first.count() == n_before
+
+
 def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
     """prepare_session GCs spill dirs whose mtime predates this process."""
     import os

@@ -81,7 +81,10 @@ def test_s30_confusion_matrix_matches_golden_counts(spark):
     these counts. The counts are a function of the session's parallelism
     (data sharding feeds the tree learner), so they are pinned under THIS
     suite's fixture config (local[8,2], 8 shuffle partitions) — stable
-    run-to-run, and re-derived only if the fixture session changes."""
+    run-to-run, and re-derived only if the fixture session changes.
+    The counts ALSO encode the installed library versions (pyspark 4.1.2
+    MLlib tree learner): after a dependency bump, a failure here means
+    RE-DERIVE the pin, not a code regression."""
     from tests.conftest import SF_ORACLE
     from xgboost_ray_spark.registry import all_queries
 
@@ -98,7 +101,10 @@ def test_s30b_ranker_output_matches_golden_counts(spark):
     predict round trip is deterministic under the fixture session, so the
     per-relevance counts and 4dp mean scores are a pinned fixture. The
     hi-relevance tier scoring far above the lo tier is also the
-    monotonicity property, now with exact values."""
+    monotonicity property, now with exact values. Like the confusion
+    matrix above, the values encode the installed pyspark/MLlib version:
+    a failure right after a dependency bump means re-derive, not
+    regression."""
     from tests.conftest import SF_ORACLE
     from xgboost_ray_spark.registry import all_queries
 

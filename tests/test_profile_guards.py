@@ -62,3 +62,22 @@ def test_outlier_flags_null_values_do_not_trip_the_guard(spark):
     flags = {r.v: r.is_outlier for r in out.collect()}
     assert flags[None] is None
     assert flags[1000] is True
+
+
+def test_s32b_empty_snapshot_reports_zero_not_null(spark, tmp_path):
+    """Admission-gate degenerate case (round-5 ADVICE): an EMPTY snapshot
+    must report n_violations = 0 for every check, matching the oracle's
+    scalar COUNT(*) subqueries — SUM(CASE WHEN ...) alone yields NULL over
+    an empty frame."""
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf, t).limit(0).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    out = all_queries()["s32b_data_quality"].build(spark, str(tmp_path))
+    got = {r.check_name: r.n_violations for r in out.collect()}
+    assert len(got) == 5
+    assert all(v == 0 for v in got.values()), got

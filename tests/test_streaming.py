@@ -395,7 +395,10 @@ def test_s25c_append_output_matches_golden_digest(spark):
     SQL-expressible), so pin the full deterministic replay output here:
     row count and an order-insensitive content digest at sf0.01 under the
     suite's fixture session. Any change to watermark arithmetic, window
-    assignment, or the file-replay source moves this digest."""
+    assignment, or the file-replay source moves this digest. The digest
+    also encodes the installed pyspark version's streaming semantics: a
+    failure right after a dependency bump means re-derive the pin, not a
+    code regression."""
     import hashlib
 
     from tests.conftest import SF_ORACLE

@@ -51,6 +51,15 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     fallback for arbitrary frames hashes the analyzed plan, which is unique
     per input but ALSO per build (expression IDs differ), so keyless spills
     are bounded only by :func:`catalog.sweep_scratch`'s cross-session GC.
+
+    A path spilled earlier in THIS process is reused, not rewritten: the
+    key determines the content, and two operators sharing a (tag, key) —
+    e.g. the s26d/s26g shingle frame — would otherwise overwrite a parquet
+    dir whose old part-file listing a previously built frame's reader has
+    already captured, breaking that frame with FILE_NOT_EXIST on collect.
+    Reuse also saves the redundant write in bench rebuild loops. Stale
+    dirs from PRIOR processes are still rewritten (never in
+    ``_SPILLED_PATHS``), so an operator-code change can't serve old bytes.
     """
     key_src = (
         key
@@ -59,8 +68,18 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     )
     digest = hashlib.md5(key_src.encode()).hexdigest()[:12]
     path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
-    df.write.mode("overwrite").parquet(path)
+    if path not in _SPILLED_PATHS:
+        df.write.mode("overwrite").parquet(path)
+        _SPILLED_PATHS.add(path)
     return df.sparkSession.read.parquet(path)
+
+
+# Spill dirs already written by this process (keyed AND keyless): same
+# (tag, key) later in the process reads the existing dir instead of
+# rewriting it under a live reader. In-memory on purpose — a dir that
+# exists on disk but was written by another process may predate operator
+# code changes, so only this process's own writes are trusted for reuse.
+_SPILLED_PATHS: set[str] = set()
 
 # observe() names must be unique within a query plan; composing the same
 # operator twice with the default name would raise AnalysisException, so

@@ -157,8 +157,14 @@ def s32b_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     def viol(cond, name: str):
         # CASE WHEN over a possibly-null condition: null (orphan rows in
         # the temporal check) falls to the ELSE 0 branch on both engines.
+        # coalesce: SUM over an EMPTY frame is NULL, but the oracle's
+        # scalar COUNT(*) subqueries say 0 — an empty snapshot must report
+        # zero violations, not null, exactly in the admission gate's
+        # degenerate case.
         return (
-            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(name)
         )
 
     joined = li.select(
