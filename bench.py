@@ -46,6 +46,21 @@ HEADLINE = [
     "s26l_prefix_filter_join", # PPJoin exact-threshold similarity join
 ]
 
+# Queries whose raw per-pass samples are published in the JSON (not just the
+# min): the expensive iterative/ML plans, where a single in-session number
+# can't separate external contention from a plan regression. A sample list
+# with one outlier and two agreeing values = contention; three uniformly
+# slower values = investigate the plan (see BASELINE.md measurement
+# protocol).
+REPORT_SAMPLES = (
+    "s26g_dup_clusters",
+    "s30_gbt_train_predict",
+    "s24g_pagerank",
+    "s27j_kmeans",
+    "s26l_prefix_filter_join",
+    "s08c_range_join",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,6 +113,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": {
+                    name: [round(s, 3) for s in samples[name]]
+                    for name in REPORT_SAMPLES
+                    if name in samples
+                },
                 "sf": sf,
             }
         )
