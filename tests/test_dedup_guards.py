@@ -128,6 +128,33 @@ def test_spill_shared_key_does_not_break_live_reader(spark):
     assert first.count() == n_before
 
 
+def test_spill_rebuild_self_heals_after_external_gc(spark):
+    """A CONCURRENT process's sweep_scratch (cross-session GC keyed on ITS
+    epoch — e.g. the test_foreign_cwd subprocess building any registered
+    query) deletes this process's spill dirs while ``_SPILLED_PATHS`` still
+    lists them. The next build must detect the missing dir and rewrite,
+    not trust the in-memory record — the full-suite failure mode that broke
+    s26d/s26g/s26l after test_foreign_cwd ran."""
+    import os
+    import shutil
+
+    from xgboost_ray_spark.catalog import SCRATCH_DIR
+    from xgboost_ray_spark.operators import dedup
+    from xgboost_ray_spark.registry import all_queries
+
+    build = all_queries()["s26d_ngram_jaccard"].build
+    assert build(spark, SF_SMOKE).count() > 0
+    spilled = [
+        p
+        for p in dedup._SPILLED_PATHS
+        if p.startswith(os.path.join(SCRATCH_DIR, "spill_jaccard_shingles"))
+    ]
+    assert spilled, "s26d must register its keyed spill"
+    for p in spilled:  # simulate the foreign process's GC
+        shutil.rmtree(p, ignore_errors=True)
+    assert build(spark, SF_SMOKE).count() > 0  # self-heals by rewriting
+
+
 def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
     """prepare_session GCs spill dirs whose mtime predates this process."""
     import os

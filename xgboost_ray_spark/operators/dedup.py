@@ -60,6 +60,15 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     Reuse also saves the redundant write in bench rebuild loops. Stale
     dirs from PRIOR processes are still rewritten (never in
     ``_SPILLED_PATHS``), so an operator-code change can't serve old bytes.
+
+    Reuse requires the dir to still EXIST: a concurrent process on the
+    same checkout may run :func:`catalog.sweep_scratch`, whose cross-
+    session GC treats every dir predating that process as garbage — this
+    very suite does it (tests/test_foreign_cwd.py's subprocess builds a
+    registered query, and its sweep removes the parent pytest process's
+    spills). The existence check makes the next build self-heal by
+    rewriting; frames built BEFORE such a deletion stay broken, which is
+    the documented one-session-per-checkout deployment contract.
     """
     key_src = (
         key
@@ -68,7 +77,7 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     )
     digest = hashlib.md5(key_src.encode()).hexdigest()[:12]
     path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
-    if path not in _SPILLED_PATHS:
+    if path not in _SPILLED_PATHS or not os.path.isdir(path):
         df.write.mode("overwrite").parquet(path)
         _SPILLED_PATHS.add(path)
     return df.sparkSession.read.parquet(path)
