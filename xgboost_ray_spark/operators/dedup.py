@@ -38,10 +38,13 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     """Materialize a multiply-consumed frame to scratch parquet and read it
     back. Contrast ``persist()``: Spark's CacheManager shares cache entries
     by canonical plan across repeated builds of the same query, so a
-    persisted intermediate (a) stays in executor memory for the session and
-    (b) silently turns benchmark reruns into cached reads. The spill costs
-    one write per build, retains nothing, and each consumer reads a plain
-    parquet scan.
+    persisted intermediate stays in executor memory for the session with
+    no way for a harness to evict it per run. The spill is a plain parquet
+    dir: each consumer reads a plain scan, a keyed path is written once
+    per process and REUSED by later builds (see below), and harnesses that
+    need rebuilds to re-execute the producer subtree — bench timing,
+    the config-perturbation determinism sweep — call
+    :func:`reset_spill_reuse` before each build to force a rewrite.
 
     The path must differ across *different inputs* (interleaved builds over
     two sf dirs must not overwrite a spill another lazily-evaluated result
@@ -89,6 +92,25 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
 # exists on disk but was written by another process may predate operator
 # code changes, so only this process's own writes are trusted for reuse.
 _SPILLED_PATHS: set[str] = set()
+
+
+def reset_spill_reuse() -> None:
+    """Forget this process's spill-reuse record so the NEXT build of a
+    keyed-spill operator rewrites its producer subtree instead of reading
+    the existing dir.
+
+    Measurement and verification harnesses need this: with reuse active, a
+    rebuild's timed cost omits the producer stage (bench min-of-3 would
+    take reuse-path samples and misread a producer regression as a pass-1
+    contention outlier), and the determinism sweep's perturbed rebuilds
+    would consume the BASELINE config's bytes instead of re-executing the
+    producer under shuffle/AQE/codegen perturbation. Callers: bench.py,
+    scripts/pin_standalone.py, tests/test_determinism.py. Only safe when
+    no earlier frame built from the same spill is still awaiting
+    collection — true for those harnesses, which fully materialize each
+    build before the next.
+    """
+    _SPILLED_PATHS.clear()
 
 # observe() names must be unique within a query plan; composing the same
 # operator twice with the default name would raise AnalysisException, so
