@@ -61,6 +61,32 @@ REPORT_SAMPLES = (
     "s08c_range_join",
 )
 
+# The query that absorbs one-off JVM/codegen warmup before any timing.
+WARMUP_QUERY = "s09_groupby_agg"
+
+
+def timed_build(spark, specs, name: str, sf_dir: str) -> float:
+    """ONE full-plan timed execution — the single timing core shared by
+    bench.py (in-session numbers) and scripts/pin_standalone.py
+    (standalone pins), so the two contexts BASELINE.md declares
+    methodologically comparable cannot drift apart (same materialization,
+    same spill-reuse reset). Resetting spill reuse first means every
+    sample executes its keyed-spill producer stage: without it, passes
+    2+ of a spill-backed query would serve pass 1's parquet dir and a
+    producer-stage regression would masquerade as a pass-1 contention
+    outlier.
+    """
+    import time as _time
+
+    from xgboost_ray_spark.operators.dedup import reset_spill_reuse
+
+    reset_spill_reuse()
+    t0 = _time.perf_counter()
+    df = specs[name].build(spark, sf_dir)
+    # Force full execution without driver materialization overhead.
+    df.write.format("noop").mode("overwrite").save()
+    return _time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,22 +103,10 @@ def main() -> None:
     specs = all_queries()
 
     # Warm the JVM/codegen path outside timing (tiny query).
-    specs["s09_groupby_agg"].build(spark, sf_dir).count()
-
-    from xgboost_ray_spark.operators.dedup import reset_spill_reuse
+    specs[WARMUP_QUERY].build(spark, sf_dir).count()
 
     def run_once(name: str) -> float:
-        # Every timed build must execute its FULL plan, including keyed
-        # spill producers — without this, passes 2-3 of a spill-backed
-        # query reuse pass 1's parquet dir, min-of-3 measures the
-        # reuse path, and a regression confined to the producer stage
-        # masquerades as a pass-1 contention outlier.
-        reset_spill_reuse()
-        t0 = time.perf_counter()
-        df = specs[name].build(spark, sf_dir)
-        # Force full execution without driver materialization overhead.
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        return timed_build(spark, specs, name, sf_dir)
 
     # Noise protocol: min of three executions per query; external CPU
     # contention on a shared host has inflated single samples up to 7x (a

@@ -7,15 +7,18 @@ across contexts — see BASELINE.md "Measurement protocol"):
   * fresh process, ONE query per invocation;
   * the bench session config (``session.get_spark``, local[$SPARK_GRAFT_CPUS],
     AQE on, shuffle partitions = cores);
-  * JVM warmup outside timing (one s09_groupby_agg count, like bench.py);
-  * three timed executions of the query (build + noop write), min reported —
-    this is the STANDALONE context: no other headline queries share the
-    session, so scratch-dir spills, shuffle files, and executor-memory
-    pressure from unrelated plans cannot inflate the number.
+  * JVM warmup outside timing (bench.py's WARMUP_QUERY count);
+  * three timed executions via ``bench.timed_build`` — the SAME timing
+    core bench.py uses (full-plan: spill reuse reset per sample, noop
+    write materialization), so the standalone and in-session contexts
+    cannot drift apart methodologically — min reported. This is the
+    STANDALONE context: no other headline queries share the session, so
+    scratch-dir spills, shuffle files, and executor-memory pressure from
+    unrelated plans cannot inflate the number.
 
 Usage: python scripts/pin_standalone.py <query_name> [sf_dir]
 Prints one JSON line: {"query": ..., "sf_dir": ..., "samples": [...],
-"min": ...}.
+"min": ..., "loadavg": [...]}.
 """
 
 from __future__ import annotations
@@ -23,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,7 +36,7 @@ def main() -> None:
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
-    from xgboost_ray_spark.operators.dedup import reset_spill_reuse
+    from bench import WARMUP_QUERY, timed_build
     from xgboost_ray_spark.registry import all_queries
 
     specs = all_queries()
@@ -47,17 +49,9 @@ def main() -> None:
     from xgboost_ray_spark.session import get_spark
 
     spark = get_spark(app_name=f"pin_{name}")
-    specs["s09_groupby_agg"].build(spark, sf_dir).count()  # JVM warmup
+    specs[WARMUP_QUERY].build(spark, sf_dir).count()  # JVM warmup
 
-    samples = []
-    for _ in range(3):
-        # Full-plan samples: spill producers re-execute every pass (see
-        # bench.py run_once for why reuse must be reset when timing).
-        reset_spill_reuse()
-        t0 = time.perf_counter()
-        df = specs[name].build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        samples.append(round(time.perf_counter() - t0, 3))
+    samples = [round(timed_build(spark, specs, name, sf_dir), 3) for _ in range(3)]
     print(
         json.dumps(
             {

@@ -20,6 +20,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import normalize_frame
+from xgboost_ray_spark import registry as registry_mod
 from xgboost_ray_spark.registry import all_queries
 
 # Entries whose plans involve windows without obviously-total orders,
@@ -69,6 +70,28 @@ PERTURBATIONS = [
 ]
 
 
+def test_perturbation_survives_prepare_session(spark):
+    """Regression guard for the silent un-perturbation this sweep once
+    had: build() -> prepare_session() force-resets every _RUNTIME_CONF
+    key, so setting spark.conf alone left the AQE leg comparing baseline
+    against baseline. With the dict patched (as the sweep now does), the
+    perturbed value must still be in force AFTER a registered build."""
+    conf = "spark.sql.adaptive.enabled"
+    assert conf in registry_mod._RUNTIME_CONF  # else the patch is moot
+    saved = registry_mod._RUNTIME_CONF[conf]
+    default = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    registry_mod._RUNTIME_CONF[conf] = "false"
+    try:
+        all_queries()["s04_filter"].build(spark, SF_SMOKE).count()
+        assert spark.conf.get(conf) == "false", (
+            "prepare_session un-perturbed the session conf mid-sweep"
+        )
+    finally:
+        registry_mod._RUNTIME_CONF[conf] = saved
+        spark.conf.set(conf, default)
+
+
 @pytest.mark.parametrize("name", RISKY)
 def test_result_invariant_under_config_perturbation(spark, name):
     spec = all_queries()[name]
@@ -88,10 +111,21 @@ def test_result_invariant_under_config_perturbation(spark, name):
     for conf, value in PERTURBATIONS:
         default = spark.conf.get(conf)
         spark.conf.set(conf, value)
+        # build() -> prepare_session() force-resets every _RUNTIME_CONF key
+        # on EVERY build, which silently un-perturbed the AQE leg (the conf
+        # went back to "true" before the plan was constructed, so that leg
+        # compared baseline against baseline). Patch the dict for the
+        # duration so prepare_session enforces the PERTURBED value.
+        patched = conf in registry_mod._RUNTIME_CONF
+        if patched:
+            saved_runtime = registry_mod._RUNTIME_CONF[conf]
+            registry_mod._RUNTIME_CONF[conf] = value
         try:
             perturbed = run()
         finally:
             spark.conf.set(conf, default)
+            if patched:
+                registry_mod._RUNTIME_CONF[conf] = saved_runtime
         assert perturbed == baseline, (
             f"{name} changed results under {conf}={value}: "
             f"{len(perturbed)} vs {len(baseline)} rows; first diff: "
