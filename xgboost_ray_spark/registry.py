@@ -250,7 +250,11 @@ def sql_davg(expr: str, alias: str) -> str:
 #   s31h s32d.
 #   Backlog after r6 (if sweep green): 39, fully scheduled (2026-08-14):
 #     r7 (17): s25b s25c s25f s25j s25k, s27e s27f, s29f s29h s29i s29j,
-#              s26j, s04b, s06c s06d, s07c s07d
+#              s26j, s04b, s06c s06d, s07c s07d — all pass/rows-only in
+#              the 2026-08-14 end-of-r6 bare-session sweep at sf0.01,
+#              15.9 s combined (s25c is rows-only by design, golden
+#              digest pinned in tests/test_streaming.py), so the r7
+#              rotation is pre-verified and cheap.
 #     r8 (17): s01b s01c s01d s01e s01f s01g s01h s01i, s05f s05g,
 #              s14c s14d, s24d s24e s24f, s28i s28j
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
