@@ -155,18 +155,52 @@ def test_spill_rebuild_self_heals_after_external_gc(spark):
     assert build(spark, SF_SMOKE).count() > 0  # self-heals by rewriting
 
 
+def test_keyless_spill_not_recorded_for_reuse(spark):
+    """Keyless spill paths hash the analyzed plan (unique per build —
+    expression IDs differ), so they can never be reuse-hit; recording them
+    in ``_SPILLED_PATHS`` would grow the set unboundedly in a long-lived
+    session. Only keyed spills earn a record (round-6 ADVICE)."""
+    from xgboost_ray_spark.operators import dedup
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    before = set(dedup._SPILLED_PATHS)
+    out = dedup.spill(df, "testguard_keyless")
+    assert out.count() == 10
+    assert set(dedup._SPILLED_PATHS) == before
+
+    keyed = dedup.spill(df, "testguard_keyed", key="unit-test-key")
+    assert keyed.count() == 10
+    new = set(dedup._SPILLED_PATHS) - before
+    assert len(new) == 1 and "testguard_keyed" in next(iter(new))
+
+
 def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
-    """prepare_session GCs spill dirs whose mtime predates this process."""
+    """prepare_session GCs spill dirs whose mtime predates this process
+    AND is beyond the grace window — a dir that merely predates the epoch
+    but is YOUNG belongs to a concurrently running session (the
+    test_foreign_cwd subprocess seeing its parent's seconds-old spills)
+    and must survive, or the subprocess deletes the parent's dirs out
+    from under its live readers."""
     import os
 
     from xgboost_ray_spark import catalog
-    from xgboost_ray_spark.catalog import SCRATCH_DIR, sweep_scratch
+    from xgboost_ray_spark.catalog import (
+        SCRATCH_DIR,
+        SWEEP_GRACE_SEC,
+        sweep_scratch,
+    )
 
     os.makedirs(SCRATCH_DIR, exist_ok=True)
     stale = os.path.join(SCRATCH_DIR, "spill_testguard_deadbeef0000")
     os.makedirs(stale, exist_ok=True)
-    old = catalog._SESSION_EPOCH - 3600
+    old = catalog._SESSION_EPOCH - 2 * SWEEP_GRACE_SEC
     os.utime(stale, (old, old))
+    # Concurrent-parent case: predates this process's epoch, but recent.
+    # Epoch-only GC (the pre-r7 behavior) deleted exactly this dir.
+    concurrent = os.path.join(SCRATCH_DIR, "spill_testguard_cafe00000000")
+    os.makedirs(concurrent, exist_ok=True)
+    young = catalog._SESSION_EPOCH - 5
+    os.utime(concurrent, (young, young))
     # A fresh dir (this session's epoch or later) must survive the sweep.
     fresh = os.path.join(SCRATCH_DIR, "spill_testguard_feed00000000")
     os.makedirs(fresh, exist_ok=True)
@@ -174,11 +208,12 @@ def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
         catalog._SCRATCH_SWEPT = False  # re-arm the once-per-process guard
         assert sweep_scratch() >= 1
         assert not os.path.exists(stale)
+        assert os.path.exists(concurrent)
         assert os.path.exists(fresh)
         # Second call in the same process is a no-op by design.
         assert sweep_scratch() == 0
     finally:
-        for d in (stale, fresh):
+        for d in (stale, concurrent, fresh):
             if os.path.exists(d):
                 os.rmdir(d)
 

@@ -42,6 +42,17 @@ SCRATCH_DIR = os.path.join(
 _SESSION_EPOCH = time.time()
 _SCRATCH_SWEPT = False
 
+# Grace window for the sweep: a dir younger than this is NOT garbage even
+# if it predates this process, because the session that wrote it may still
+# be running beside us — a subprocess that builds a registered query
+# (tests/test_foreign_cwd.py, a driver run, pin_standalone.py) starts
+# seconds after its parent wrote spills, and epoch-only GC deleted the
+# parent's dirs out from under its live readers. Stale dirs the sweep
+# exists for are hours-to-days old, so an hour of grace costs nothing and
+# closes the concurrent-process race (plus the TOCTOU between spill()'s
+# isdir reuse check and the consumer's read).
+SWEEP_GRACE_SEC = 3600.0
+
 
 def sweep_scratch() -> int:
     """Garbage-collect spill directories left behind by earlier sessions.
@@ -52,10 +63,15 @@ def sweep_scratch() -> int:
     a session can know when a *previous* session's lazily-evaluated readers
     are gone. This sweep runs once per process (from
     ``registry.prepare_session``) and removes every ``spill_*`` entry whose
-    mtime predates this process: those readers' sessions have exited, so
-    the data is garbage by construction. Concurrent sessions on one
-    checkout would race here; the engine's deployment unit is one session
-    per driver process, same as Spark's own ``spark-warehouse`` handling.
+    mtime predates this process AND is older than ``SWEEP_GRACE_SEC``:
+    an old dir's readers' sessions have exited, so the data is garbage by
+    construction, while a young dir may belong to a *concurrently running*
+    session on the same checkout (a test/driver/pin subprocess starts
+    seconds after its parent spilled — epoch-only GC broke the parent's
+    live readers mid-suite). Beyond the grace window, concurrent sessions
+    on one checkout still race; the engine's deployment unit is one
+    session per driver process, same as Spark's own ``spark-warehouse``
+    handling.
     """
     global _SCRATCH_SWEPT
     if _SCRATCH_SWEPT:
@@ -73,7 +89,11 @@ def sweep_scratch() -> int:
             continue
         path = os.path.join(SCRATCH_DIR, name)
         try:
-            if os.path.getmtime(path) < _SESSION_EPOCH:
+            mtime = os.path.getmtime(path)
+            if (
+                mtime < _SESSION_EPOCH
+                and time.time() - mtime > SWEEP_GRACE_SEC
+            ):
                 shutil.rmtree(path, ignore_errors=True)
                 removed += 1
         except OSError:

@@ -66,12 +66,25 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
 
     Reuse requires the dir to still EXIST: a concurrent process on the
     same checkout may run :func:`catalog.sweep_scratch`, whose cross-
-    session GC treats every dir predating that process as garbage — this
-    very suite does it (tests/test_foreign_cwd.py's subprocess builds a
-    registered query, and its sweep removes the parent pytest process's
-    spills). The existence check makes the next build self-heal by
-    rewriting; frames built BEFORE such a deletion stay broken, which is
-    the documented one-session-per-checkout deployment contract.
+    session GC once treated every dir predating that process as garbage —
+    this very suite did it (tests/test_foreign_cwd.py's subprocess builds
+    a registered query, and its sweep removed the parent pytest process's
+    spills). The sweep now keeps dirs younger than
+    ``catalog.SWEEP_GRACE_SEC``, so a concurrent process no longer
+    deletes a live session's recent spills at all (frames built before a
+    beyond-grace deletion would still break — the documented
+    one-session-per-checkout deployment contract); the existence check
+    remains as self-heal for anything else that removes the dir.
+
+    Contract: the INPUT named by ``key`` is immutable for the life of
+    this process. Reuse serves the bytes of the first build, so a harness
+    that rewrites source files in place mid-process (e.g. regenerating an
+    sf dir) must call :func:`reset_spill_reuse` afterwards. We deliberately
+    do NOT fold an input fingerprint (file listing / max mtime) into the
+    key: at production scale that is a full object-store listing per
+    build, on the driver, of a 100 TB prefix — the cure would cost more
+    than the disease, and Spark's own relation cache makes the same
+    immutability assumption.
     """
     key_src = (
         key
@@ -82,7 +95,12 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
     if path not in _SPILLED_PATHS or not os.path.isdir(path):
         df.write.mode("overwrite").parquet(path)
-        _SPILLED_PATHS.add(path)
+        if key is not None:
+            # Only keyed spills earn a reuse record: a keyless digest
+            # hashes the analyzed plan, whose expression IDs differ on
+            # every build, so its path can never be hit again — recording
+            # it would only grow this set unboundedly in a long session.
+            _SPILLED_PATHS.add(path)
     return df.sparkSession.read.parquet(path)
 
 

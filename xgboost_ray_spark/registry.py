@@ -248,7 +248,8 @@ def sql_davg(expr: str, alias: str) -> str:
 #   before rotation. Rotated out to 51+ (all driver-green r5): s05d s05e
 #   s05h s09f s09g s16b s21c s24g s25g s25i s26l s27j s30d s30e s30f
 #   s31h s32d.
-#   Backlog after r6 (if sweep green): 39, fully scheduled (2026-08-14):
+#   Backlog after r6 (CORRECTNESS_r06 came back 50/50 green): 39, fully
+#   scheduled (2026-08-14):
 #     r7 (17): s25b s25c s25f s25j s25k, s27e s27f, s29f s29h s29i s29j,
 #              s26j, s04b, s06c s06d, s07c s07d — all pass/rows-only in
 #              the 2026-08-14 end-of-r6 bare-session sweep at sf0.01,
@@ -259,33 +260,45 @@ def sql_davg(expr: str, alias: str) -> str:
 #              s14c s14d, s24d s24e s24f, s28i s28j
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
 #   No backlog entry is without a planned round.
+#   r7 window (this one) executes the scheduled r7 set verbatim (VERDICT
+#   r6 #1). Rotated out to 51+ (all driver-green r6): s13b s23c s25h s25l
+#   s26h s26i s26k s27 s27d s27g s27h s27i s28e s28h s28l s30 s32b.
+#   Backlog after r7 (if sweep green): 22 = the scheduled r8 + r9 sets.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r6 set), ----
-    # -- interleaved by measured sf0.01 wall (bare-session run 2026-08-14:
-    # -- canonicals keep their r5 cost order; the 17 new entries slot in by
-    # -- their own measured times, 0.5-6.1 s incl. oracle);
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r7 set), ----
+    # -- canonicals keep their r6 cost order; the 17 new entries slot in
+    # -- cheap-relational-first / streaming-last per the 2026-08-14
+    # -- end-of-r6 bare-session sweep (0.3-2.4 s incl. oracle);
     # -- s03 leads so the cheapest query absorbs the one-off JVM warmup -----
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s33_sequence_pack", "s12_having", "s31_hash_split",
-    "s16_topk_per_group", "s28h_pii_redact", "s27_cosine_topk",
-    "s23_json", "s18_string_funcs", "s28l_unigram_logprob", "s23c_variant",
-    "s26h_boilerplate_phrases", "s11c_grouping_sets", "s24_tumbling_window",
-    "s01_parquet_scan", "s09d_argmax", "s26i_decontaminate",
-    "s32b_data_quality", "s30c_linear_model_train", "s14_window_analytic",
+    "s16_topk_per_group", "s04b_disjunctive_pushdown", "s07c_inactive_customers",
+    "s23_json", "s18_string_funcs", "s06d_outerjoin_histogram", "s07d_sole_fault_supplier",
+    "s06c_cdc_upsert", "s11c_grouping_sets", "s24_tumbling_window",
+    "s01_parquet_scan", "s09d_argmax", "s29j_unicode_normalize",
+    "s29h_grouped_agg_udaf", "s30c_linear_model_train", "s14_window_analytic",
     "s07_semi_anti_join", "s26f_canonical_dedup", "s10_count_distinct",
-    "s27h_embedding_quantize", "s13_window_rank", "s17_setops",
-    "s02_csv_scan", "s27d_ivf_topk", "s25l_stream_outlier_guard",
-    "s08_broadcast_join", "s04_filter", "s27g_lsh_neardup_pairs",
-    "s27i_quantized_topk", "s27c_embedding_neardup", "s06_outer_join",
-    "s25h_file_sink_etl", "s28e_tfidf_top_terms", "s29_pandas_udf",
+    "s27e_knn_classify", "s13_window_rank", "s17_setops",
+    "s02_csv_scan", "s27f_label_centroids", "s29f_audio_window_rms",
+    "s08_broadcast_join", "s04_filter", "s29i_map_in_arrow",
+    "s26j_fuzzy_snm", "s27c_embedding_neardup", "s06_outer_join",
+    "s25b_stream_sliding", "s25c_stream_watermark_append", "s29_pandas_udf",
     "s25e_stream_dedup", "s32_profile", "s05b_salted_join",
+    "s25f_stream_static_join", "s25j_stream_trending",
+    "s25k_stream_session_window",
+    # -- slots 51+: driver-green entries rotated out in r7 ------------------
+    "s28h_pii_redact", "s27_cosine_topk", "s28l_unigram_logprob",
+    "s23c_variant", "s26h_boilerplate_phrases", "s26i_decontaminate",
+    "s32b_data_quality", "s27h_embedding_quantize", "s27d_ivf_topk",
+    "s25l_stream_outlier_guard", "s27g_lsh_neardup_pairs",
+    "s27i_quantized_topk", "s25h_file_sink_etl", "s28e_tfidf_top_terms",
     "s26k_incremental_neardup", "s30_gbt_train_predict",
     "s13b_distribution_ranks",
-    # -- slots 51+: driver-green entries rotated out in r6 ------------------
+    # -- driver-green entries rotated out in r6 ------------------
     "s09g_incremental_agg", "s21c_tpch_q12", "s31h_quantile_bins",
     "s16b_tpch_q15", "s32d_outlier_flags", "s05e_tpch_q10", "s05h_tpch_q9",
     "s30d_linear_model_score", "s05d_tpch_q5", "s30f_learning_curve",
@@ -309,12 +322,10 @@ _DRIVER_ORDER = [
     "s31c_group_sample",
     # -- and the rest of the catalog ---------------------------------------
     "s10b_approx_count_distinct", "s11_rollup", "s24b_sessionization",
-    "s11b_cube", "s05_inner_join", "s27e_knn_classify",
+    "s11b_cube", "s05_inner_join",
     "s05c_tpch_q3", "s09b_stats_agg", "s09_groupby_agg",
-    "s08b_asof_join",
-    "s25f_stream_static_join", "s29d_multimodal_resize",
-    "s25c_stream_watermark_append",
-    "s25b_stream_sliding", "s26c_simhash",
+    "s08b_asof_join", "s29d_multimodal_resize",
+    "s26c_simhash",
     "s26d_ngram_jaccard", "s26_dedup_exact", "s29b_multimodal_decode",
     "s08c_range_join", "s26g_dup_clusters",
 ]
