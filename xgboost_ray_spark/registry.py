@@ -257,8 +257,14 @@ def sql_davg(expr: str, alias: str) -> str:
 #              digest pinned in tests/test_streaming.py), so the r7
 #              rotation is pre-verified and cheap.
 #     r8 (17): s01b s01c s01d s01e s01f s01g s01h s01i, s05f s05g,
-#              s14c s14d, s24d s24e s24f, s28i s28j
+#              s14c s14d, s24d s24e s24f, s28i s28j — pre-verified
+#              2026-08-14 (early r7): all 17 pass in a bare-session
+#              foreign-cwd (/tmp) sweep at sf0.01, 12.6 s combined,
+#              including the environment-sensitive S1 layout family
+#              (ORC/JSONL/pruning/DPP/schema-evolution/compaction/
+#              z-order/binaryFile: 0.27-1.02 s each) — VERDICT r6 #3.
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
+#              (Also pass in the same 2026-08-14 sweep, 2.0 s combined.)
 #   No backlog entry is without a planned round.
 #   r7 window (this one) executes the scheduled r7 set verbatim (VERDICT
 #   r6 #1). Rotated out to 51+ (all driver-green r6): s13b s23c s25h s25l
