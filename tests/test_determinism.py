@@ -60,6 +60,17 @@ RISKY = [
     "s31h_quantile_bins",
     "s33_sequence_pack",
     "s33b_chunk_overlap",
+    # r7-window first-timers with layout-sensitive shapes (added when the
+    # r7 rotation put them in front of the driver): kNN candidate cuts +
+    # vote ties, float centroid accumulation, windowed RMS accumulation,
+    # partition-wise mapInArrow, sorted-neighborhood ties, latest-record
+    # CDC window ties.
+    "s27e_knn_classify",
+    "s27f_label_centroids",
+    "s29f_audio_window_rms",
+    "s29i_map_in_arrow",
+    "s26j_fuzzy_snm",
+    "s06c_cdc_upsert",
 ]
 
 # (conf, perturbed value, restore-to-default value is read per test)

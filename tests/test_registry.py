@@ -70,10 +70,15 @@ def test_window_is_the_curated_prefix(registry):
 def test_window_prefers_oracle_checked_entries(registry):
     names = list(registry)
     rows_only = [n for n in names[:DRIVER_WINDOW] if registry[n].oracle is None]
-    # s30* (ML train/predict) is rows-only by design and the only family with
-    # no SQL-expressible member; nothing else may spend a window slot without
-    # an oracle.
-    assert all(family(n) == "s30" for n in rows_only), rows_only
+    # Rows-only window slots are spent only on entries that are rows-only
+    # BY DESIGN and carry a pinned golden in tests instead: the s30 family
+    # (ML train/predict — no SQL-expressible member; golden confusion
+    # matrix in tests/test_ml.py) and s25c (streaming watermark-append —
+    # emission timing is a streaming-runtime semantic DuckDB can't mirror;
+    # golden digest in tests/test_streaming.py). Nothing else may spend a
+    # window slot without an oracle.
+    allowed = {"s25c_stream_watermark_append"}
+    assert all(family(n) == "s30" or n in allowed for n in rows_only), rows_only
 
 
 def test_approx_count_distinct_tracks_exact(spark, registry):
