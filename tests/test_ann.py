@@ -3,6 +3,29 @@
 from __future__ import annotations
 
 
+def test_dot_sql_matches_dot(spark):
+    """dot_sql (the one-parse SQL-text fast path every ANN builder uses)
+    must produce BIT-identical doubles to dot (the Column-composition
+    canonical): the LSH bucket of a vector is the SIGN of this fold, so
+    even one ULP of drift between the two forms would silently re-bucket
+    borderline vectors and break the DuckDB oracle equivalence."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.functions.vector import dot, dot_sql
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    both = emb.select(
+        dot(F.col("embedding"), F.col("embedding")).alias("col_form"),
+        F.expr(dot_sql("embedding", "embedding")).alias("sql_form"),
+    ).collect()
+    assert both, "fixture corpus is empty"
+    for r in both:
+        # Exact equality on purpose — these are the same IEEE-754 fold.
+        assert r.col_form == r.sql_form
+
+
 # ---------------------------------------------------------------------------
 # GEMM top-k parity vs the JVM-expression brute force (functions/ann.py)
 # ---------------------------------------------------------------------------

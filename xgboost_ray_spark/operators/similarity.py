@@ -32,12 +32,19 @@ _HEX = "0123456789abcdef"
 # DuckDB's list_dot_product loop). ONE implementation repo-wide —
 # functions/vector.py owns it; a second copy here once existed and is
 # exactly the kind of bit-stability contract that must not fork.
-from xgboost_ray_spark.functions.vector import dot as _vector_dot
+from xgboost_ray_spark.functions.vector import dot_sql as _dot_sql
 
 
 def _dot(a: str, b: str) -> F.Column:
-    """Dot product of two columns given by name or SQL expression."""
-    return _vector_dot(F.expr(a), F.expr(b))
+    """Dot product of two columns given by name or SQL expression.
+
+    Goes through the SQL-text twin of ``vector.dot`` (one F.expr parse),
+    not Column composition: every ANN builder here calls this many times
+    per plan, and the Column path's ~80 py4j round-trips per dot made
+    plan CONSTRUCTION (not execution) the dominant cost of the LSH/cosine
+    queries. The parsed expression is identical (parity-pinned in
+    tests/test_ann.py)."""
+    return F.expr(_dot_sql(a, b))
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -141,13 +148,31 @@ def lsh_bucket_expr(dim: int, n_planes: int = N_PLANES, col: str = "embedding") 
     At 100 TB this is the difference between a narrow map stage and a
     2.5M-row-per-5k-vectors explode + two shuffles.
     """
+    cached = _BUCKET_EXPR_CACHE.get((dim, n_planes, col))
+    if cached is not None:
+        return cached
     signs = plane_sign_values(dim, n_planes)
-    bucket = None
+    # One SQL string, one F.expr parse: the CASE WHEN chain parses to the
+    # same plan as the previous F.when composition, but the whole
+    # n_planes x dim expression crosses py4j once instead of ~2.5k times
+    # (profiled: 1.0 s of driver-side build per call at dim=64).
+    terms = []
     for p in range(n_planes):
         arr = "array(" + ",".join(f"{s:.1f}D" for s in signs[p]) + ")"
-        term = F.when(_dot(col, arr) >= 0, 2**p).otherwise(0)
-        bucket = term if bucket is None else bucket + term
-    return bucket.cast("int")
+        terms.append(
+            f"(CASE WHEN {_dot_sql(col, arr)} >= 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    expr = F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
+    _BUCKET_EXPR_CACHE[(dim, n_planes, col)] = expr
+    return expr
+
+
+# The bucket expression is a pure function of (dim, n_planes, col) — the
+# planes are md5-derived constants — and every LSH query builds it twice
+# (query side + corpus side), so the parse of the ~25 KB literal string is
+# memoized. A Column is an immutable unresolved AST; reusing one across
+# plans is safe (resolution builds new trees).
+_BUCKET_EXPR_CACHE: dict[tuple[int, int, str], F.Column] = {}
 
 
 def embedding_dim(vectors: DataFrame, col: str = "embedding") -> int:
