@@ -245,8 +245,10 @@ def minhash_signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
         % MERSENNE_P
     )
     sh = sh.select("doc_id", x.alias("x"))
+    # SQL text, one parse per family (x < P and a < P, so x*a < 2^62 —
+    # bigint-exact in both the Column form and this one).
     aggs = [
-        F.min((F.col("x") * a + b) % MERSENNE_P).alias(f"h{i}")
+        F.expr(f"MIN((x * {a} + {b}) % {MERSENNE_P})").alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_family_constants(k))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -481,18 +483,25 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """
     tok = fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tok = tok.withColumn("h4", F.substring(F.md5("w"), 1, bits // 4))
-    aggs = []
-    for j in range(bits):
-        ch = F.substring("h4", 1 + j // 4, 1)
-        nib = F.instr(F.lit(_HEX), ch) - 1
-        bit = F.shiftright(nib, 3 - j % 4) % 2
-        aggs.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    # SQL text, one F.expr parse per aggregate: the Column-composed form
+    # of these generated per-bit expressions cost ~2.2k py4j round-trips
+    # (~0.4 s driver-side) per build. Integer-only arithmetic — parses to
+    # the identical plan, pinned by the s26c oracle + determinism sweep.
+    aggs = [
+        F.expr(
+            f"SUM((shiftright(instr('{_HEX}', "
+            f"substring(h4, {1 + j // 4}, 1)) - 1, {3 - j % 4})"
+            f" % 2) * 2 - 1)"
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
     votes = tok.groupBy("doc_id").agg(*aggs)
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, 2**j).otherwise(0)
-        fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"CAST(({fp}) AS BIGINT)").alias("simhash")
+    )
 
 
 def _simhash_oracle(bits: int = SIMHASH_BITS) -> str:
@@ -554,23 +563,25 @@ def simhash64(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
     tok = tok.withColumn("h", F.xxhash64("w"))
-    # bitwiseAND(1), NOT % 2: Spark's % keeps the dividend's sign, so a
-    # negative odd hash would vote -3 instead of +1 and poison bit 0.
+    # & 1, NOT % 2: Spark's % keeps the dividend's sign, so a negative
+    # odd hash would vote -3 instead of +1 and poison bit 0. SQL text,
+    # one parse per bit (64 Column-composed aggs cost ~0.5 s of py4j
+    # round-trips per build); integer-only, identical parsed plan.
     aggs = [
-        F.sum(
-            F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{j}")
+        F.expr(f"SUM((shiftrightunsigned(h, {j}) & 1) * 2 - 1)").alias(f"v{j}")
         for j in range(64)
     ]
     votes = tok.groupBy("doc_id").agg(*aggs)
     # 2**63 overflows signed int64 as a sum term; build the sign bit with
     # shiftleft (two's complement makes the addition exact).
-    fp = None
-    for j in range(64):
-        weight = F.shiftleft(F.lit(1).cast("long"), j)
-        term = F.when(F.col(f"v{j}") > 0, weight).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    return votes.select(
+        "doc_id", F.expr(f"CAST(({fp}) AS BIGINT)").alias("simhash")
+    )
 
 
 def _block_splits(bits: int, n_blocks: int) -> list[tuple[int, int]]:
