@@ -1,0 +1,65 @@
+"""Driver-side plan-construction cost guards.
+
+Round-7 forensics: the ANN/fingerprint builders' generated expressions
+(32 sequential-double dots in an LSH bucket, 64 per-bit vote aggregates)
+were composed Column-by-Column, costing thousands of py4j round-trips —
+1.4 s of driver time per build on this host and proportionally worse
+against a remote driver↔cluster link, drifting with socket latency and
+masquerading as an execution regression in bench history. The fix emits
+generated expression families as SQL text parsed by one ``F.expr``.
+
+These tests pin the round-trip COUNT of a warm build — deterministic for
+a fixed plan, unlike wall time — so a refactor that quietly reintroduces
+per-element Column composition (~5-10x the count) fails here instead of
+surfacing as an unexplained bench move three rounds later. Bounds carry
+~2x headroom over measured counts (2026-08-14, pyspark 4.1.2) to absorb
+minor PySpark-internal changes; a legitimate plan change that grows a
+count past its bound should re-measure and re-pin, not delete the test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from xgboost_ray_spark.registry import all_queries
+
+# (entry, measured warm-build round-trips, pinned ceiling)
+BOUNDS = [
+    ("s27b_lsh_topk", 592, 1200),
+    ("s27_cosine_topk", 427, 900),
+    ("s26c_simhash", 364, 800),
+    ("s26b_minhash_lsh", 1318, 2600),
+    ("s26e_hamming_pairs", 1422, 2800),
+]
+
+
+def _count_roundtrips(spark, build, sf_dir: str) -> int:
+    from py4j import clientserver
+
+    build(spark, sf_dir)  # warm per-process memos (dim probes, parses)
+    orig = clientserver.ClientServerConnection.send_command
+    n = 0
+
+    def counting(self, *args, **kwargs):
+        nonlocal n
+        n += 1
+        return orig(self, *args, **kwargs)
+
+    clientserver.ClientServerConnection.send_command = counting
+    try:
+        build(spark, sf_dir)
+    finally:
+        clientserver.ClientServerConnection.send_command = orig
+    return n
+
+
+@pytest.mark.parametrize("name,measured,ceiling", BOUNDS)
+def test_build_roundtrip_count_bounded(spark, name, measured, ceiling):
+    n = _count_roundtrips(spark, all_queries()[name].build, SF_SMOKE)
+    assert n <= ceiling, (
+        f"{name}: warm build made {n} py4j round-trips "
+        f"(measured {measured} when pinned, ceiling {ceiling}) — "
+        "per-element Column composition reintroduced in a generated "
+        "expression family? Emit it as SQL text (see vector.dot_sql)."
+    )
