@@ -34,6 +34,18 @@ assert len(contract.entry(spark).collect()) > 0
 # side unless the package zip was shipped via addPyFile.
 qs = contract.queries()
 assert qs["s29_pandas_udf"](spark, "/root/testdata/sf0.001").count() > 0
+
+# The file-layout family (r8 rotation) is the most cwd-sensitive surface
+# in the catalog: these entries WRITE derived layouts (compacted files,
+# z-ordered copies, partitioned dirs) under catalog.SCRATCH_DIR and read
+# them back. A relative-path slip anywhere in that machinery only shows
+# up from a foreign cwd, so pin the three heaviest here permanently.
+for name in (
+    "s01e_compaction",
+    "s01h_zorder_layout",
+    "s01i_dynamic_partition_pruning",
+):
+    assert qs[name](spark, "/root/testdata/sf0.001").count() > 0, name
 print("FOREIGN_CWD_OK")
 """
 
