@@ -57,6 +57,16 @@ def _count_roundtrips(spark, build, sf_dir: str) -> int:
 @pytest.mark.parametrize("name,measured,ceiling", BOUNDS)
 def test_build_roundtrip_count_bounded(spark, name, measured, ceiling):
     n = _count_roundtrips(spark, all_queries()[name].build, SF_SMOKE)
+    # Floor: if the patched transport class stops being the active py4j
+    # path (e.g. PYSPARK_PIN_THREAD=false selects GatewayConnection, or a
+    # future pyspark swaps transports), n collapses to 0 and every
+    # ceiling check passes vacuously — fail loudly instead so the
+    # instrumentation gets re-pointed rather than silently disabled.
+    assert n >= measured // 5, (
+        f"{name}: counted only {n} py4j round-trips (measured {measured} "
+        "when pinned) — is ClientServerConnection still the active "
+        "transport this instrumentation patches?"
+    )
     assert n <= ceiling, (
         f"{name}: warm build made {n} py4j round-trips "
         f"(measured {measured} when pinned, ceiling {ceiling}) — "

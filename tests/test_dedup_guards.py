@@ -9,6 +9,10 @@ unique so the operator composes with itself in one plan.
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
@@ -155,23 +159,33 @@ def test_spill_rebuild_self_heals_after_external_gc(spark):
     assert build(spark, SF_SMOKE).count() > 0  # self-heals by rewriting
 
 
-def test_keyless_spill_not_recorded_for_reuse(spark):
-    """Keyless spill paths hash the analyzed plan (unique per build —
-    expression IDs differ), so they can never be reuse-hit; recording them
-    in ``_SPILLED_PATHS`` would grow the set unboundedly in a long-lived
-    session. Only keyed spills earn a record (round-6 ADVICE)."""
+def test_keyless_spill_same_object_reuses_not_overwrites(spark):
+    """A keyless digest hashes the analyzed plan, which Spark memoizes on
+    the Dataset — so spilling the SAME DataFrame object twice hashes to
+    one path. The second call must REUSE the dir, not overwrite it: an
+    overwrite deletes the part files the first result's reader already
+    listed (the live-reader hazard spill() exists to prevent). This is
+    why keyless paths are recorded in ``_SPILLED_PATHS`` too."""
+    import shutil
+
     from xgboost_ray_spark.operators import dedup
 
     df = spark.range(10).selectExpr("id", "id * 2 AS v")
     before = set(dedup._SPILLED_PATHS)
-    out = dedup.spill(df, "testguard_keyless")
-    assert out.count() == 10
-    assert set(dedup._SPILLED_PATHS) == before
-
-    keyed = dedup.spill(df, "testguard_keyed", key="unit-test-key")
-    assert keyed.count() == 10
-    new = set(dedup._SPILLED_PATHS) - before
-    assert len(new) == 1 and "testguard_keyed" in next(iter(new))
+    try:
+        a = dedup.spill(df, "testguard_keyless")
+        new = set(dedup._SPILLED_PATHS) - before
+        assert len(new) == 1 and "testguard_keyless" in next(iter(new))
+        path = next(iter(new))
+        listing = sorted(os.listdir(path))
+        b = dedup.spill(df, "testguard_keyless")  # same object, same digest
+        assert sorted(os.listdir(path)) == listing, "second spill rewrote"
+        # The first result must still be collectable after the second call.
+        assert a.count() == 10 and b.count() == 10
+    finally:
+        for p in set(dedup._SPILLED_PATHS) - before:
+            dedup._SPILLED_PATHS.discard(p)
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
@@ -204,18 +218,37 @@ def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
     # A fresh dir (this session's epoch or later) must survive the sweep.
     fresh = os.path.join(SCRATCH_DIR, "spill_testguard_feed00000000")
     os.makedirs(fresh, exist_ok=True)
+    # Liveness beats age: a dir old enough to be reaped by the mtime rules
+    # but stamped with a LIVE owner pid (a long-running concurrent session
+    # — e.g. this very process) must survive; the same dir with a dead
+    # owner is garbage.
+    live_owner = os.path.join(SCRATCH_DIR, "spill_testguard_a11ce0000000")
+    os.makedirs(live_owner, exist_ok=True)
+    with open(os.path.join(live_owner, ".owner_pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+    os.utime(live_owner, (old, old))
+    dead_owner = os.path.join(SCRATCH_DIR, "spill_testguard_dead00000000")
+    os.makedirs(dead_owner, exist_ok=True)
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()  # reaped: the pid no longer names a running process
+    with open(os.path.join(dead_owner, ".owner_pid"), "w") as fh:
+        fh.write(str(proc.pid))
+    os.utime(dead_owner, (old, old))
     try:
         catalog._SCRATCH_SWEPT = False  # re-arm the once-per-process guard
-        assert sweep_scratch() >= 1
+        assert sweep_scratch() >= 2
         assert not os.path.exists(stale)
+        assert not os.path.exists(dead_owner)
         assert os.path.exists(concurrent)
         assert os.path.exists(fresh)
+        assert os.path.exists(live_owner)
         # Second call in the same process is a no-op by design.
         assert sweep_scratch() == 0
     finally:
-        for d in (stale, concurrent, fresh):
-            if os.path.exists(d):
-                os.rmdir(d)
+        import shutil
+
+        for d in (stale, concurrent, fresh, live_owner, dead_owner):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def test_simhash64_pairs_recall_vs_bruteforce(spark):

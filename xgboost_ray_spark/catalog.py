@@ -50,8 +50,37 @@ _SCRATCH_SWEPT = False
 # parent's dirs out from under its live readers. Stale dirs the sweep
 # exists for are hours-to-days old, so an hour of grace costs nothing and
 # closes the concurrent-process race (plus the TOCTOU between spill()'s
-# isdir reuse check and the consumer's read).
+# isdir reuse check and the consumer's read). The grace window alone
+# still reaped a LONG-lived concurrent session's early spills (older
+# than the window but still live), so spill() also stamps each dir with
+# an ``.owner_pid`` marker and the sweep skips dirs whose owner process
+# is still running — liveness, not age, is the real criterion; mtime +
+# grace remains the fallback for dirs without a marker.
 SWEEP_GRACE_SEC = 3600.0
+
+
+def _spill_owner_alive(path: str) -> bool:
+    """True if the ``.owner_pid`` marker inside a spill dir names a
+    process that is still running (written by ``dedup.spill``). A dead,
+    missing, or unreadable marker returns False — the mtime rules then
+    decide. Pid reuse can only cause a false "alive" (garbage survives
+    one extra sweep), never a live dir's deletion."""
+    try:
+        with open(os.path.join(path, ".owner_pid")) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return False
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by another user
+    except OSError:
+        return False
+    return True
 
 
 def sweep_scratch() -> int:
@@ -62,16 +91,17 @@ def sweep_scratch() -> int:
     operator params), so a session's footprint is bounded — but nothing in
     a session can know when a *previous* session's lazily-evaluated readers
     are gone. This sweep runs once per process (from
-    ``registry.prepare_session``) and removes every ``spill_*`` entry whose
-    mtime predates this process AND is older than ``SWEEP_GRACE_SEC``:
-    an old dir's readers' sessions have exited, so the data is garbage by
-    construction, while a young dir may belong to a *concurrently running*
-    session on the same checkout (a test/driver/pin subprocess starts
-    seconds after its parent spilled — epoch-only GC broke the parent's
-    live readers mid-suite). Beyond the grace window, concurrent sessions
-    on one checkout still race; the engine's deployment unit is one
-    session per driver process, same as Spark's own ``spark-warehouse``
-    handling.
+    ``registry.prepare_session``) and removes every ``spill_*`` entry
+    whose owner process (``.owner_pid`` marker) is no longer running AND
+    whose mtime predates this process AND is older than
+    ``SWEEP_GRACE_SEC``. The liveness check is the real criterion — a
+    long-lived concurrent session's early spills are older than any
+    fixed grace window but must survive a freshly started subprocess's
+    sweep; mtime + grace is the fallback for marker-less dirs (pre-r7
+    layouts, failed marker writes), where a young dir may still belong
+    to a concurrently running session (a test/driver/pin subprocess
+    starts seconds after its parent spilled — epoch-only GC broke the
+    parent's live readers mid-suite).
     """
     global _SCRATCH_SWEPT
     if _SCRATCH_SWEPT:
@@ -93,6 +123,7 @@ def sweep_scratch() -> int:
             if (
                 mtime < _SESSION_EPOCH
                 and time.time() - mtime > SWEEP_GRACE_SEC
+                and not _spill_owner_alive(path)
             ):
                 shutil.rmtree(path, ignore_errors=True)
                 removed += 1

@@ -69,12 +69,12 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     session GC once treated every dir predating that process as garbage —
     this very suite did it (tests/test_foreign_cwd.py's subprocess builds
     a registered query, and its sweep removed the parent pytest process's
-    spills). The sweep now keeps dirs younger than
-    ``catalog.SWEEP_GRACE_SEC``, so a concurrent process no longer
-    deletes a live session's recent spills at all (frames built before a
-    beyond-grace deletion would still break — the documented
-    one-session-per-checkout deployment contract); the existence check
-    remains as self-heal for anything else that removes the dir.
+    spills). The sweep now (a) keeps dirs younger than
+    ``catalog.SWEEP_GRACE_SEC`` and (b) keeps ANY dir whose ``.owner_pid``
+    marker names a still-running process, so a concurrent process no
+    longer deletes a live session's spills regardless of that session's
+    age; the existence check remains as self-heal for anything else that
+    removes the dir.
 
     Contract: the INPUT named by ``key`` is immutable for the life of
     this process. Reuse serves the bytes of the first build, so a harness
@@ -95,13 +95,31 @@ def spill(df: DataFrame, tag: str, key: str | None = None) -> DataFrame:
     path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
     if path not in _SPILLED_PATHS or not os.path.isdir(path):
         df.write.mode("overwrite").parquet(path)
-        if key is not None:
-            # Only keyed spills earn a reuse record: a keyless digest
-            # hashes the analyzed plan, whose expression IDs differ on
-            # every build, so its path can never be hit again — recording
-            # it would only grow this set unboundedly in a long session.
-            _SPILLED_PATHS.add(path)
+        # Record keyless paths too: a keyless digest hashes the analyzed
+        # plan, which is MEMOIZED on the Dataset — spilling the same
+        # DataFrame object twice hashes to the same path, and without the
+        # record the second call would take this overwrite branch and
+        # delete the part files the first result's reader already listed.
+        # Growth is one short string per build (same order as the scratch
+        # dirs themselves), so a long session's set stays proportional to
+        # work done, not unbounded relative to it.
+        _SPILLED_PATHS.add(path)
+        _write_owner_marker(path)
     return df.sparkSession.read.parquet(path)
+
+
+def _write_owner_marker(path: str) -> None:
+    """Stamp the spill dir with this process's pid (``.owner_pid``,
+    dot-prefixed so Spark's file listing ignores it). ``sweep_scratch``
+    in a DIFFERENT process skips dirs whose owner is still alive, which
+    closes the residual cross-process race the mtime grace window only
+    narrowed: a session older than the grace window kept live spills
+    that a freshly started subprocess's sweep would otherwise reap."""
+    try:
+        with open(os.path.join(path, ".owner_pid"), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass  # marker is advisory; sweep falls back to mtime + grace
 
 
 # Spill dirs already written by this process (keyed AND keyless): same
