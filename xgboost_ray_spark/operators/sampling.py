@@ -41,10 +41,6 @@ def sql_bucket(expr: str, mod: int = 100) -> str:
     )
 
 
-_SPARK_BUCKET = spark_bucket  # legacy local aliases
-_sql_bucket = sql_bucket
-
-
 # ---------------------------------------------------------------------------
 # Train / valid / test split (80/10/10) by key hash
 # ---------------------------------------------------------------------------
@@ -52,7 +48,7 @@ def hash_split(df: DataFrame, key: str, train: int = 80, valid: int = 10) -> Dat
     """Add a ``split`` column assigning each row train/valid/test by the md5
     bucket of ``key``. Stable under repartitioning and cluster size; a row's
     split never changes when the corpus grows (per-key property)."""
-    bucket = _SPARK_BUCKET(F.col(key))
+    bucket = spark_bucket(F.col(key))
     split = (
         F.when(bucket < train, F.lit("train"))
         .when(bucket < train + valid, F.lit("valid"))
@@ -66,7 +62,7 @@ def hash_split(df: DataFrame, key: str, train: int = 80, valid: int = 10) -> Dat
     oracle=f"""
     WITH b AS (
       SELECT n_chars,
-             {_sql_bucket("doc_id")} AS bucket
+             {sql_bucket("doc_id")} AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -107,7 +103,7 @@ def stratified_sample(df: DataFrame, key: str, rates: dict[str, int],
     threshold = F.lit(default_pct)
     for value, pct in rates.items():
         threshold = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(threshold)
-    return df.filter(_SPARK_BUCKET(F.col(key)) < threshold)
+    return df.filter(spark_bucket(F.col(key)) < threshold)
 
 
 @register(
@@ -115,7 +111,7 @@ def stratified_sample(df: DataFrame, key: str, rates: dict[str, int],
     oracle=f"""
     SELECT doc_id, lang
     FROM documents
-    WHERE {_sql_bucket("doc_id")}
+    WHERE {sql_bucket("doc_id")}
           < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
     """,
     doc="Deterministic stratified sample: keep 10% of 'en' docs, 40% of "
@@ -245,7 +241,9 @@ CHUNK_STRIDE = 24   # tokens between chunk starts (overlap = 32 - 24 = 8)
     ), c AS (
       SELECT doc_id, toks, n_tokens,
              unnest(generate_series(
-               0, (n_tokens - 1) // {CHUNK_STRIDE})) AS chunk_idx
+               0, GREATEST(0, CAST(CEIL(
+                    (CAST(n_tokens AS DOUBLE) - {CHUNK_TOKENS})
+                      / {CHUNK_STRIDE}) AS BIGINT)))) AS chunk_idx
       FROM t
     )
     SELECT doc_id, chunk_idx,
@@ -264,10 +262,15 @@ CHUNK_STRIDE = 24   # tokens between chunk starts (overlap = 32 - 24 = 8)
         f"into {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens "
         f"(8-token overlap) — the context-window preparation step before "
         "training/embedding. chunk_hash = md5 of the reconstructed chunk "
-        "text proves the slice is exact, keeping output narrow. explode("
-        "sequence()) fans out rows inside the scan stage: no shuffle, no "
-        "Python, output rows ~= corpus_tokens/stride. At 100 TB this is "
-        "the same one-pass narrow map per input split.",
+        "text proves the slice is exact, keeping output narrow. The last "
+        "chunk is the FIRST one reaching the document end — ceil((n - "
+        "chunk)/stride), clamped at 0 — so no emitted chunk is fully "
+        "contained in its predecessor (a naive floor((n-1)/stride) bound "
+        "emits a pure-duplicate tail chunk for ~1/3 of document lengths, "
+        "feeding duplicated content to training). explode(sequence()) "
+        "fans out rows inside the scan stage: no shuffle, no Python, "
+        "output rows ~= corpus_tokens/stride. At 100 TB this is the same "
+        "one-pass narrow map per input split.",
     tags=("sampling", "pipeline"),
 )
 def s33b_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,15 +279,16 @@ def s33b_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_tokens", F.size("toks").cast("bigint"))
     start = F.col("chunk_idx") * CHUNK_STRIDE
     chunk_len = F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - start)
+    last_idx = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.ceil(
+            (F.col("n_tokens").cast("double") - CHUNK_TOKENS) / CHUNK_STRIDE
+        ).cast("bigint"),
+    )
     return (
         docs.withColumn(
             "chunk_idx",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("bigint"),
-                    F.floor((F.col("n_tokens") - 1) / CHUNK_STRIDE),
-                )
-            ),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), last_idx)),
         )
         .select(
             "doc_id",
@@ -304,11 +308,17 @@ def s33b_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Domain-mixture resampling with oversampling epochs
 # ---------------------------------------------------------------------------
-# Target number of training documents per language. en is downsampled
-# (budget < corpus count); zh is oversampled (budget > count) by cycling
-# its documents over multiple epochs -- the low-resource-language repeat
-# pattern of LLM data mixing.
-MIXTURE_BUDGET = {"en": 100, "de": 50, "es": 50, "fr": 50, "zh": 150}
+# Target number of training documents per language. Budgets are sized
+# against the synthetic corpus' language counts (en ~2/5, others ~1/7
+# each — sf0.01: en 218, de 70, es 73, fr 64, zh 75; sf0.1: en 2059,
+# de 702, es 744, fr 742, zh 753) so BOTH mixing behaviors are
+# exercised at every tested scale: en/de/es/fr are downsampled
+# (budget < count), while zh — budget above even its sf0.1 count — is
+# oversampled by cycling its documents over multiple epochs, the
+# low-resource-language repeat pattern of LLM data mixing. (The
+# original budgets sat below every count at every scale, so the epoch
+# fan-out was dead code no correctness round could regress.)
+MIXTURE_BUDGET = {"en": 150, "de": 50, "es": 50, "fr": 50, "zh": 2000}
 
 
 def _budget_case_sql() -> str:
@@ -336,14 +346,14 @@ def _budget_case_sql() -> str:
     WHERE rn <= budget
     """,
     doc="Domain-mixture resampling to fixed per-language budgets: each "
-        "language keeps its md5-ordered first `budget` slots, and when the "
-        "budget exceeds the corpus (zh: 150 vs ~75 docs) documents cycle "
-        "over extra epochs (doc emitted for every epoch e with "
-        "e*count+rn <= budget) — deterministic oversampling for "
-        "low-resource domains, exact per-domain sample sizes. One shuffle "
-        "on lang for the window; the epoch fan-out is explode(sequence()) "
-        "in the same stage. The reproducible data-mixing step of an LLM "
-        "pipeline.",
+        "language keeps its md5-ordered first `budget` slots, and when "
+        "the budget exceeds the corpus (zh: 2000 vs 75 docs at sf0.01) "
+        "documents cycle over extra epochs (doc emitted for every epoch "
+        "e with e*count+rn <= budget) — deterministic oversampling for "
+        "low-resource domains, exactly `budget` output rows per "
+        "oversampled domain. One shuffle on lang for the window; the "
+        "epoch fan-out is explode(sequence()) in the same stage. The "
+        "reproducible data-mixing step of an LLM pipeline.",
     tags=("sampling", "pipeline"),
 )
 def s31d_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

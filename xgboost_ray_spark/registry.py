@@ -264,7 +264,12 @@ def sql_davg(expr: str, alias: str) -> str:
 #              (ORC/JSONL/pruning/DPP/schema-evolution/compaction/
 #              z-order/binaryFile: 0.27-1.02 s each) — VERDICT r6 #3.
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
-#              (Also pass in the same 2026-08-14 sweep, 2.0 s combined.)
+#              (Also pass in the same 2026-08-14 sweep, 2.0 s combined.
+#              s31d and s33b changed semantics late in r7 — mixture
+#              budgets retuned so oversampling is actually exercised,
+#              chunking stops at the first tail-covering chunk — and
+#              were re-verified same-day against the updated oracles
+#              from a foreign cwd at sf0.001+sf0.01+sf0.1.)
 #   No backlog entry is without a planned round.
 #   r7 window (this one) executes the scheduled r7 set verbatim (VERDICT
 #   r6 #1). Rotated out to 51+ (all driver-green r6): s13b s23c s25h s25l

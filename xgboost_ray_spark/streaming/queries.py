@@ -15,7 +15,9 @@ from xgboost_ray_spark.operators.profile import OUTLIER_FLAGS_SQL
 from xgboost_ray_spark.registry import register, sql_dsum
 from xgboost_ray_spark.streaming.windows import (
     read_events_stream,
+    read_table_stream,
     run_stream_to_memory,
+    stream_state_partitions,
     windowed_counts,
 )
 
@@ -93,14 +95,7 @@ def s25c_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s25e_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from xgboost_ray_spark.catalog import table_path
-
-    schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_table_stream(spark, sf_dir, "documents")
     deduped = stream.select(F.md5("text").alias("text_hash")).dropDuplicates(
         ["text_hash"]
     )
@@ -386,7 +381,6 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from xgboost_ray_spark.catalog import load_table
-    from xgboost_ray_spark.streaming.windows import STREAM_STATE_PARTITIONS
 
     from xgboost_ray_spark.catalog import SCRATCH_DIR
 
@@ -412,9 +406,7 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-    try:
+    with stream_state_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(merge)
             .option("checkpointLocation", chk)
@@ -422,8 +414,6 @@ def s25i_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
 
     versions = committed_versions()
     if not versions:
@@ -598,9 +588,29 @@ def s25l_stream_outlier_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         * n
         * (n * F.col("s2") - F.col("s1") * F.col("s1"))
     )
+    # Overflow fails CLOSED, exactly like the batch kernel
+    # (profile.exact_outlier_flags): past the documented bound Spark's
+    # non-ANSI decimal arithmetic yields NULL where DuckDB's HUGEINT
+    # errors loudly — an unguarded NULL side makes the comparison false
+    # and silently UNFLAGS real outliers, breaking the two-topologies-
+    # one-truth contract in the worse direction (stream passes what the
+    # batch run would refuse to score).
+    overflow = F.col("v").isNotNull() & (lhs.isNull() | rhs.isNull())
+    flag = (F.col("n") >= 2) & (lhs > rhs)
+    keep = F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                "s25l_stream_outlier_guard: DECIMAL(38,0) overflow in "
+                "the integer 3-sigma predicate (group too large or "
+                "values too hot for the fixed-point scale); rescale the "
+                "cents column down a digit"
+            )
+        ).cast("boolean"),
+    ).otherwise(flag)
     flagged = (
         stream.join(F.broadcast(stats), "event_type")
-        .filter((F.col("n") >= 2) & (lhs > rhs))
+        .filter(keep)
         .select("event_id", "event_type", "value")
     )
     # per-row map with no aggregation: append mode (complete requires agg)
