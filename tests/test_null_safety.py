@@ -1,0 +1,134 @@
+"""NULL-safety of the generic helper surfaces.
+
+The registered fixtures carry no NULLs, so the oracle sweep can never
+exercise these paths — but the helpers advertise themselves as generic
+plumbing (nullable blob columns, nullable embeddings, nullable metric
+columns), where a single NULL row used to either crash the task
+(bytes(None), zero-copy Arrow refusal) or silently poison a whole
+group (np.median over NaN). Each test pins SQL semantics: NULL in,
+NULL (or no row) out, never an exception, never a fabricated value.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _payload_frame(spark, with_null=True):
+    rows = [
+        Row(doc_id=1, payload=bytes(range(16))),
+        Row(doc_id=2, payload=None if with_null else bytes(range(16, 32))),
+        Row(doc_id=3, payload=bytes(range(32, 48))),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_decode_images_null_payload_yields_null_metadata(spark):
+    from xgboost_ray_spark.operators.multimodal import decode_images
+
+    out = {r["doc_id"]: r for r in
+           decode_images(_payload_frame(spark)).collect()}
+    assert set(out) == {1, 2, 3}, "NULL payload must keep its row"
+    assert out[2]["n_bytes"] is None
+    assert out[2]["header_hash"] is None
+    assert out[2]["width"] is None and out[2]["height"] is None
+    assert out[1]["n_bytes"] == 16 and out[1]["width"] is not None
+
+
+def test_resize_images_propagates_null_dims(spark):
+    from xgboost_ray_spark.operators.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    out = {r["doc_id"]: r for r in
+           resize_images(decode_images(_payload_frame(spark))).collect()}
+    assert out[2]["out_w"] is None and out[2]["out_h"] is None
+    assert out[1]["out_w"] is not None
+
+
+def test_sample_frames_skips_null_payload(spark):
+    from xgboost_ray_spark.operators.multimodal import sample_frames
+
+    docs = {r["doc_id"] for r in
+            sample_frames(_payload_frame(spark)).collect()}
+    assert 2 not in docs, "a NULL payload has no frames"
+    assert {1, 3} <= docs
+
+
+def test_audio_energy_skips_null_payload(spark):
+    from xgboost_ray_spark.operators.multimodal import audio_window_energy
+
+    docs = {r["doc_id"] for r in
+            audio_window_energy(_payload_frame(spark)).collect()}
+    assert 2 not in docs, "a NULL payload has no audio windows"
+    assert {1, 3} <= docs
+
+
+def test_median_udaf_ignores_nulls_like_sql(spark):
+    from xgboost_ray_spark.operators.udx import median_udaf
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None)],
+        schema=T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("v", T.IntegerType()),
+            ]
+        ),
+    )
+    out = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(median_udaf()(F.col("v")).alias("m"))
+        .collect()
+    }
+    assert out["a"] == 1.5, "NULL must be ignored, not poison the group"
+    assert out["b"] is None or math.isnan(out["b"]), "all-NULL group -> NULL"
+
+
+def test_vector_norms_null_embedding_yields_null_row(spark):
+    from xgboost_ray_spark.operators.udx import vector_norms
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [])],
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField(
+                    "embedding", T.ArrayType(T.FloatType()), True
+                ),
+            ]
+        ),
+    )
+    out = {r["vec_id"]: r for r in vector_norms(df).collect()}
+    assert out[1]["dim"] == 2 and out[1]["l2_norm"] == 5.0
+    assert out[2]["dim"] is None and out[2]["l2_norm"] is None
+    assert out[3]["dim"] == 0 and out[3]["l2_norm"] == 0.0
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    from xgboost_ray_spark.operators.skew import salted_join
+
+    fact = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("fid")
+    )
+    dim = spark.range(3).select(F.col("id").alias("k"))
+    for bad in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salt-safe"):
+            salted_join(fact, dim, "k", salt_col="fid", how=bad)
+    # fact-preserving joins still work and match the unsalted answer
+    n = salted_join(fact, dim, "k", salt_col="fid", how="left").count()
+    assert n == 10

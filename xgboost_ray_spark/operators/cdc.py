@@ -223,9 +223,11 @@ def merge_order_partials(*parts: DataFrame) -> DataFrame:
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
+    from xgboost_ray_spark.registry import dsum
+
     return merged.groupBy("o_orderpriority").agg(
         F.sum("n").alias("n"),
-        F.sum(F.col("total").cast("decimal(28,6)")).cast("double").alias("total"),
+        dsum(F.col("total"), "total"),
         F.max("mx").alias("mx"),
     )
 

@@ -94,10 +94,10 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # the determinism sweep and bench force full re-execution per build
     # via reset_spill_reuse()).  All loop-scoped persists are released
     # before returning.
-    out = ranks.localCheckpoint(eager=True)
+    result = ranks.localCheckpoint(eager=True)
     esrc.unpersist()
     nodes.unpersist()
-    return out
+    return result
 
 
 def _pagerank_oracle_sql() -> str:

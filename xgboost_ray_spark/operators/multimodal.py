@@ -52,20 +52,28 @@ def decode_image_real(payload: bytes) -> dict:
 
 
 def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake decode: metadata derived from payload bytes only."""
+    """Deterministic fake decode: metadata derived from payload bytes only.
+
+    A NULL payload (real parquet blob columns are nullable) decodes to
+    NULL metadata — the row survives with nothing fabricated; pandas
+    nullable Int32 carries the nulls through Arrow back to Spark."""
     payloads = batch["payload"]
-    hex_digests = payloads.map(lambda b: bytes(b).hex())
+    hex_digests = payloads.map(
+        lambda b: bytes(b).hex() if b is not None else None
+    )
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "n_bytes": payloads.map(len).astype("int32"),
+            "n_bytes": payloads.map(
+                lambda b: len(b) if b is not None else None
+            ).astype("Int32"),
             "header_hash": hex_digests.str[:8],
-            "width": (
-                hex_digests.str[:2].map(lambda h: int(h, 16)) % 64 + 1
-            ).astype("int32"),
-            "height": (
-                hex_digests.str[2:4].map(lambda h: int(h, 16)) % 64 + 1
-            ).astype("int32"),
+            "width": hex_digests.map(
+                lambda h: int(h[:2], 16) % 64 + 1 if h is not None else None
+            ).astype("Int32"),
+            "height": hex_digests.map(
+                lambda h: int(h[2:4], 16) % 64 + 1 if h is not None else None
+            ).astype("Int32"),
         }
     )
 
@@ -118,13 +126,16 @@ def resize_images(decoded: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFram
             if not len(b):
                 continue
             long_side = b[["width", "height"]].max(axis=1)
+            # Nullable Int32 (not bare int32): NULL dims from a NULL
+            # payload upstream propagate as NULL out dims instead of
+            # failing the astype.
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
                     "width": b["width"],
                     "height": b["height"],
-                    "out_w": (b["width"] * max_dim // long_side).astype("int32"),
-                    "out_h": (b["height"] * max_dim // long_side).astype("int32"),
+                    "out_w": (b["width"] * max_dim // long_side).astype("Int32"),
+                    "out_h": (b["height"] * max_dim // long_side).astype("Int32"),
                 }
             )
 
@@ -170,6 +181,9 @@ def sample_frames(frames: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
         import numpy as np
 
         for b in batches:
+            # A NULL payload has no frames to sample — drop those rows
+            # before expansion instead of crashing the task on bytes(None).
+            b = b[b["payload"].notna()]
             if not len(b):
                 continue
             # Vectorized expansion: per-doc Python work is O(docs); only
@@ -324,6 +338,8 @@ def audio_window_energy(frames: DataFrame) -> DataFrame:
                 continue
             out_id, out_w, out_rms, out_peak = [], [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                if payload is None:
+                    continue  # a NULL payload has no audio windows
                 x = (
                     np.frombuffer(bytes(payload), dtype=np.uint8)
                     .astype(np.int64)

@@ -40,7 +40,9 @@ def salted_agg(
 
     ``aggs``: (function, column, alias) with function in
     {count, sum, min, max} — the partial/final decomposable set
-    (avg = sum/count composed by the caller).
+    (avg = sum/count composed by the caller). Pass ``"*"`` as the column
+    for COUNT(*) semantics; a named column gives SQL COUNT(col), which
+    skips nulls — the two differ whenever the column is nullable.
     """
     salted = df.withColumn("__salt", _salt(F.col(salt_col), buckets))
     partial_exprs = []
@@ -75,7 +77,22 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: fact rows salt deterministically; the dimension
     replicates once per salt value (dim must be the small side — its size
-    multiplies by ``buckets``)."""
+    multiplies by ``buckets``).
+
+    Only fact-side-preserving joins are legal: the dim side is replicated
+    ``buckets`` times, so any ``how`` that emits unmatched DIM rows
+    (right/full outer) would surface each unmatched replica as its own
+    spurious output row — up to ``buckets`` duplicates per dim key. The
+    guard raises rather than silently corrupting the result.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit per-replica rows for "
+            "unmatched dim keys (dim is exploded once per salt bucket); "
+            f"only fact-preserving joins are salt-safe: {sorted(allowed)}"
+        )
     f = fact.withColumn("__salt", _salt(F.col(salt_col), buckets))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
@@ -119,7 +136,9 @@ def s09c_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "event_type",
         [
-            ("count", "event_id", "n"),
+            # "*" pins COUNT(*) to match the oracle exactly; a named
+            # column would drop null rows and drift on nullable data.
+            ("count", "*", "n"),
             ("sum", "vdec", "sum_dec"),
             ("max", "value", "max_value"),
         ],
@@ -155,9 +174,10 @@ def s05b_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    from xgboost_ray_spark.registry import dsum
+
     joined = salted_join(ev, cust, "user_id", salt_col="event_id", buckets=16)
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-        .alias("sum_value"),
+        dsum(F.col("value"), "sum_value"),
     )

@@ -132,7 +132,14 @@ def median_udaf():
         # np.median sorts, so the result is independent of shard arrival
         # order; int64 inputs make the even-count midpoint (a+b)/2 exact
         # in float64 — bit-identical to DuckDB's interpolated median.
-        return float(np.median(v.to_numpy(dtype="float64")))
+        # Nulls arrive as NaN after the float64 conversion and must be
+        # dropped first: SQL median ignores NULLs, while an unfiltered
+        # np.median would poison the whole group to NaN off one null row.
+        arr = v.to_numpy(dtype="float64")
+        arr = arr[~np.isnan(arr)]
+        if arr.size == 0:
+            return None  # all-NULL group -> SQL NULL
+        return float(np.median(arr))
 
     return exact_median
 
@@ -190,7 +197,18 @@ def _norm_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBat
         lists = batch.column("embedding")
         # list_flatten honors slice offsets; the flat float32 buffer then
         # feeds numpy WITHOUT a pandas object-column materialization.
-        lens = pc.list_value_length(lists).to_numpy().astype("int64")
+        # NULL list rows: list_value_length yields null there (which
+        # zero-copy to_numpy refuses outright), and list_flatten skips
+        # them entirely — treat a null list as contributing no elements,
+        # then null out dim/l2_norm for those rows below (SQL semantics:
+        # a NULL embedding has NULL length and NULL norm, not 0).
+        lens_arr = pc.list_value_length(lists)
+        null_mask = (
+            lens_arr.is_null().to_numpy(zero_copy_only=False)
+            if lists.null_count
+            else None
+        )
+        lens = pc.fill_null(lens_arr, 0).to_numpy().astype("int64")
         flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
         sq = flat.astype("float64")
         sq *= sq
@@ -207,8 +225,12 @@ def _norm_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBat
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("vec_id"),
-                pa.array(lens.astype("int32"), type=pa.int32()),
-                pa.array(np.sqrt(sums), type=pa.float64()),
+                pa.array(
+                    lens.astype("int32"), type=pa.int32(), mask=null_mask
+                ),
+                pa.array(
+                    np.sqrt(sums), type=pa.float64(), mask=null_mask
+                ),
             ],
             names=["vec_id", "dim", "l2_norm"],
         )
