@@ -62,7 +62,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     gemm = gemm_topk(corpus, qm, k=K)
 
     # 3. Approximate: sign-random-projection buckets, candidates only.
-    approx = lsh_cosine_topk(spark, queries, corpus, k=K)
+    approx = lsh_cosine_topk(queries, corpus, k=K)
 
     n_exact = exact.count()
     n_gemm = gemm.count()

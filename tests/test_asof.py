@@ -60,6 +60,31 @@ def test_null_right_time_never_matches(spark):
     assert out[0].price is None
 
 
+def test_null_keys_never_match_each_other(spark):
+    """NULL join keys must not pair up: W.partitionBy groups NULL keys
+    into ONE window partition, so without the right-side isNotNull guard
+    a NULL-keyed right row would attach to a NULL-keyed left row — a
+    match SQL equi-join semantics (NULL never equals NULL) forbids. The
+    NULL-keyed left row still comes back, with NULL attachments."""
+    left = spark.createDataFrame(
+        [(None, 5, 100), (1, 5, 101)], "k int, lt int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(None, 1, 99.0, 0.0), (1, 2, 10.0, 0.0)],
+        "k int, rt int, price double, qty double",
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_cols=["price"], tiebreak=["rt"],
+        ).collect()
+    }
+    assert len(out) == 2, "NULL-keyed left rows must be preserved"
+    assert out[100].price is None, "NULL key matched a NULL-keyed right row"
+    assert out[101].price == 10.0
+
+
 def test_time_ties_break_deterministically(spark):
     """Right rows sharing (k, rt) must resolve by the tiebreak column —
     identical results under any partitioning."""

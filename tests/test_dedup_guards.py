@@ -278,3 +278,69 @@ def test_simhash64_pairs_recall_vs_bruteforce(spark):
     }
     fp.unpersist()
     assert blocked == brute
+
+
+def test_layout_scratch_keyed_per_sf_interleaved_builds(spark):
+    """Layout round-trip entries (scratch CSV/JSONL/partitioned-parquet
+    rewrites) must key their scratch dirs by sf: with a constant path, a
+    build at another sf OVERWRITES the files a previously built,
+    still-lazy result will read at action time — returning the wrong
+    sf's rows or failing on the vanished part files."""
+    from tests.conftest import SF_ORACLE
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.registry import all_queries
+
+    q = all_queries()
+    for entry in ("s01c_partition_pruning", "s01g_jsonl_scan"):
+        first = q[entry].build(spark, SF_SMOKE)
+        expected = first.count()
+        q[entry].build(spark, SF_ORACLE).count()
+        got = first.count()
+        assert got == expected, (
+            f"{entry}: sf0.001 result changed after an sf0.01 build "
+            f"({expected} -> {got} rows) — scratch path shared across sfs"
+        )
+    # Sanity: the two sfs genuinely differ for the checked table, so a
+    # shared path could not have passed by content coincidence.
+    assert (
+        load_table(spark, SF_SMOKE, "orders").count()
+        != load_table(spark, SF_ORACLE, "orders").count()
+    )
+
+
+def test_layout_rebuild_reuses_scratch_under_live_reader(spark):
+    """A same-sf REBUILD of a layout entry must reuse the written scratch
+    dir, not rewrite it: mode('overwrite') mints new part filenames,
+    invalidating the listing a previously built frame's reader captured
+    (the spill() FILE_NOT_EXIST hazard, now shared via scratch_once)."""
+    from xgboost_ray_spark.registry import all_queries
+
+    q = all_queries()
+    first = q["s01c_partition_pruning"].build(spark, SF_SMOKE)
+    n = first.count()
+    q["s01c_partition_pruning"].build(spark, SF_SMOKE).count()
+    assert first.count() == n
+
+
+def test_dup_clusters_leaves_no_cachemanager_entry(spark):
+    """dup_clusters hands back a localCheckpoint, not the persisted final
+    labels: a CacheManager entry keyed by the final round's canonical
+    plan would survive the call and silently serve cached blocks to the
+    SAME plan in a later rebuild (bench min-of-3, the determinism
+    sweep's perturbed rebuilds) — skipping re-execution of the final
+    round. After a full build+collect, the table cache must be empty."""
+    from xgboost_ray_spark.operators.dedup import dup_clusters
+
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    roots = {
+        r.doc_id: r.cluster_root for r in dup_clusters(pairs).collect()
+    }
+    assert roots == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "dup_clusters left a persisted frame registered with the "
+        "CacheManager after returning"
+    )

@@ -225,11 +225,17 @@ def asof_join(
       * right rows with a NULL ``right_time`` are dropped up front —
         under nulls-first ascending order they would otherwise become a
         universal fallback match;
+      * right rows with a NULL ``on`` key are dropped too: the window's
+        partitionBy groups NULL keys into ONE partition, so they would
+        match NULL-keyed left rows — a pair SQL equi-join semantics
+        (NULL never equals NULL) must never produce. NULL-keyed left
+        rows still come back, with NULL attached columns;
       * ``tiebreak`` columns (right-side) order right rows sharing the
         same (on, right_time); pass the right side's unique key for a
         deterministic result — the repo-wide determinism policy.
     """
     left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)  # one py4j schema fetch, not per column
     struct_cols = list(dict.fromkeys([*(tiebreak or []), *right_cols]))
     lt = left.select(
         on,
@@ -238,11 +244,13 @@ def asof_join(
         *[c for c in left.columns if c != on],
         F.lit(None)
         .cast(
-            f"struct<{', '.join(f'{c}: {dict(right.dtypes)[c]}' for c in struct_cols)}>"
+            f"struct<{', '.join(f'{c}: {right_types[c]}' for c in struct_cols)}>"
         )
         .alias("__r"),
     )
-    rt = right.filter(F.col(right_time).isNotNull()).select(
+    rt = right.filter(
+        F.col(right_time).isNotNull() & F.col(on).isNotNull()
+    ).select(
         on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),

@@ -211,9 +211,7 @@ def table_embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     return dim
 
 
-def lsh_buckets(
-    spark: SparkSession, vectors: DataFrame, dim: int | None = None
-) -> DataFrame:
+def lsh_buckets(vectors: DataFrame, dim: int | None = None) -> DataFrame:
     """(vec_id, bucket) under N_PLANES md5-derived hyperplanes. Pass
     ``dim`` when the caller already probed it (one driver job saved)."""
     return vectors.select(
@@ -223,7 +221,6 @@ def lsh_buckets(
 
 
 def lsh_cosine_topk(
-    spark: SparkSession,
     queries: DataFrame,
     corpus: DataFrame,
     k: int = TOP_K,
@@ -236,7 +233,7 @@ def lsh_cosine_topk(
     Pass ``dim`` (e.g. via :func:`table_embedding_dim`) to skip the probe.
     """
     dim = dim or embedding_dim(corpus)  # one probe serves both sides
-    qb = lsh_buckets(spark, queries, dim=dim).select(
+    qb = lsh_buckets(queries, dim=dim).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )
     q = queries.select(
@@ -325,7 +322,6 @@ def _lsh_oracle() -> str:
 def s27b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
-        spark,
         emb.filter(F.col("vec_id") < 10),
         emb,
         dim=table_embedding_dim(spark, sf_dir),
@@ -364,7 +360,6 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def ivf_topk(
-    spark: SparkSession,
     queries: DataFrame,
     corpus: DataFrame,
     k: int = TOP_K,
@@ -475,7 +470,7 @@ def _ivf_oracle() -> str:
 )
 def s27d_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(spark, emb.filter(F.col("vec_id") < 10), emb)
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb)
 
 
 @register(
@@ -668,7 +663,7 @@ NEARDUP_MAX_BUCKET = 100
 )
 def s27g_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    b = lsh_buckets(spark, emb, dim=table_embedding_dim(spark, sf_dir))
+    b = lsh_buckets(emb, dim=table_embedding_dim(spark, sf_dir))
     sizes = (
         b.groupBy("bucket")
         .agg(F.count("*").alias("n"))
@@ -760,14 +755,11 @@ def quantize_embeddings(emb: DataFrame, dim: int | None = None) -> DataFrame:
 def embedding_stats(emb: DataFrame, dim: int | None = None) -> DataFrame:
     """Single-row (mn, mx) per-dimension stats arrays — one
     partial-aggregated scan emitting 2*dim doubles. A fixed-width corpus
-    is assumed; ``dim`` defaults to probing the first row (one tiny
-    driver job) rather than hard-coding a width that would silently
-    null-pad any other corpus."""
+    is assumed; ``dim`` defaults to :func:`embedding_dim`'s first-row
+    probe (one tiny driver job) rather than hard-coding a width that
+    would silently null-pad any other corpus."""
     if dim is None:
-        first = emb.select(F.size("embedding").alias("d")).first()
-        if first is None:
-            raise ValueError("embedding_stats: empty corpus")
-        dim = first.d
+        dim = embedding_dim(emb)
     mins = [F.min(F.element_at("embedding", i + 1)) for i in range(dim)]
     maxs = [F.max(F.element_at("embedding", i + 1)) for i in range(dim)]
     return emb.agg(F.array(*mins).alias("mn"), F.array(*maxs).alias("mx"))
