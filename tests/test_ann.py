@@ -113,3 +113,35 @@ def test_search_codes_zero_vector_is_all_zero_codes(spark):
     assert got[1] == [0, 0, 0]
     # sanity on a real vector: floor(3/5*127), floor(4/5*127), 0
     assert got[2] == [76, 101, 0]
+
+
+def test_gemm_topk_rejects_nonpositive_k(spark):
+    """k <= 0 must fail at the API boundary with a clear ValueError, not
+    as an IndexError inside the worker ([-0:] slices the whole row and
+    the heap comparison indexes an empty heap)."""
+    import numpy as np
+    import pytest
+
+    from xgboost_ray_spark.functions.ann import gemm_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        gemm_topk(df, np.eye(2), k=0)
+
+
+def test_gemm_topk_skips_null_embeddings(spark):
+    """A NULL embedding row must be skipped (the exact JVM path yields a
+    NULL sim that never ranks), not crash np.stack and fail the job."""
+    import numpy as np
+
+    from xgboost_ray_spark.functions.ann import gemm_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = gemm_topk(df, np.eye(2), k=3).toPandas()
+    assert set(got["vec_id"]) == {1, 3}
+    assert len(got) == 4  # 2 queries x 2 non-null corpus rows

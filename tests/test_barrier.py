@@ -244,3 +244,34 @@ def test_mllib_train_honors_stop_flag(spark, tmp_path):
             num_boost_round=2,
             gbt_params=GBTParams(num_workers=2, stop_flag_path=flag.path),
         )
+
+
+def test_prepare_shards_keeps_query_groups_whole_and_sorted(spark):
+    """Ranking shards (qid set) must hash-partition on qid — every query
+    group lands WHOLE on one worker, sorted — not round-robin scatter
+    (pairwise losses would compare documents of different queries and
+    DMatrix(qid=...) requires sorted groups). xgboost-free on purpose."""
+    from xgboost_ray_spark.matrix import MatrixSpec
+    from xgboost_ray_spark.ml.barrier import prepare_shards
+
+    rows = [(q, float(q * 10 + i), i % 3) for q in range(8) for i in range(5)]
+    df = spark.createDataFrame(rows, "qid int, f double, rel int")
+    spec = MatrixSpec(label_cols=("rel",), qid_col="qid")
+    prepared, cols, eval_names, label_col, feats = prepare_shards(
+        df, spec, num_workers=3
+    )
+    assert "qid" in cols and label_col == "rel" and feats == ["f"]
+    assert eval_names == []
+    assert prepared.rdd.getNumPartitions() == 3
+
+    parts = prepared.select("qid").rdd.glom().collect()
+    seen: dict[int, int] = {}
+    for pi, part in enumerate(parts):
+        qids = [r.qid for r in part]
+        assert qids == sorted(qids), f"partition {pi} not qid-sorted"
+        for q in qids:
+            assert seen.setdefault(q, pi) == pi, (
+                f"query group {q} split across partitions "
+                f"{seen[q]} and {pi}"
+            )
+    assert len(seen) == 8

@@ -600,3 +600,59 @@ def test_survival_and_margin_roles_accepted(spark):
     assert result.model is not None
     # role columns are never mistaken for features
     assert spec.features_of(df) == ["f0", "f1"]
+
+
+def test_train_rejects_unknown_backend(spark):
+    """A backend typo ('xgboost' for 'xgb') must raise, not silently fall
+    through to the MLlib branch and report success under the wrong
+    engine."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 0)], "f1 double, f2 double, label int"
+    )
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("f1", "f2"))
+    with pytest.raises(ValueError, match="unknown backend"):
+        train({}, df, spec, num_boost_round=1, backend="xgboost")
+
+
+def test_predict_dispatches_transformless_model_to_barrier(spark, monkeypatch):
+    """The xgb backend's TrainResult.model is an xgboost Booster, which
+    has no .transform — predict() must route it through predict_barrier
+    instead of raising AttributeError. Dispatch is duck-typed, so a fake
+    transform-less model exercises it xgboost-free."""
+    from xgboost_ray_spark.ml import barrier as barrier_mod
+
+    calls = {}
+
+    def fake_predict_barrier(booster_bytes, data, spec, output_col="prediction"):
+        calls["bytes"] = booster_bytes
+        calls["output_col"] = output_col
+        return data
+
+    monkeypatch.setattr(barrier_mod, "predict_barrier", fake_predict_barrier)
+
+    fake_booster = {"kind": "booster"}  # no .transform, picklable
+    df = spark.createDataFrame([(1.0, 0)], "f1 double, label int")
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("f1",))
+    out = predict(fake_booster, df, spec, output_col="score")
+    assert out is df
+    assert calls["output_col"] == "score"
+
+
+def test_classifier_class_count_ignores_null_labels(spark):
+    """NULL is not a label class: {0,1,NULL} must stay binary:logistic,
+    not flip to multi:softprob with a phantom third class."""
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i), i % 2) for i in range(40)]
+        + [(1.0, 1.0, None)],
+        "f1 double, f2 double, label int",
+    )
+    est = SparkXGBClassifier(n_estimators=2, max_depth=2)
+    try:
+        est.fit(df.filter(F.col("label").isNotNull()).unionByName(
+            df.filter(F.col("label").isNull())
+        ), "label", feature_cols=["f1", "f2"])
+    except Exception:
+        pass  # MLlib may reject the NULL-label row at fit time — fine;
+        # the objective detection under test happens before training.
+    assert est.n_classes_ == 2
+    assert est._objective == "binary:logistic"

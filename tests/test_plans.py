@@ -997,3 +997,15 @@ def test_data_quality_single_lineitem_pass(spark):
         if "Location" in line and "lineitem.parquet" in line
     ]
     assert len(li_scans) == 1, li_scans
+
+
+def test_read_schema_split_handles_nested_structs():
+    """ReadSchema parsing must split on depth-0 commas only: a nested
+    struct<a:int,b:int> field would otherwise surface phantom top-level
+    column names ('b') and make pruning assertions pass/fail on wrong
+    data."""
+    from xgboost_ray_spark.plans.explain import _split_top_level
+
+    inner = "meta:struct<a:int,b:int>,x:double,m:map<string,int>"
+    fields = _split_top_level(inner)
+    assert [f.split(":", 1)[0] for f in fields] == ["meta", "x", "m"]

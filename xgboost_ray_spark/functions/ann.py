@@ -52,6 +52,12 @@ def gemm_topk(
     qm = np.ascontiguousarray(np.asarray(queries, dtype=np.float64))
     if qm.ndim != 2:
         raise ValueError(f"queries must be 2-D (Q, dim), got {qm.shape}")
+    if k < 1:
+        # Fail at the API boundary: inside the worker, k=0 makes the
+        # [-take:] slice degenerate ([-0:] is the WHOLE row) and the heap
+        # comparison index an empty heap — an opaque task failure instead
+        # of this error.
+        raise ValueError(f"k must be >= 1, got {k}")
     n_q = qm.shape[0]
     bq = df.sparkSession.sparkContext.broadcast(qm)
 
@@ -68,8 +74,22 @@ def gemm_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy()
-            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # NULL embeddings: np.stack over a column containing None
+            # raises and fails the whole job, where the exact JVM cosine
+            # path yields a NULL sim that simply never ranks. Match that
+            # semantic — skip NULL/empty vectors (they can't be a
+            # neighbor); ragged non-null dims still raise, as genuine
+            # corpus corruption should.
+            vecs = pdf[vec_col].to_numpy()
+            mask = np.array(
+                [v is not None and len(v) > 0 for v in vecs], dtype=bool
+            )
+            if not mask.any():
+                continue
+            ids = pdf[id_col].to_numpy()[mask]
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )
             cn = np.linalg.norm(cm, axis=1)
             cn[cn == 0.0] = 1.0
             sims = (q @ cm.T) / qn[:, None] / cn[None, :]

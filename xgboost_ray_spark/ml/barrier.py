@@ -105,6 +105,67 @@ class TrainingStopped(RuntimeError):
     completed so far — see ml/stopping.py)."""
 
 
+def prepare_shards(
+    dtrain: DataFrame,
+    spec: MatrixSpec,
+    num_workers: int,
+    evals: list[tuple[DataFrame, str]] | None = None,
+) -> tuple[DataFrame, list[str], list[str], str, list[str]]:
+    """Shard train + eval sets across ``num_workers`` barrier tasks.
+
+    Returns ``(prepared, cols, eval_names, label_col, feats)``. Train and
+    every eval set ride the same barrier stage: tag each frame, union, and
+    shard all of them across the same tasks — the reference hands each
+    actor its train shard plus an eval shard per set (main.py:704-739).
+    The tag column is the only overhead. xgboost-free on purpose, so the
+    sharding semantics (role columns ride along; ranking query groups
+    stay whole and sorted) are unit-testable in environments without
+    xgboost (tests/test_barrier.py pattern).
+    """
+    feats = spec.features_of(spec.prepare(dtrain))
+    label_col = spec.label_cols[0]
+    # Every role column rides the shard (reference _split_dataframe,
+    # matrix.py:283-358): weight, base_margin, survival label bounds, qid.
+    extra_roles = [
+        c
+        for c in (
+            spec.weight_col,
+            spec.base_margin_col,
+            spec.label_lower_bound_col,
+            spec.label_upper_bound_col,
+            spec.qid_col,
+        )
+        if c
+    ]
+    cols = list(feats) + [label_col] + extra_roles
+    tagged = spec.prepare(dtrain).select(*cols).withColumn(
+        "__set__", F.lit("train")
+    )
+    eval_names: list[str] = []
+    for eval_df, eval_name in evals or []:
+        if eval_name == "train":
+            raise ValueError("eval set name 'train' is reserved")
+        eval_names.append(eval_name)
+        tagged = tagged.unionByName(
+            spec.prepare(eval_df).select(*cols).withColumn(
+                "__set__", F.lit(eval_name)
+            )
+        )
+    if spec.qid_col:
+        # Ranking shards must keep each query group WHOLE on one worker
+        # and sorted (reference ensure_sorted_by_qid, matrix.py:70-102):
+        # a plain round-robin repartition scatters a group's rows across
+        # workers, so pairwise losses would compare documents of
+        # different queries. Hash-partition on qid, then sort within
+        # the shard — the order DMatrix(qid=...) requires.
+        prepared = tagged.repartition(
+            num_workers, F.col(spec.qid_col)
+        ).sortWithinPartitions(spec.qid_col)
+    else:
+        prepared = tagged.repartition(num_workers)
+    return prepared, cols, eval_names, label_col, feats
+
+
 def train_barrier(
     params: dict,
     dtrain: DataFrame,
@@ -125,39 +186,9 @@ def train_barrier(
     from xgboost_ray_spark.ml.train import TrainResult
 
     num_workers = gbt.num_workers
-    feats = spec.features_of(spec.prepare(dtrain))
-    label_col = spec.label_cols[0]
-    # Every role column rides the shard (reference _split_dataframe,
-    # matrix.py:283-358): weight, base_margin, survival label bounds.
-    extra_roles = [
-        c
-        for c in (
-            spec.weight_col,
-            spec.base_margin_col,
-            spec.label_lower_bound_col,
-            spec.label_upper_bound_col,
-        )
-        if c
-    ]
-    cols = list(feats) + [label_col] + extra_roles
-    # Train + every eval set ride the same barrier stage: tag each frame,
-    # union, and shard all of them across the same num_workers tasks — the
-    # reference hands each actor its train shard plus an eval shard per set
-    # (main.py:704-739). The tag column is the only overhead.
-    tagged = spec.prepare(dtrain).select(*cols).withColumn(
-        "__set__", F.lit("train")
+    prepared, cols, eval_names, label_col, feats = prepare_shards(
+        dtrain, spec, num_workers, evals
     )
-    eval_names: list[str] = []
-    for eval_df, eval_name in evals or []:
-        if eval_name == "train":
-            raise ValueError("eval set name 'train' is reserved")
-        eval_names.append(eval_name)
-        tagged = tagged.unionByName(
-            spec.prepare(eval_df).select(*cols).withColumn(
-                "__set__", F.lit(eval_name)
-            )
-        )
-    prepared = tagged.repartition(num_workers)
 
     ckpt = gbt.checkpoint_path
     cpus = gbt.cpus_per_worker or 0
@@ -278,6 +309,10 @@ def train_barrier(
                         ]
                     if spec.feature_weights is not None:
                         kwargs["feature_weights"] = list(spec.feature_weights)
+                    if spec.qid_col:
+                        # Query groups for ranking objectives; rows arrive
+                        # qid-clustered and -sorted from the shard prep.
+                        kwargs["qid"] = frame[spec.qid_col]
                     if spec.matrix_type == "quantile":
                         # R17 quantile path (reference matrix.py:977,
                         # main.py:379-445): bins are computed once at
@@ -373,7 +408,43 @@ def predict_barrier(booster_bytes: bytes, data: DataFrame, spec: MatrixSpec,
         for pdf in batches:
             dmat = xgb.DMatrix(pdf[feats], missing=spec.missing)
             out = pdf.copy()
-            out[output_col] = booster.predict(dmat)
+            preds = booster.predict(dmat)
+            # multi:softprob yields (n, num_class); the single
+            # ``prediction`` column takes the argmax class — the sklearn
+            # predict semantic (reference sklearn.py:825-835). Per-class
+            # scores come from predict_proba_barrier.
+            if getattr(preds, "ndim", 1) == 2:
+                preds = preds.argmax(axis=1).astype("float64")
+            out[output_col] = preds
+            yield out
+
+    return data.mapInPandas(score, schema=schema)
+
+
+def predict_proba_barrier(
+    booster_bytes: bytes, data: DataFrame, spec: MatrixSpec
+) -> DataFrame:
+    """Per-class probabilities from a broadcast booster as an array column
+    (``probability_arr``), mirroring train.predict_proba's MLlib output.
+    Binary objectives emit [1-p, p]; multi:softprob emits one entry per
+    class (reference sklearn.py:851-865)."""
+    spark = data.sparkSession
+    bc = spark.sparkContext.broadcast(booster_bytes)
+    feats = spec.features_of(spec.prepare(data))
+    schema = data.schema.add("probability_arr", "array<double>")
+
+    def score(batches):
+        import numpy as np
+        import xgboost as xgb
+
+        booster = pickle.loads(bc.value)
+        for pdf in batches:
+            dmat = xgb.DMatrix(pdf[feats], missing=spec.missing)
+            preds = booster.predict(dmat)
+            if getattr(preds, "ndim", 1) == 1:
+                preds = np.stack([1.0 - preds, preds], axis=1)
+            out = pdf.copy()
+            out["probability_arr"] = list(preds.astype("float64"))
             yield out
 
     return data.mapInPandas(score, schema=schema)

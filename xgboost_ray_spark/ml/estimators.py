@@ -136,8 +136,17 @@ class SparkXGBClassifier(_BaseEstimator):
         # multi-class objective when the label has >2 distinct values.
         # Re-derived on EVERY fit (sklearn refit semantics): a previous
         # multi-class fit must not leak multi:softprob into a later
-        # binary fit of the same instance.
-        n_classes = df.select(label_col).distinct().count()
+        # binary fit of the same instance. NULL is not a class — counting
+        # it would flip a {0,1,NULL} binary problem to multi:softprob
+        # with a phantom third class.
+        from pyspark.sql import functions as F
+
+        n_classes = (
+            df.filter(F.col(label_col).isNotNull())
+            .select(label_col)
+            .distinct()
+            .count()
+        )
         self.n_classes_ = n_classes
         self._objective = (
             "multi:softprob" if n_classes > 2 else type(self)._objective
@@ -151,46 +160,36 @@ class SparkXGBClassifier(_BaseEstimator):
             p.setdefault("num_class", getattr(self, "n_classes_", 3))
         return p
 
+    def predict(self, df: DataFrame, output_col: str = "prediction") -> DataFrame:
+        scored = super().predict(df, output_col=output_col)
+        # Classifier predict = class label (sklearn.py:825-835). MLlib's
+        # transform emits the argmax class natively, and multi:softprob
+        # boosters are argmax'd inside predict_barrier; a BINARY booster's
+        # raw predict is the positive-class probability, so threshold it.
+        if (
+            self._result is not None
+            and self._result.backend == "xgb"
+            and getattr(self, "n_classes_", 2) <= 2
+        ):
+            from pyspark.sql import functions as F
+
+            scored = scored.withColumn(
+                output_col, (F.col(output_col) >= 0.5).cast("double")
+            )
+        return scored
+
     def predict_proba(self, df: DataFrame) -> DataFrame:
         return _predict_proba(self.model_, df, self._spec)
 
 
-class SparkXGBRFRegressor(SparkXGBRegressor):
-    """Parity: RayXGBRFRegressor (sklearn.py:602) — random-forest mode:
-    num_parallel_tree = n_estimators, a single boosting round.
-
-    RF defaults mirror the reference (sklearn.py:618-620): subsample=0.8,
-    colsample_bynode=0.8, learning_rate=1 — without per-tree row/column
-    subsampling all num_parallel_tree trees would train identically and the
-    'forest' degenerates to N copies of one tree.
-    """
-
-    _is_rf = True
-
-    def __init__(
-        self,
-        *,
-        learning_rate: float = 1.0,
-        subsample: float = 0.8,
-        colsample_bynode: float = 0.8,
-        **kw: Any,
-    ):
-        super().__init__(
-            learning_rate=learning_rate,
-            subsample=subsample,
-            colsample_bynode=colsample_bynode,
-            **kw,
-        )
-
-    def _xgb_params(self) -> dict:
-        p = super()._xgb_params()
-        p["num_parallel_tree"] = self.n_estimators
-        return p
-
-
-class SparkXGBRFClassifier(SparkXGBClassifier):
-    """Parity: RayXGBRFClassifier (sklearn.py:880). RF defaults as in
-    SparkXGBRFRegressor (reference sklearn.py:618-620)."""
+class _RFMixin:
+    """Random-forest mode shared by both RF estimators (reference
+    sklearn.py:602, :880): num_parallel_tree = n_estimators with a single
+    boosting round, and the reference's RF defaults (sklearn.py:618-620)
+    learning_rate=1, subsample=0.8, colsample_bynode=0.8 — without
+    per-tree row/column subsampling all num_parallel_tree trees would
+    train identically and the 'forest' degenerates to N copies of one
+    tree. One definition so the two classes cannot drift."""
 
     _is_rf = True
 
@@ -217,6 +216,14 @@ class SparkXGBRFClassifier(SparkXGBClassifier):
         p = super()._xgb_params()
         p["num_parallel_tree"] = self.n_estimators
         return p
+
+
+class SparkXGBRFRegressor(_RFMixin, SparkXGBRegressor):
+    """Parity: RayXGBRFRegressor (sklearn.py:602) — see _RFMixin."""
+
+
+class SparkXGBRFClassifier(_RFMixin, SparkXGBClassifier):
+    """Parity: RayXGBRFClassifier (sklearn.py:880) — see _RFMixin."""
 
 
 class SparkXGBRanker(_BaseEstimator):

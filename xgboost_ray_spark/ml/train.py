@@ -171,6 +171,12 @@ def train(
 
     gbt = (gbt_params or GBTParams()).validated()
     backend = backend or ("xgb" if HAS_XGBOOST else "mllib")
+    if backend not in ("xgb", "mllib"):
+        # A typo like backend='xgboost' must not silently fall through to
+        # the MLlib branch and report success under the wrong engine.
+        raise ValueError(
+            f"unknown backend {backend!r}; expected 'xgb' or 'mllib'"
+        )
     if not spec.label_cols:
         raise ValueError("MatrixSpec.label_cols is required for training")
 
@@ -307,8 +313,21 @@ def predict(
     MLlib models broadcast themselves inside ``transform``; predictions stay
     a column on the input rows, so no reorder step exists (the reference's
     combine_data inverse shuffle is a non-problem in DataFrame land).
+
+    Dispatches on the model kind: an xgboost ``Booster`` (the xgb-backend
+    TrainResult.model) has no ``transform``, so it routes through
+    :func:`xgboost_ray_spark.ml.barrier.predict_barrier` — broadcast
+    booster, mapInPandas scoring, argmax for 2-D (softprob) outputs.
     """
     model = result_or_model.model if isinstance(result_or_model, TrainResult) else result_or_model
+    if not hasattr(model, "transform"):
+        import pickle
+
+        from xgboost_ray_spark.ml.barrier import predict_barrier
+
+        return predict_barrier(
+            pickle.dumps(model), data, spec, output_col=output_col
+        )
     assembled, _ = assemble_features(data, spec)
     scored = model.transform(assembled)
     drop = [FEATURES_COL, "rawPrediction", "probability"]
@@ -319,9 +338,17 @@ def predict(
 
 def predict_proba(model: Any, data: DataFrame, spec: MatrixSpec) -> DataFrame:
     """Probability predictions as an array column (sklearn.py:851-865
-    analogue: probability stays distributed, never reshaped on the driver)."""
+    analogue: probability stays distributed, never reshaped on the driver).
+    Boosters (xgb backend) route through the barrier scorer like
+    :func:`predict`."""
     from pyspark.ml.functions import vector_to_array
 
+    if not hasattr(model, "transform"):
+        import pickle
+
+        from xgboost_ray_spark.ml.barrier import predict_proba_barrier
+
+        return predict_proba_barrier(pickle.dumps(model), data, spec)
     assembled, _ = assemble_features(data, spec)
     scored = model.transform(assembled)
     return scored.withColumn(

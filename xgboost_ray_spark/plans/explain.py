@@ -30,6 +30,28 @@ def has_pushed_filters(df: DataFrame) -> bool:
     return False
 
 
+def _split_top_level(inner: str) -> list[str]:
+    """Split a struct body on commas at nesting depth 0 only — a bare
+    split would turn struct<meta:struct<a:int,b:int>,x:double> into a
+    phantom top-level column 'b'."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names the scan actually reads (pruning check)."""
     plan = formatted_plan(df)
@@ -38,7 +60,7 @@ def scan_read_schema(df: DataFrame) -> list[str]:
         if "ReadSchema:" in line:
             schema = line.split("ReadSchema:", 1)[1].strip()
             inner = schema[schema.find("<") + 1 : schema.rfind(">")]
-            for fieldspec in inner.split(","):
+            for fieldspec in _split_top_level(inner):
                 if ":" in fieldspec:
                     cols.append(fieldspec.split(":", 1)[0].strip())
     return cols

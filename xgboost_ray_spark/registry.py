@@ -123,7 +123,12 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"xgboost_ray_spark_pyfiles_{os.getpid()}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as zf:
+        # Write-then-rename: an interrupted write must not leave a partial
+        # zip at the final name — os.path.exists would accept it on retry
+        # and workers would fail with confusing ImportErrors on whatever
+        # submodules got truncated (same pattern as barrier.save_checkpoint).
+        tmp = f"{zpath}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fname in files:
                     if not fname.endswith(".py"):
@@ -133,6 +138,7 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
                         "xgboost_ray_spark", os.path.relpath(full, pkg_dir)
                     )
                     zf.write(full, rel)
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _SHIPPED_APPS.add(app)
 
@@ -263,6 +269,10 @@ def sql_davg(expr: str, alias: str) -> str:
 #              including the environment-sensitive S1 layout family
 #              (ORC/JSONL/pruning/DPP/schema-evolution/compaction/
 #              z-order/binaryFile: 0.27-1.02 s each) — VERDICT r6 #3.
+#              RE-verified late r7 (2026-08-14) after the S1 family's
+#              scratch paths moved to the keyed write-once contract
+#              (scratch_once): all 9 S1/S2 layout entries pass the
+#              bare-session foreign-cwd oracle drive at sf0.01 again.
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
 #              (Also pass in the same 2026-08-14 sweep, 2.0 s combined.
 #              s31d and s33b changed semantics late in r7 — mixture
