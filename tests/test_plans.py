@@ -222,9 +222,10 @@ def test_funnel_windows_share_one_shuffle(spark):
 
 
 def test_tpch_q3_broadcasts_and_takeordered(spark):
-    """Q3's pruned customer side must broadcast (fact never shuffles for
-    that join) and the global top-10 must plan as TakeOrderedAndProject,
-    never a full sort."""
+    """Q3's pruned customer side is UNHINTED (SF-proportional; at 100 TB
+    it must shuffle, not broadcast) — at test scale the static size
+    estimate broadcasts it anyway, which this asserts; and the global
+    top-10 must plan as TakeOrderedAndProject, never a full sort."""
     df = _build(spark, "s05c_tpch_q3")
     plan = formatted_plan(df)
     assert has_broadcast_join(df)

@@ -415,11 +415,16 @@ Q3_CUTOFF = "1998-06-01"
     LIMIT 10
     """,
     doc="TPC-H Q3 shape (o_orderpriority standing in for o_shippriority): "
-        "segment + date filters push to both scans, the pruned customer "
-        "side broadcasts, and the final top-10 plans as "
-        "TakeOrderedAndProject (per-partition top-k, 10-row merge) — the "
-        "composite selective-join-aggregate every BI workload runs. "
-        "Deterministic: l_orderkey tiebreak on equal revenue.",
+        "segment + date filters push to both scans, and the final top-10 "
+        "plans as TakeOrderedAndProject (per-partition top-k, 10-row "
+        "merge) — the composite selective-join-aggregate every BI "
+        "workload runs. The segment-pruned customer side is "
+        "SF-proportional (1/5 of all customers), so it carries no "
+        "broadcast hint: the static size estimate / AQE broadcast it at "
+        "bench scale, while at 100 TB it shuffles on custkey — a forced "
+        "broadcast of billions of rows would OOM every executor (same "
+        "policy as s05d). Deterministic: l_orderkey tiebreak on equal "
+        "revenue.",
     tags=("join", "agg"),
 )
 def s05c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +447,7 @@ def s05c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -890,12 +895,14 @@ Q7_HI = "1998-01-01"
     """,
     doc="TPC-H Q7 shape: shipping volume between two specific nations by "
         "year. The nation filter is applied to BOTH dimension copies "
-        "before their joins — supplier and customer each shrink to two "
-        "nations' worth of keys and broadcast, so at 100 TB the fact "
-        "tables shuffle once on orderkey and the bilateral OR-pair "
-        "predicate evaluates on already-joined survivors, never as a "
-        "cross filter. Two self-joins of nation are two tiny broadcasts, "
-        "not a self-shuffle.",
+        "before their joins — only the 25-row nation dims carry "
+        "broadcast hints; supplier and customer, though pruned to two "
+        "nations, remain SF-proportional (hundreds of millions of rows "
+        "at 100 TB), so their joins are declared plainly and AQE picks "
+        "broadcast at bench scale vs key shuffle at 100 TB (s05d's "
+        "policy). The fact tables meet in one orderkey shuffle and the "
+        "bilateral OR-pair predicate evaluates on already-joined "
+        "survivors, never as a cross filter.",
     tags=("join", "agg"),
 )
 def s05f_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,9 +951,9 @@ def s05f_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cust_nation") == Q7_NATION_A)
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
@@ -988,10 +995,13 @@ Q8_PTYPE = "PROMO"
     GROUP BY o_year
     """,
     doc="TPC-H Q8 shape: what share of a region's PROMO-part revenue did "
-        "one supplier nation capture, per year. Eight-table join where "
-        "every dimension (part filtered to one type, both nation copies, "
-        "region) broadcasts; the two fact tables meet in a single "
-        "orderkey shuffle. The share is a conditional aggregate — "
+        "one supplier nation capture, per year. Eight-table join: the "
+        "bounded dims (both nation copies, region) broadcast by hint; "
+        "part (type-filtered) and supplier are SF-proportional, so their "
+        "joins are unhinted — AQE broadcasts them at bench scale and "
+        "shuffles them on their keys at 100 TB (s05d's policy). The two "
+        "fact tables meet in a single orderkey shuffle. The share is a "
+        "conditional aggregate — "
         "numerator and denominator accumulate in one pass over the "
         "joined rows in DECIMAL, and the final double division is "
         "IEEE-identical across engines, so the ratio is hash-stable.",
@@ -1043,8 +1053,8 @@ def s05g_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == Q8_NATION, F.col("volume_dec")
     ).otherwise(F.lit(0).cast(DEC))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("volume_dec", volume)
@@ -1235,8 +1245,11 @@ Q9_PART_WORD = "widget"
     doc="TPC-H Q9 shape (profit = discounted revenue; the driver schema "
         "has no partsupp, so supply cost is absent): revenue of one "
         "product line grouped by supplier nation and order year. Plan "
-        "strategy: the LIKE filter prunes part to a fraction and part/"
-        "supplier/nation all broadcast; lineitem-orders is the only "
+        "strategy: the LIKE filter prunes part to a fraction, but part "
+        "and supplier stay SF-proportional, so those joins are unhinted "
+        "— AQE broadcasts them at bench scale and shuffles on their keys "
+        "at 100 TB (s05d's policy); only the 25-row nation carries a "
+        "broadcast hint. lineitem-orders is the only unavoidable "
         "fact-fact shuffle, keyed on l_orderkey. The year is extracted "
         "AFTER the join (cheap int expr), grouped as (25 nations x "
         "years) — a tiny final shuffle.",
@@ -1256,8 +1269,8 @@ def s05h_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))

@@ -273,6 +273,10 @@ def sql_davg(expr: str, alias: str) -> str:
 #              scratch paths moved to the keyed write-once contract
 #              (scratch_once): all 9 S1/S2 layout entries pass the
 #              bare-session foreign-cwd oracle drive at sf0.01 again.
+#              RE-verified 2026-08-15 after s05f/s05g (and non-window
+#              s05c/s05h) dropped forced broadcasts of SF-proportional
+#              sides in favor of s05d's AQE policy: all four pass the
+#              bare-session oracle drive at sf0.01 and sf0.1.
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
 #              (Also pass in the same 2026-08-14 sweep, 2.0 s combined.
 #              s31d and s33b changed semantics late in r7 — mixture
