@@ -275,3 +275,32 @@ def test_prepare_shards_keeps_query_groups_whole_and_sorted(spark):
                 f"{seen[q]} and {pi}"
             )
     assert len(seen) == 8
+
+
+def test_prepare_shards_shuffles_exactly_once(spark):
+    """prepare_shards must repartition the tagged UNION once — not each
+    input frame. MatrixSpec.prepare used to insert a per-frame qid
+    repartition+sort whose output ordering the union shuffle then threw
+    away: with k eval sets that is k+1 wasted full shuffles of the
+    training data at cluster scale. The optimized plan may carry exactly
+    ONE repartition node."""
+    from xgboost_ray_spark.matrix import MatrixSpec
+    from xgboost_ray_spark.ml.barrier import prepare_shards
+
+    rows = [(q, float(q * 10 + i), i % 3) for q in range(8) for i in range(5)]
+    df = spark.createDataFrame(rows, "qid int, f double, rel int")
+    spec = MatrixSpec(label_cols=("rel",), qid_col="qid")
+    prepared, *_ = prepare_shards(
+        df, spec, num_workers=3,
+        evals=[(df.filter("qid < 4"), "valid")],
+    )
+    plan = prepared._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("RepartitionByExpression") == 1, plan
+    # cluster=False must be a pure projection — no shuffle of its own.
+    flat = spec.prepare(df, cluster=False)
+    flat_plan = flat._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in flat_plan, flat_plan
+    # cluster=True (the standalone single-frame path) still clusters.
+    clustered = spec.prepare(df)
+    cl_plan = clustered._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in cl_plan, cl_plan

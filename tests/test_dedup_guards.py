@@ -234,6 +234,22 @@ def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
     with open(os.path.join(dead_owner, ".owner_pid"), "w") as fh:
         fh.write(str(proc.pid))
     os.utime(dead_owner, (old, old))
+    # Pid recycling: a marker naming a LIVE pid but the WRONG per-boot
+    # start time belongs to a dead session whose pid was recycled — it
+    # must be reaped, not kept alive for the recycler's lifetime. The
+    # matching (pid, start_ticks) pair is this very process and survives.
+    own_ticks = catalog._proc_start_ticks(os.getpid())
+    recycled = os.path.join(SCRATCH_DIR, "spill_testguard_rec1c1e00000")
+    live_ticks = os.path.join(SCRATCH_DIR, "spill_testguard_11fe71c50000")
+    if own_ticks is not None:  # /proc present (Linux)
+        os.makedirs(recycled, exist_ok=True)
+        with open(os.path.join(recycled, ".owner_pid"), "w") as fh:
+            fh.write(f"{os.getpid()} {own_ticks - 12345}")
+        os.utime(recycled, (old, old))
+        os.makedirs(live_ticks, exist_ok=True)
+        with open(os.path.join(live_ticks, ".owner_pid"), "w") as fh:
+            fh.write(f"{os.getpid()} {own_ticks}")
+        os.utime(live_ticks, (old, old))
     try:
         catalog._SCRATCH_SWEPT = False  # re-arm the once-per-process guard
         assert sweep_scratch() >= 2
@@ -242,12 +258,16 @@ def test_sweep_scratch_removes_stale_spills(spark, tmp_path):
         assert os.path.exists(concurrent)
         assert os.path.exists(fresh)
         assert os.path.exists(live_owner)
+        if own_ticks is not None:
+            assert not os.path.exists(recycled), "recycled pid kept garbage"
+            assert os.path.exists(live_ticks)
         # Second call in the same process is a no-op by design.
         assert sweep_scratch() == 0
     finally:
         import shutil
 
-        for d in (stale, concurrent, fresh, live_owner, dead_owner):
+        for d in (stale, concurrent, fresh, live_owner, dead_owner,
+                  recycled, live_ticks):
             shutil.rmtree(d, ignore_errors=True)
 
 

@@ -45,6 +45,32 @@ def test_decode_images_null_payload_yields_null_metadata(spark):
     assert out[1]["n_bytes"] == 16 and out[1]["width"] is not None
 
 
+def test_decode_images_short_payload_yields_null_dims(spark):
+    """Payloads too short to carry a header field (0/1 bytes) must yield
+    NULL for that field, not raise — int('', 16) used to kill the batch."""
+    from xgboost_ray_spark.operators.multimodal import decode_images
+
+    rows = [
+        Row(doc_id=1, payload=b""),
+        Row(doc_id=2, payload=b"\x07"),
+        Row(doc_id=3, payload=bytes(range(16))),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    out = {r["doc_id"]: r for r in
+           decode_images(spark.createDataFrame(rows, schema)).collect()}
+    assert out[1]["n_bytes"] == 0
+    assert out[1]["width"] is None and out[1]["height"] is None
+    # one byte = two hex chars: width computable, height is not
+    assert out[2]["n_bytes"] == 1
+    assert out[2]["width"] == 0x07 % 64 + 1 and out[2]["height"] is None
+    assert out[3]["width"] is not None and out[3]["height"] is not None
+
+
 def test_resize_images_propagates_null_dims(spark):
     from xgboost_ray_spark.operators.multimodal import (
         decode_images,
@@ -132,3 +158,10 @@ def test_salted_join_rejects_dim_preserving_how(spark):
     # fact-preserving joins still work and match the unsalted answer
     n = salted_join(fact, dim, "k", salt_col="fid", how="left").count()
     assert n == 10
+    # Spark's bare "semi"/"anti" aliases are fact-preserving too — the
+    # allowlist must not reject the short spellings of joins it permits
+    # under their left_* names.
+    for how, expect in (("semi", 3), ("anti", 7),
+                        ("left_semi", 3), ("left_anti", 7)):
+        got = salted_join(fact, dim, "k", salt_col="fid", how=how).count()
+        assert got == expect, (how, got)

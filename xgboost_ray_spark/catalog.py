@@ -59,19 +59,50 @@ _SCRATCH_SWEPT = False
 SWEEP_GRACE_SEC = 3600.0
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """Process start time in clock ticks since boot (``/proc/<pid>/stat``
+    field 22) — the kernel's per-boot process identity alongside the pid,
+    so a recycled pid is distinguishable from the original owner. None
+    where /proc is absent (non-Linux) or unreadable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # comm (field 2) may contain spaces/parens; fields resume after
+        # the LAST ')'. rest[0] is state (field 3), so field 22 is
+        # rest[19].
+        rest = data[data.rindex(b")") + 2:].split()
+        return int(rest[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _spill_owner_alive(path: str) -> bool:
     """True if the ``.owner_pid`` marker inside a spill dir names a
     process that is still running (written by ``dedup.spill``). A dead,
     missing, or unreadable marker returns False — the mtime rules then
-    decide. Pid reuse can only cause a false "alive" (garbage survives
-    one extra sweep), never a live dir's deletion."""
+    decide.
+
+    Markers carry ``pid start_ticks`` so a recycled pid does not
+    masquerade as the owner: without the start-time check, a pid recycled
+    to a long-lived daemon would keep the dead session's garbage alive
+    for as long as that daemon runs, not "one extra sweep". Pid-only
+    markers (pre-r7 layouts, non-Linux writers) fall back to bare
+    ``os.kill(pid, 0)`` liveness."""
     try:
         with open(os.path.join(path, ".owner_pid")) as fh:
-            pid = int(fh.read().strip())
-    except (OSError, ValueError):
+            parts = fh.read().split()
+        pid = int(parts[0])
+        recorded_ticks = int(parts[1]) if len(parts) > 1 else None
+    except (OSError, ValueError, IndexError):
         return False
     if pid <= 0:
         return False
+    if recorded_ticks is not None:
+        current = _proc_start_ticks(pid)
+        if current is not None:
+            # Same pid + same per-boot start time == same process. A
+            # mismatch means the owner died and the pid was recycled.
+            return current == recorded_ticks
     try:
         os.kill(pid, 0)
     except ProcessLookupError:

@@ -108,16 +108,21 @@ class MatrixSpec:
         roles = self.role_cols() | {SHARD_COL, ROW_ID_COL}
         return [c for c in df.columns if c not in roles]
 
-    def prepare(self, df: DataFrame) -> DataFrame:
+    def prepare(self, df: DataFrame, *, cluster: bool = True) -> DataFrame:
         """Apply ``ignore`` projection and qid clustering.
 
         The reference sorts each shard by qid before DMatrix construction
         (ensure_sorted_by_qid, matrix.py:70-102).  Spark equivalent: hash
         the frame by qid then sort within partitions — every query group
         lands whole and contiguous in one partition, no global sort.
+
+        ``cluster=False`` skips the qid repartition+sort and applies only
+        the projection — for callers that do their own qid clustering on
+        a downstream union (``prepare_shards``), where the per-frame
+        shuffle+sort would be executed and immediately discarded.
         """
         out = df.drop(*[c for c in self.ignore if c in df.columns])
-        if self.qid_col:
+        if cluster and self.qid_col:
             out = out.repartition(F.col(self.qid_col)).sortWithinPartitions(
                 self.qid_col
             )

@@ -122,7 +122,7 @@ def prepare_shards(
     stay whole and sorted) are unit-testable in environments without
     xgboost (tests/test_barrier.py pattern).
     """
-    feats = spec.features_of(spec.prepare(dtrain))
+    feats = spec.features_of(spec.prepare(dtrain, cluster=False))
     label_col = spec.label_cols[0]
     # Every role column rides the shard (reference _split_dataframe,
     # matrix.py:283-358): weight, base_margin, survival label bounds, qid.
@@ -138,7 +138,10 @@ def prepare_shards(
         if c
     ]
     cols = list(feats) + [label_col] + extra_roles
-    tagged = spec.prepare(dtrain).select(*cols).withColumn(
+    # cluster=False: the union below gets ONE qid repartition+sort across
+    # all sets; per-frame clustering here would be a full shuffle+sort of
+    # every frame whose output ordering the union shuffle then discards.
+    tagged = spec.prepare(dtrain, cluster=False).select(*cols).withColumn(
         "__set__", F.lit("train")
     )
     eval_names: list[str] = []
@@ -147,7 +150,7 @@ def prepare_shards(
             raise ValueError("eval set name 'train' is reserved")
         eval_names.append(eval_name)
         tagged = tagged.unionByName(
-            spec.prepare(eval_df).select(*cols).withColumn(
+            spec.prepare(eval_df, cluster=False).select(*cols).withColumn(
                 "__set__", F.lit(eval_name)
             )
         )
@@ -398,7 +401,7 @@ def predict_barrier(booster_bytes: bytes, data: DataFrame, spec: MatrixSpec,
 
     spark = data.sparkSession
     bc = spark.sparkContext.broadcast(booster_bytes)
-    feats = spec.features_of(spec.prepare(data))
+    feats = spec.features_of(spec.prepare(data, cluster=False))
     schema = data.schema.add(output_col, "double")
 
     def score(batches):
@@ -430,7 +433,7 @@ def predict_proba_barrier(
     class (reference sklearn.py:851-865)."""
     spark = data.sparkSession
     bc = spark.sparkContext.broadcast(booster_bytes)
-    feats = spec.features_of(spec.prepare(data))
+    feats = spec.features_of(spec.prepare(data, cluster=False))
     schema = data.schema.add("probability_arr", "array<double>")
 
     def score(batches):

@@ -143,15 +143,25 @@ def mark_scratch_written(path: str) -> None:
 
 
 def _write_owner_marker(path: str) -> None:
-    """Stamp the spill dir with this process's pid (``.owner_pid``,
+    """Stamp the spill dir with this process's identity (``.owner_pid``,
     dot-prefixed so Spark's file listing ignores it). ``sweep_scratch``
     in a DIFFERENT process skips dirs whose owner is still alive, which
     closes the residual cross-process race the mtime grace window only
     narrowed: a session older than the grace window kept live spills
-    that a freshly started subprocess's sweep would otherwise reap."""
+    that a freshly started subprocess's sweep would otherwise reap.
+
+    The marker is ``pid start_ticks`` (process start time from /proc)
+    where available, so a pid later recycled to an unrelated long-lived
+    process cannot keep this dir alive indefinitely; pid-only is the
+    non-Linux fallback (sweep then uses bare liveness)."""
+    from xgboost_ray_spark.catalog import _proc_start_ticks
+
+    pid = os.getpid()
+    ticks = _proc_start_ticks(pid)
+    content = f"{pid} {ticks}" if ticks is not None else str(pid)
     try:
         with open(os.path.join(path, ".owner_pid"), "w") as fh:
-            fh.write(str(os.getpid()))
+            fh.write(content)
     except OSError:
         pass  # marker is advisory; sweep falls back to mtime + grace
 

@@ -56,11 +56,20 @@ def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
     A NULL payload (real parquet blob columns are nullable) decodes to
     NULL metadata — the row survives with nothing fabricated; pandas
-    nullable Int32 carries the nulls through Arrow back to Spark."""
+    nullable Int32 carries the nulls through Arrow back to Spark. A
+    payload too short to carry the requested header field (0- or 1-byte
+    blobs) likewise yields NULL for that field rather than failing the
+    batch: int('', 16) would otherwise raise and kill the whole job."""
     payloads = batch["payload"]
     hex_digests = payloads.map(
         lambda b: bytes(b).hex() if b is not None else None
     )
+
+    def hex_field(h, lo, hi):
+        if h is None or len(h) < hi:
+            return None
+        return int(h[lo:hi], 16) % 64 + 1
+
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -69,10 +78,10 @@ def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
             ).astype("Int32"),
             "header_hash": hex_digests.str[:8],
             "width": hex_digests.map(
-                lambda h: int(h[:2], 16) % 64 + 1 if h is not None else None
+                lambda h: hex_field(h, 0, 2)
             ).astype("Int32"),
             "height": hex_digests.map(
-                lambda h: int(h[2:4], 16) % 64 + 1 if h is not None else None
+                lambda h: hex_field(h, 2, 4)
             ).astype("Int32"),
         }
     )

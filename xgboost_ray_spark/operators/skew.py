@@ -86,7 +86,7 @@ def salted_join(
     guard raises rather than silently corrupting the result.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti"}
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} would emit per-replica rows for "
