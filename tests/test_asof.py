@@ -114,3 +114,20 @@ def test_inclusive_boundary_and_basic_attach(spark):
         ).collect()
     }
     assert out == {100: 20.0, 101: 70.0, 102: None}
+
+
+def test_right_cols_colliding_with_left_raise(spark):
+    """A right_cols name already on the left would be silently replaced
+    by the attach withColumn (NULL when no match) — the helper must fail
+    loud instead."""
+    import pytest
+
+    left = spark.createDataFrame(
+        pd.DataFrame([(1, 3, 9.0)], columns=["k", "lt", "price"])
+    )
+    right = _right(spark, [(1, 2, 10.0, 5.0)])
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            right_cols=["price"], tiebreak=["rt"],
+        )

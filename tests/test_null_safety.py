@@ -165,3 +165,38 @@ def test_salted_join_rejects_dim_preserving_how(spark):
                         ("left_semi", 3), ("left_anti", 7)):
         got = salted_join(fact, dim, "k", salt_col="fid", how=how).count()
         assert got == expect, (how, got)
+
+
+def test_top_k_per_group_rejects_colliding_rank_col(spark):
+    """rank_col naming an existing column would silently replace the data
+    with the 1-based rank (right rows, corrupted values) — must raise."""
+    import pytest
+
+    from xgboost_ray_spark.operators.windows import top_k_per_group
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        top_k_per_group(df, ["g"], [F.col("v").desc()], k=2, rank_col="v")
+    # non-colliding rank_col still works
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], k=2, rank_col="rk")
+    assert out.count() == 4 and "rk" in out.columns
+
+
+def test_range_join_bands_handles_negative_bounds(spark, monkeypatch):
+    """Band-side start bins must floor toward -inf like the fact side's
+    F.floor: int() truncation skipped a negative band's lowest bin and
+    silently dropped every fact row landing in it."""
+    from xgboost_ray_spark.operators import joins
+
+    monkeypatch.setattr(
+        joins, "DISCOUNT_BANDS",
+        [("rebate", -0.055, 0.0), ("none", 0.0, 0.02)],
+    )
+    fact = spark.createDataFrame(
+        [(1, -0.052), (2, -0.003), (3, 0.01)], ["rid", "v"]
+    )
+    out = {r["rid"]: r["band"]
+           for r in joins.range_join_bands(fact, "v").collect()}
+    assert out == {1: "rebate", 2: "rebate", 3: "none"}, out

@@ -89,9 +89,11 @@ def s06c_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # S14 variant — SCD2 validity intervals from an event stream
 # ---------------------------------------------------------------------------
-@register(
-    "s14c_scd2_intervals",
-    oracle="""
+# One definition of "the SCD2 history" for builders AND oracles: s14c
+# publishes it, s14d reads state back out of it. Two hand-maintained
+# copies drifted apart is exactly the failure mode the point-in-time
+# entry exists to prevent ("rebuilt exactly as it stood at T").
+SCD2_HIST_CTE = """
     WITH runs AS (
       SELECT user_id, event_type, ts, event_id,
              CASE WHEN LAG(event_type) OVER
@@ -102,17 +104,45 @@ def s06c_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_change
       FROM events
     ),
-    chg AS (SELECT * FROM runs WHERE is_change = 1)
+    hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM runs WHERE is_change = 1
+    )
+"""
+
+
+def scd2_history(ev: DataFrame) -> DataFrame:
+    """Collapse a (user_id, event_type, ts, event_id) stream into SCD2
+    validity intervals: rows where the type changes open an interval
+    (lag boundary detection), the next change closes it (lead). Both
+    window passes share one (user_id; ts, event_id) spec, so the plan is
+    a single shuffle+sort. Columns: user_id, event_type, valid_from,
+    valid_to (NULL = still open)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    chg = ev.withColumn(
+        "is_change", prev_type.isNull() | (prev_type != F.col("event_type"))
+    ).filter("is_change")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "s14c_scd2_intervals",
+    oracle=f"""
+    {SCD2_HIST_CTE}
     SELECT user_id, event_type,
-           epoch_us(ts) AS valid_from_us,
-           epoch_us(LEAD(ts) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id))
-             AS valid_to_us,
-           CAST(CASE WHEN LEAD(ts) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)
-                          IS NULL
-                     THEN 1 ELSE 0 END AS BIGINT) AS is_current
-    FROM chg
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM hist
     """,
     doc="SCD type-2 history build: collapse each user's event_type stream "
         "into validity intervals — rows where the type changes open an "
@@ -127,18 +157,13 @@ def s14c_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_type = F.lag("event_type").over(w)
-    chg = ev.withColumn(
-        "is_change", prev_type.isNull() | (prev_type != F.col("event_type"))
-    ).filter("is_change")
-    nxt = F.lead("ts").over(w)
-    return chg.select(
+    hist = scd2_history(ev)
+    return hist.select(
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(nxt).alias("valid_to_us"),
-        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("bigint")
         .alias("is_current"),
     )
@@ -251,22 +276,7 @@ AS_OF = "2024-01-15 00:00:00"
 @register(
     "s14d_point_in_time",
     oracle=f"""
-    WITH runs AS (
-      SELECT user_id, event_type, ts, event_id,
-             CASE WHEN LAG(event_type) OVER
-                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    OR LAG(event_type) OVER
-                         (PARTITION BY user_id ORDER BY ts, event_id)
-                       <> event_type
-                  THEN 1 ELSE 0 END AS is_change
-      FROM events
-    ),
-    hist AS (
-      SELECT user_id, event_type, ts AS valid_from,
-             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS valid_to
-      FROM runs WHERE is_change = 1
-    )
+    {SCD2_HIST_CTE}
     SELECT user_id, event_type AS state_at_t
     FROM hist
     WHERE valid_from <= TIMESTAMP '{AS_OF}'
@@ -287,17 +297,7 @@ def s14d_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_type = F.lag("event_type").over(w)
-    chg = ev.withColumn(
-        "is_change", prev_type.isNull() | (prev_type != F.col("event_type"))
-    ).filter("is_change")
-    hist = chg.select(
-        "user_id",
-        "event_type",
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-    )
+    hist = scd2_history(ev)
     return hist.filter(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))

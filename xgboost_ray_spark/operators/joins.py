@@ -14,6 +14,8 @@ SURVEY.md §2.2 S5-S8.  Strategy notes for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -233,7 +235,18 @@ def asof_join(
       * ``tiebreak`` columns (right-side) order right rows sharing the
         same (on, right_time); pass the right side's unique key for a
         deterministic result — the repo-wide determinism policy.
+      * a ``right_cols`` name that already exists on the LEFT raises:
+        the final attach is a withColumn, which would silently replace
+        the left frame's own column (NULL when no match) — rename on
+        the right side first.
     """
+    clobbered = set(right_cols) & set(left.columns)
+    if clobbered:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(clobbered)} already exist on the "
+            "left frame and would be silently replaced; alias them on the "
+            "right side before joining"
+        )
     left_types = dict(left.dtypes)
     right_types = dict(right.dtypes)  # one py4j schema fetch, not per column
     struct_cols = list(dict.fromkeys([*(tiebreak or []), *right_cols]))
@@ -301,7 +314,11 @@ def range_join_bands(fact: DataFrame, value_col: str) -> DataFrame:
     spark = fact.sparkSession
     rows = []
     for name, lo, hi in DISCOUNT_BANDS:
-        b = int(lo / _BIN_W)
+        # math.floor, NOT int(): the fact side bins with F.floor (toward
+        # -inf), so a band with a negative bound must too — int() truncates
+        # toward zero and would skip the band's lowest bin, silently
+        # dropping every fact row that lands in it.
+        b = math.floor(lo / _BIN_W)
         while b * _BIN_W < hi:
             rows.append((name, lo, hi, b))
             b += 1

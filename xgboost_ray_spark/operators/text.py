@@ -190,12 +190,9 @@ def s28b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s28c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_chars = F.length("text").cast("double")
     n_tokens = F.size(words).cast("double")
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
-        "double"
-    )
+    n_stop = _marker_hits(words, tuple(STOPWORDS)).cast("double")
     n_distinct = F.size(F.array_distinct(words)).cast("double")
     length_score = F.least(n_chars / 400, F.lit(1.0))
     stop_ratio = n_stop / n_tokens

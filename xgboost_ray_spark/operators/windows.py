@@ -181,6 +181,14 @@ def top_k_per_group(
     in the output (dropped otherwise).
     """
     keep = rank_col is not None
+    if keep and rank_col in df.columns:
+        # withColumn would silently REPLACE the data column with the
+        # 1-based rank — right rows, corrupted values. Fail loud instead
+        # (the repo-wide generic-helper policy).
+        raise ValueError(
+            f"top_k_per_group: rank_col {rank_col!r} already exists in the "
+            f"input; pick a name not in {sorted(df.columns)}"
+        )
     rc = rank_col or "__rn"
     while not keep and rc in df.columns:
         rc += "x"
