@@ -76,3 +76,21 @@ def test_zorder_cluster_preserves_rows(spark):
     a = sorted(map(tuple, li.collect()))
     b = sorted(map(tuple, out.collect()))
     assert a == b
+
+
+def test_zorder_value_rejects_bit_overflow(spark):
+    """bits * n_cols > 63 would flip the bigint sign (position 63) or wrap
+    mod-64 (positions >= 64), silently destroying the clustering — the
+    helper must refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.sources.layout import zorder_value
+
+    codes = [F.lit(i).cast("bigint") for i in range(4)]
+    with pytest.raises(ValueError, match="63"):
+        zorder_value(codes, bits=16)  # 4 x 16 = 64: sign-bit position
+    with pytest.raises(ValueError, match="63"):
+        zorder_value(codes[:3], bits=22)  # 3 x 22 = 66: mod-64 wrap
+    # 63 interleaved bits exactly is fine
+    zorder_value(codes[:3], bits=21)

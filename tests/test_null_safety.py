@@ -200,3 +200,21 @@ def test_range_join_bands_handles_negative_bounds(spark, monkeypatch):
     out = {r["rid"]: r["band"]
            for r in joins.range_join_bands(fact, "v").collect()}
     assert out == {1: "rebate", 2: "rebate", 3: "none"}, out
+
+
+def test_nfc_changed_detects_length_preserving_reorder(spark):
+    """NFC canonical reordering of combining marks keeps the byte length;
+    the changed flag must compare content, not octet_length — a length
+    test reports changed=0 for exactly these reorder-only fixes."""
+    from xgboost_ray_spark.operators.udx import nfc_normalize
+
+    # ccc(U+0316)=220 < ccc(U+0301)=230: NFC reorders 0301,0316 ->
+    # 0316,0301. Base 'x' has no precomposed form with either mark, so
+    # the result is the SAME 5 UTF-8 bytes, different string.
+    docs = spark.createDataFrame(
+        [(1, "x\u0301\u0316"), (2, "plain")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in nfc_normalize(docs).collect()}
+    assert out[1]["bytes_before"] == out[1]["bytes_after"] == 5
+    assert out[1]["changed"] == 1
+    assert out[2]["changed"] == 0

@@ -64,6 +64,21 @@ def test_outlier_flags_null_values_do_not_trip_the_guard(spark):
     assert flags[1000] is True
 
 
+def test_outlier_flags_n_counts_only_non_null_values(spark):
+    """n must be COUNT(value), not COUNT(*): S1/S2 skip NULLs, so an
+    inflated n computes wrong mean/stddev — group {0, 10, NULL x 98} has
+    true stats over 2 values (z(10) ~= 0.71, NOT an outlier), but with
+    n=100 the integer predicate flags 10 as a 3-sigma outlier."""
+    rows = [("g", 0), ("g", 10)] + [("g", None)] * 98
+    df = spark.createDataFrame(rows, "grp string, v long")
+    flags = {
+        r.v: r.is_outlier
+        for r in exact_outlier_flags(df, "grp", "v").collect()
+    }
+    assert flags[10] is False
+    assert flags[0] is False
+
+
 def test_s32b_empty_snapshot_reports_zero_not_null(spark, tmp_path):
     """Admission-gate degenerate case (round-5 ADVICE): an EMPTY snapshot
     must report n_violations = 0 for every check, matching the oracle's

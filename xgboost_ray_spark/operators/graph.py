@@ -113,7 +113,7 @@ def _pagerank_oracle_sql() -> str:
         "edges AS (SELECT src, dst FROM base"
         " UNION SELECT dst, src FROM base)",
         "outd AS (SELECT src AS node, COUNT(*) AS od FROM edges GROUP BY 1)",
-        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM outd)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM outd)",
     ]
     prev = "r0"
     for i in range(1, PR_ITERS + 1):

@@ -308,7 +308,9 @@ OUTLIER_FLAGS_SQL = f"""
       FROM events
     ), s AS (
       SELECT event_id, event_type, value, v,
-             COUNT(*) OVER w AS n,
+             -- COUNT(v), not COUNT(*): must pair with the null-skipping
+             -- SUMs (matches exact_outlier_flags' _n)
+             COUNT(v) OVER w AS n,
              CAST(SUM(v) OVER w AS HUGEINT) AS s1,
              CAST(SUM(v * v) OVER w AS HUGEINT) AS s2
       FROM c
@@ -368,7 +370,11 @@ def exact_outlier_flags(
     w = W.partitionBy(group_col)
     st = df.withColumns(
         {
-            "_n": F.count("*").over(w),
+            # count(col), not count(*): _s1/_s2 sum only non-null values,
+            # so a null-bearing column with count(*) uses an inflated n —
+            # mean/stddev wrong, false (un)flags. NULL-value rows get a
+            # NULL flag (SQL comparison semantics), never flagged.
+            "_n": F.count(cents_col).over(w),
             "_s1": F.sum(cents_col).over(w).cast(DEC38),
             # square in DECIMAL: a bigint*bigint square overflows long
             # for fixed-point values beyond ~3e9; the decimal product is

@@ -56,6 +56,8 @@ def s01_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scan",),
 )
 def s02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xgboost_ray_spark.sources.readers import read_csv
+
     nation = load_table(spark, sf_dir, "nation")
     # Keyed + write-once (the spill() contract): a constant path would be
     # overwritten by a build at another sf dir — or rewritten with new
@@ -73,7 +75,9 @@ def s02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_regionkey", T.IntegerType()),
         ]
     )
-    return spark.read.csv(out, header=True, schema=schema)
+    # Through the sources reader (R1 surface), not a raw spark.read.csv —
+    # the registered scan entries exist to exercise the reader module.
+    return read_csv(spark, out, schema=schema, header=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1152,7 +1156,6 @@ def s22_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valf").cast("double").alias("val"),
             F.col("dim").cast("int").alias("dim"),
         )
-        .select("vec_id", "pos", "val", "dim")
     )
 
 

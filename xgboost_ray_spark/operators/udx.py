@@ -258,8 +258,13 @@ def vector_norms(embeddings: DataFrame) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           round(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+           -- coalesce: DuckDB list_sum([]) is NULL, but the Spark side
+           -- (and SQL SUM-over-zero-terms convention here) yields 0.0
+           -- for an EMPTY vector; a NULL vector stays NULL via the CASE.
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE round(sqrt(coalesce(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)), 4)
+           END AS l2_norm
     FROM embeddings
     """,
     doc="mapInArrow zero-copy vector math: L2 norms straight off the Arrow "
@@ -304,9 +309,11 @@ def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.encode(norm, "UTF-8")).alias("norm_hash"),
         F.octet_length(raw).alias("bytes_before"),
         F.octet_length(norm).alias("bytes_after"),
-        (F.octet_length(raw) != F.octet_length(norm))
-        .cast("int")
-        .alias("changed"),
+        # Compare CONTENT, not byte length: canonical reordering of
+        # combining marks (ccc ordering) changes the string while
+        # preserving its length — a length test reports changed=0 for
+        # exactly the reorder-only normalizations it exists to surface.
+        (raw != norm).cast("int").alias("changed"),
     )
 
 
@@ -322,7 +329,8 @@ def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
            md5(nfc_normalize(raw)) AS norm_hash,
            CAST(strlen(raw) AS INT) AS bytes_before,
            CAST(strlen(nfc_normalize(raw)) AS INT) AS bytes_after,
-           CAST(strlen(raw) != strlen(nfc_normalize(raw)) AS INT) AS changed
+           -- content inequality, not length inequality (see builder)
+           CAST(raw != nfc_normalize(raw) AS INT) AS changed
     FROM t
     """,
     doc="Unicode NFC canonicalization — the encode-before-you-hash step "

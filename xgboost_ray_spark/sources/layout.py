@@ -52,8 +52,22 @@ def _scaled_code(col: str, mn: Column, mx: Column, bits: int) -> Column:
 
 def zorder_value(codes: Sequence[Column], bits: int = Z_BITS) -> Column:
     """Interleave the low ``bits`` bits of each code column into one
-    Morton value: bit b of code i lands at position b*n_cols + i."""
+    Morton value: bit b of code i lands at position b*n_cols + i.
+
+    ``bits * len(codes)`` must fit in the 63 value bits of a signed
+    bigint: position 63 would flip the sign (rows with that bit set
+    range-partition BEFORE the smallest z-values), and positions >= 64
+    wrap (JVM shifts are mod 64), aliasing two dimensions' bits onto the
+    same positions — both silently destroy the clustering the caller
+    paid a full shuffle for, so refuse loudly."""
     n = len(codes)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_value: {bits} bits x {n} columns = {bits * n} "
+            "interleaved bits exceeds the 63 available in a signed "
+            "bigint; lower bits (resolution beyond ~16 bits/dim gains "
+            "nothing for file-level clustering)"
+        )
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         for i, code in enumerate(codes):
