@@ -176,18 +176,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # SparkSession) reject that type without this runtime-settable conf.
         # Set it defensively on every events read — through the guarded
         # helper, so a restricted session fails loudly instead of corrupting
-        # timestamps. Harmless for micros-typed data.
+        # timestamps. Harmless for micros-typed data — so on a
+        # conf-restricted session, escalate only if THIS table actually
+        # stores nanos (footer probe); micros-typed data reads correctly
+        # without the conf and must not fail on an irrelevant setting.
         from xgboost_ray_spark.registry import set_runtime_conf
 
-        set_runtime_conf(
-            spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
-        )
+        try:
+            set_runtime_conf(
+                spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
+            )
+        except RuntimeError:
+            if _events_ts_is_nanos(table_path(sf_dir, name)):
+                raise
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _fold_nanos_ts(df)
     # Single NTZ-cast site: normalize_event_ts's legacy nanos fold above
     # never produces NTZ, so one normalize_timestamps covers every table.
     return normalize_timestamps(df)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer probe: does the events parquet at ``path`` (file or Spark
+    part-file directory) store ``ts`` as TIMESTAMP(NANOS)? Driver-side
+    pyarrow schema read of one footer — no Spark job. Unreadable/absent
+    footers return True (conservative: keep the loud failure)."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return True
+        field = pq.read_schema(files[0]).field("ts")
+        return str(field.type) == "timestamp[ns]"
+    except Exception:
+        return True
 
 
 def _fold_nanos_ts(df: DataFrame) -> DataFrame:

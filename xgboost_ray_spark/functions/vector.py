@@ -52,9 +52,26 @@ def cosine(a: str | Column, b: str | Column) -> Column:
 
 @F.pandas_udf(DoubleType())
 def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched cosine for very wide vectors (numpy BLAS per batch)."""
-    am = np.stack(a.to_numpy())
-    bm = np.stack(b.to_numpy())
-    num = (am * bm).sum(axis=1)
-    den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
-    return pd.Series(num / den)
+    """Arrow-batched cosine for very wide vectors (numpy BLAS per batch).
+
+    Same semantics as the module's expression path and the ANN kernels:
+    a NULL vector on either side yields a NULL similarity (never a task
+    crash — np.stack over None raised before), and zero-norm vectors
+    clamp the denominator to 1 (the repo-wide convention, ann.py /
+    similarity.py) instead of emitting NaN. Vectors within a column are
+    assumed fixed-dimension, as everywhere else in the embedding surface.
+    """
+    n = len(a)
+    mask = a.isna().to_numpy() | b.isna().to_numpy()
+    out = pd.array([None] * n, dtype="Float64")
+    idx = np.flatnonzero(~mask)
+    if idx.size:
+        am = np.stack(a.iloc[idx].to_numpy())
+        bm = np.stack(b.iloc[idx].to_numpy())
+        num = (am * bm).sum(axis=1)
+        na = np.linalg.norm(am, axis=1)
+        nb = np.linalg.norm(bm, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        out[idx] = num / (na * nb)
+    return pd.Series(out)

@@ -17,7 +17,7 @@ from xgboost_ray_spark.matrix import MatrixSpec
 from xgboost_ray_spark.ml.params import GBTParams
 from xgboost_ray_spark.ml.train import predict, train
 from xgboost_ray_spark.operators.sampling import spark_bucket, sql_bucket
-from xgboost_ray_spark.registry import register
+from xgboost_ray_spark.registry import DEC, register
 
 LINEITEM_FEATURES = [
     "l_quantity",
@@ -66,7 +66,13 @@ def s30_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy(
             F.col("label").cast("int").alias("label"),
-            F.col("prediction").cast("int").alias("prediction"),
+            # Threshold, don't truncate: the xgb backend's binary
+            # predict emits the raw probability in (0,1), which
+            # cast('int') floors to all-zeros; MLlib emits exact
+            # 0.0/1.0 classes, so >= 0.5 is backend-neutral and the
+            # golden counts are unchanged (same fix as
+            # SparkXGBClassifier.predict, estimators.py).
+            (F.col("prediction") >= 0.5).cast("int").alias("prediction"),
         )
         .agg(F.count("*").alias("n"))
     )
@@ -76,16 +82,18 @@ def s30_gbt_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s30b_ltr_rank",
     oracle=None,  # ML: rows-only here; monotonicity asserted in tests/test_ml.py
     doc="Learning-to-rank (R31 ranker / R15 qid clustering): orders grouped "
-        "by customer as query groups, relevance = price tier; trains the "
-        "ranker and returns per-group counts of correctly-ordered "
-        "(hi > lo) score pairs. Parity: sklearn.py:921-1083.",
+        "by customer as query groups, binary relevance = price above "
+        "200k; trains the ranker and returns per-relevance row counts "
+        "and mean score (monotonicity — avg_score(rel=1) > "
+        "avg_score(rel=0) — asserted in tests/test_ml.py). "
+        "Parity: sklearn.py:921-1083.",
     tags=("ml", "ranking"),
 )
 def s30b_ltr_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xgboost_ray_spark.ml.estimators import SparkXGBRanker
 
     orders = load_table(spark, sf_dir, "orders")
-    # Query groups = customers with >= 3 orders; relevance = price rank tier.
+    # Query groups = customers; binary relevance = price above 200k.
     df = orders.select(
         F.col("o_custkey").alias("qid"),
         F.col("o_totalprice").alias("f_price"),
@@ -121,6 +129,58 @@ _OLS_STATS_SQL = """
 """
 
 
+def _ols_solve(n_col: str, sx_col: str, sy_col: str,
+               sxy_col: str, sxx_col: str):
+    """Normal-equation (slope, intercept) expressions over named
+    sufficient-statistics columns — THE one spelling of the solve,
+    shared by train (s30c), score (s30d), the CV complements (s30e) and
+    the cumulative prefixes (s30f), so a numerics change cannot silently
+    fork train vs score vs CV."""
+    n, sx, sy = F.col(n_col), F.col(sx_col), F.col(sy_col)
+    slope = (n * F.col(sxy_col) - sx * sy) / (n * F.col(sxx_col) - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return slope, intercept
+
+
+def _ols_resid():
+    """Residual of the broadcast model columns against the fact row —
+    shared by every scoring pass (s30d/s30e/s30f)."""
+    return F.col("l_extendedprice") - (
+        F.col("intercept") + F.col("slope") * F.col("l_quantity")
+    )
+
+
+def _rmse(denom):
+    """ROUND(sqrt(SUM(resid^2 accumulated in DECIMAL) / denom), 4) —
+    the partition-layout-independent RMSE aggregate."""
+    resid = _ols_resid()
+    return F.round(
+        F.sqrt(F.sum((resid * resid).cast(DEC)).cast("double") / denom), 4
+    ).alias("rmse")
+
+
+def ols_model(li: DataFrame) -> DataFrame:
+    """UNROUNDED per-returnflag OLS model ``(l_returnflag, n, slope,
+    intercept)`` from one partial-agg pass; :func:`ols_coefficients`
+    rounds it for hashing, s30d broadcasts it for scoring."""
+    from xgboost_ray_spark.registry import dsum
+
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity"), "sx"),
+        dsum(F.col("l_extendedprice"), "sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+    )
+    slope, intercept = _ols_solve("n", "sx", "sy", "sxy", "sxx")
+    return stats.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
 def ols_coefficients(li: DataFrame) -> DataFrame:
     """Per-returnflag simple linear regression l_extendedprice ~ l_quantity
     via the normal equations over sufficient statistics.
@@ -136,22 +196,12 @@ def ols_coefficients(li: DataFrame) -> DataFrame:
     gradients with allreduce (main.py:1341); here the 'allreduce' is
     Spark's partial aggregation.
     """
-    from xgboost_ray_spark.registry import dsum
-
-    stats = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        dsum(F.col("l_quantity"), "sx"),
-        dsum(F.col("l_extendedprice"), "sy"),
-        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
-        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
-    return stats.select(
+    m = ols_model(li)
+    return m.select(
         "l_returnflag",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
     )
 
 
@@ -214,39 +264,11 @@ def s30d_linear_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    from xgboost_ray_spark.registry import dsum
-
-    stats = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        dsum(F.col("l_quantity"), "sx"),
-        dsum(F.col("l_extendedprice"), "sy"),
-        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
-        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
-    )
-    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
-    model = stats.select(
-        "l_returnflag",
-        slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
-    )
-    resid = F.col("l_extendedprice") - (
-        F.col("intercept") + F.col("slope") * F.col("l_quantity")
-    )
+    model = ols_model(li).drop("n")
     return (
         li.join(F.broadcast(model), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(
-                F.sqrt(
-                    F.sum((resid * resid).cast("decimal(28,6)"))
-                    .cast("double")
-                    / F.count("*")
-                ),
-                4,
-            ).alias("rmse"),
-        )
+        .agg(F.count("*").alias("n"), _rmse(F.count("*")))
     )
 
 
@@ -265,6 +287,23 @@ def _cv_fold_spark():
 
 
 _CV_FOLD_SQL = sql_bucket("l_orderkey * 10 + l_linenumber", CV_FOLDS)
+
+
+def _fold_stats(df: DataFrame) -> DataFrame:
+    """Per-(returnflag, fold) sufficient statistics kept as DECIMAL —
+    NOT cast to double — so the complement subtraction (s30e) and the
+    prefix cumsum (s30f) stay exact. One spelling for both entries."""
+    return df.groupBy("l_returnflag", "fold").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sx_d"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy_d"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)
+        ).alias("sxy_d"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast(DEC)
+        ).alias("sxx_d"),
+    )
 
 
 @register(
@@ -325,24 +364,13 @@ _CV_FOLD_SQL = sql_bucket("l_orderkey * 10 + l_linenumber", CV_FOLDS)
 def s30e_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    DEC = "decimal(28,6)"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_quantity",
         "l_extendedprice",
         _cv_fold_spark().alias("fold"),
     )
-    stats = li.groupBy("l_returnflag", "fold").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("sx_d"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy_d"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).alias(
-            "sxy_d"
-        ),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC)).alias(
-            "sxx_d"
-        ),
-    )
+    stats = _fold_stats(li)
     w = W.partitionBy("l_returnflag")
     comp = stats.select(
         "l_returnflag",
@@ -354,30 +382,18 @@ def s30e_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("sxy_d").over(w) - F.col("sxy_d")).cast("double").alias("csxy"),
         (F.sum("sxx_d").over(w) - F.col("sxx_d")).cast("double").alias("csxx"),
     )
-    cn, csx, csy = F.col("cn"), F.col("csx"), F.col("csy")
-    slope = (cn * F.col("csxy") - csx * csy) / (cn * F.col("csxx") - csx * csx)
+    slope, intercept = _ols_solve("cn", "csx", "csy", "csxy", "csxx")
     model = comp.select(
         "l_returnflag",
         "fold",
         F.col("n").alias("n_test"),
         slope.alias("slope"),
-        ((csy - slope * csx) / cn).alias("intercept"),
-    )
-    resid = F.col("l_extendedprice") - (
-        F.col("intercept") + F.col("slope") * F.col("l_quantity")
+        intercept.alias("intercept"),
     )
     return (
         li.join(F.broadcast(model), ["l_returnflag", "fold"])
         .groupBy("l_returnflag", "fold", "n_test")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.sum((resid * resid).cast(DEC)).cast("double")
-                    / F.col("n_test")
-                ),
-                4,
-            ).alias("rmse")
-        )
+        .agg(_rmse(F.col("n_test")))
         .select("l_returnflag", "fold", "n_test", "rmse")
     )
 
@@ -441,7 +457,6 @@ def s30e_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s30f_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    DEC = "decimal(28,6)"
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_quantity",
@@ -449,17 +464,7 @@ def s30f_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cv_fold_spark().alias("fold"),
     )
     train = li.filter(F.col("fold") < CV_FOLDS - 1)
-    stats = train.groupBy("l_returnflag", "fold").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).alias("sx_d"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy_d"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).alias(
-            "sxy_d"
-        ),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC)).alias(
-            "sxx_d"
-        ),
-    )
+    stats = _fold_stats(train)
     w = (
         W.partitionBy("l_returnflag")
         .orderBy("fold")
@@ -474,30 +479,17 @@ def s30f_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sxy_d").over(w).cast("double").alias("csxy"),
         F.sum("sxx_d").over(w).cast("double").alias("csxx"),
     )
-    tn, csx, csy = F.col("tn"), F.col("csx"), F.col("csy")
-    slope = (tn * F.col("csxy") - csx * csy) / (tn * F.col("csxx") - csx * csx)
+    slope, intercept = _ols_solve("tn", "csx", "csy", "csxy", "csxx")
     model = cum.select(
         "l_returnflag",
         (F.col("fold") + 1).cast("bigint").alias("train_folds"),
         F.col("tn").alias("n_train"),
         slope.alias("slope"),
-        ((csy - slope * csx) / tn).alias("intercept"),
+        intercept.alias("intercept"),
     )
     heldout = li.filter(F.col("fold") == CV_FOLDS - 1)
-    resid = F.col("l_extendedprice") - (
-        F.col("intercept") + F.col("slope") * F.col("l_quantity")
-    )
     return (
         heldout.join(F.broadcast(model), "l_returnflag")
         .groupBy("l_returnflag", "train_folds", "n_train")
-        .agg(
-            F.count("*").alias("n_test"),
-            F.round(
-                F.sqrt(
-                    F.sum((resid * resid).cast(DEC)).cast("double")
-                    / F.count("*")
-                ),
-                4,
-            ).alias("rmse"),
-        )
+        .agg(F.count("*").alias("n_test"), _rmse(F.count("*")))
     )

@@ -91,10 +91,23 @@ def set_runtime_conf(spark: SparkSession, key: str, value: str) -> None:
         )
 
 
+# applicationId -> the _RUNTIME_CONF snapshot last applied to it. Keyed
+# on the SNAPSHOT, not a boolean: the determinism sweep perturbs builds
+# by patching _RUNTIME_CONF (test_perturbation_survives_prepare_session),
+# so a changed dict must re-apply while the steady state skips the ~10
+# spark.conf.set py4j round-trips every registered build otherwise pays.
+_PREPARED_APPS: dict[str, tuple] = {}
+
+
 def prepare_session(spark: SparkSession) -> None:
-    """Apply runtime-settable engine confs to an externally built session."""
-    for k, v in _RUNTIME_CONF.items():
-        set_runtime_conf(spark, k, v)
+    """Apply runtime-settable engine confs to an externally built session
+    (once per session per _RUNTIME_CONF state — see _PREPARED_APPS)."""
+    snap = tuple(sorted(_RUNTIME_CONF.items()))
+    app = spark.sparkContext.applicationId
+    if _PREPARED_APPS.get(app) != snap:
+        for k, v in _RUNTIME_CONF.items():
+            set_runtime_conf(spark, k, v)
+        _PREPARED_APPS[app] = snap
     # GC spill dirs from finished sessions (no-op after the first call).
     from xgboost_ray_spark.catalog import sweep_scratch
 
@@ -230,7 +243,7 @@ def sql_davg(expr: str, alias: str) -> str:
 #   r4 rotated in 15 never-checked entries plus s26b/s26e re-validation;
 #   CORRECTNESS_r04 came back 50/50 green. Backlog after r4: 73 never
 #   driver-checked.
-#   r5 window (this one) freezes catalog growth and rotates in 17
+#   r5 window freezes catalog growth and rotates in 17
 #   never-checked entries per VERDICT r4 #1/#2: the eight late-r4
 #   operators (s24g s26l s27j s31h s32d s30d s30e s30f — the round's
 #   flagship iterative/ML work), the two risk-bearing advanced streaming
@@ -239,7 +252,7 @@ def sql_davg(expr: str, alias: str) -> str:
 #   Rotated out to 51+ (all driver-green r4): s04c s07b s09e s12b s14e
 #   s21b s22c s24c s25 s25d s26b s26e s27b s28g s29g s31f s33b.
 #   Backlog after r5: 56 (CORRECTNESS_r05 came back 50/50 green).
-#   r6 window (this one) rotates in 17 never-checked entries per VERDICT
+#   r6 window rotates in 17 never-checked entries per VERDICT
 #   r5 #1/#3: the ANN stack (s27_cosine_topk s27d s27g s27h s27i), the
 #   dedup tail (s26h s26i s26k), the text tail (s28e s28h s28l), the
 #   streaming production tier (s25h file-sink ETL, s25l outlier guard —

@@ -141,6 +141,12 @@ def run_stream_to_memory(
             .queryName(name)
             .start()
         )
+        # Enqueue for eviction as soon as the view EXISTS (start()
+        # registers it), not after success: a failing
+        # processAllAvailable would otherwise leak a never-evicted,
+        # driver-resident sink view per retry — the exact unbounded
+        # growth the FIFO bounds.
+        _MEMORY_SINK_VIEWS.append((spark, name))
         try:
             q.processAllAvailable()
         finally:
@@ -149,7 +155,6 @@ def run_stream_to_memory(
     # temp view stays registered until evicted by the FIFO above (a
     # driver-side collect+createDataFrame round-trip here cost ~3s per
     # 100k rows, so the result stays lazy over the sink).
-    _MEMORY_SINK_VIEWS.append((spark, name))
     while len(_MEMORY_SINK_VIEWS) > _MEMORY_SINK_KEEP:
         old_spark, old_name = _MEMORY_SINK_VIEWS.popleft()
         try:
