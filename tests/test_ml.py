@@ -656,3 +656,68 @@ def test_classifier_class_count_ignores_null_labels(spark):
         # the objective detection under test happens before training.
     assert est.n_classes_ == 2
     assert est._objective == "binary:logistic"
+
+
+def test_shard_interleaved_one_rank_per_partition(spark):
+    """Range placement on the rank: each task holds at most one shard
+    (hash placement could co-locate two full shards and leave a task
+    empty — e.g. both ranks of n=2 hash to partition 0), and ranks are
+    in partition-index order. Extraction stays filter-by-SHARD_COL."""
+    from xgboost_ray_spark.matrix import SHARD_COL
+
+    for n in (2, 3, 4):
+        sharded = shard(spark.range(120), n, ShardingMode.INTERLEAVED,
+                        order_col="id")
+        parts = sharded.select(SHARD_COL).rdd.glom().collect()
+        per_part = [sorted({r[0] for r in p}) for p in parts]
+        assert all(len(s) <= 1 for s in per_part), (n, per_part)
+        flat = [s[0] for s in per_part if s]
+        assert flat == sorted(flat) == list(range(n)), (n, per_part)
+
+
+def test_predict_barrier_plan_does_not_mutate_input_schema(spark):
+    """DataFrame.schema is a cached StructType and StructType.add mutates
+    in place — the barrier scorers must extend a COPY, or the second
+    predict on the same frame sees a phantom duplicate field."""
+    from xgboost_ray_spark.ml.barrier import (
+        predict_barrier,
+        predict_proba_barrier,
+    )
+
+    df = spark.createDataFrame([(1.0, 0)], "f double, y int")
+    spec = MatrixSpec(label_cols=("y",))
+    n_fields = len(df.schema.fields)
+    out1 = predict_barrier(b"not-a-booster", df, spec)
+    out2 = predict_barrier(b"not-a-booster", df, spec)
+    proba = predict_proba_barrier(b"not-a-booster", df, spec)
+    assert len(df.schema.fields) == n_fields, "input schema was mutated"
+    assert out1.columns == out2.columns == ["f", "y", "prediction"]
+    assert proba.columns == ["f", "y", "probability_arr"]
+
+
+def test_mllib_predict_keeps_passthrough_columns(spark):
+    """Scoring must keep columns outside the feature/role set (the xgb
+    backend does) — dropping them makes predictions unjoinable to the
+    source rows."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float((i * 3) % 5), float(i % 2))
+         for i in range(200)],
+        "row_id long, f1 double, f2 double, label double",
+    )
+    spec = MatrixSpec(label_cols=("label",), feature_cols=("f1", "f2"))
+    result = train(
+        {"objective": "binary:logistic", "max_depth": 3},
+        df, spec, num_boost_round=3,
+        gbt_params=GBTParams(num_workers=2, seed=7),
+    )
+    scored = predict(result, df, spec)
+    assert "row_id" in scored.columns, scored.columns
+    assert scored.count() == 200
+
+
+def test_grid_search_rejects_empty_grid(spark):
+    from xgboost_ray_spark.ml.tuning import grid_search
+
+    df = spark.createDataFrame([(1.0, 0.0)], "f double, y double")
+    with pytest.raises(ValueError, match="empty parameter grid"):
+        grid_search(lambda **kw: None, df, "y", grid=[], metric="rmse")

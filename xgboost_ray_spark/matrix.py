@@ -180,13 +180,23 @@ def shard(df: DataFrame, num_shards: int, mode: ShardingMode = ShardingMode.INTE
     INTERLEAVED implements the reference's exact ``i mod n`` interleave:
     rows get a contiguous global index (``order_col`` if the caller already
     has a contiguous 0-based one, else a distributed zipWithIndex), shard
-    rank = index mod num_shards, and rows are hash-partitioned on the rank
-    and sorted by (rank, index) within partitions. The output keeps two
-    metadata columns — ``SHARD_COL`` (rank) and ``ROW_ID_COL`` (original
-    position) — which is what makes ``combine_data`` an exact inverse:
-    extract shard k as the rows with rank k ordered by position, and
-    ``combine_data`` re-interleaves them to the original order bit-exactly
-    (round-trip test mirrors reference matrix.py:1088-1110 ↔ 1114-1157).
+    rank = index mod num_shards, and rows are RANGE-partitioned on the
+    rank and sorted by (rank, index) within partitions. The output keeps
+    two metadata columns — ``SHARD_COL`` (rank) and ``ROW_ID_COL``
+    (original position) — which is what makes ``combine_data`` an exact
+    inverse: extract shard k as the rows with rank k ordered by position,
+    and ``combine_data`` re-interleaves them to the original order
+    bit-exactly (round-trip test mirrors reference
+    matrix.py:1088-1110 ↔ 1114-1157).
+
+    Extraction contract: select a shard by FILTERING on ``SHARD_COL``,
+    never by Spark partition index — partition placement is an internal
+    balance detail. Range placement keeps ranks in partition-index order
+    and (with n equal-sized ranks over n partitions) one rank per task;
+    the hash placement it replaces could co-locate two full shards on
+    one task and leave another empty (murmur3(rank) % n collides — e.g.
+    both ranks of n=2 hash to partition 0), doubling one worker's memory
+    for no reason.
     """
     if mode is ShardingMode.INTERLEAVED:
         if order_col is not None:
@@ -197,7 +207,7 @@ def shard(df: DataFrame, num_shards: int, mode: ShardingMode = ShardingMode.INTE
             out.withColumn(
                 SHARD_COL, (F.col(ROW_ID_COL) % num_shards).cast("int")
             )
-            .repartition(num_shards, SHARD_COL)
+            .repartitionByRange(num_shards, SHARD_COL)
             .sortWithinPartitions(SHARD_COL, ROW_ID_COL)
         )
     if mode is ShardingMode.BATCH:

@@ -35,6 +35,7 @@ import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xgboost_ray_spark.matrix import MatrixSpec
 from xgboost_ray_spark.ml.params import GBTParams
@@ -346,21 +347,35 @@ def train_barrier(
                     else None,
                 )
             container.after_train(cb_ctx, result=None)
-            if rank == 0:
+            # EVERY rank ships its put_queue'd items (the reference's
+            # session.put_queue delivers from all actors, main.py:902-922)
+            # — rank 0 alone carrying them would silently drop the other
+            # workers' items. Only rank 0 carries the booster (identical
+            # on all ranks after the final allreduce).
+            if rank == 0 or cb_ctx.queued:
                 yield pd.DataFrame(
                     {
+                        "rank": [rank],
                         "result": [
-                            pickle.dumps(
-                                (booster, evals_result, cb_ctx.queued)
-                            )
-                        ]
+                            pickle.dumps((booster, evals_result))
+                            if rank == 0
+                            else None
+                        ],
+                        "queued": [pickle.dumps(cb_ctx.queued)],
                     }
                 )
 
-        results = prepared.mapInPandas(
-            run_partition, schema="result binary", barrier=True
+        rows = prepared.mapInPandas(
+            run_partition,
+            schema="rank int, result binary, queued binary",
+            barrier=True,
         ).collect()
-        return pickle.loads(results[0]["result"])
+        rows.sort(key=lambda r: r["rank"])  # deterministic queue order
+        booster, evals_result = next(
+            pickle.loads(r["result"]) for r in rows if r["result"] is not None
+        )
+        queued = [item for r in rows for item in pickle.loads(r["queued"])]
+        return booster, evals_result, queued
 
     start = time.perf_counter()
     # Worker-death recovery is this driver-side loop — Spark aborts a failed
@@ -402,7 +417,12 @@ def predict_barrier(booster_bytes: bytes, data: DataFrame, spec: MatrixSpec,
     spark = data.sparkSession
     bc = spark.sparkContext.broadcast(booster_bytes)
     feats = spec.features_of(spec.prepare(data, cluster=False))
-    schema = data.schema.add(output_col, "double")
+    # COPY the schema before extending it: DataFrame.schema is a cached
+    # property returning one shared StructType, and StructType.add
+    # mutates it in place — extending it directly would corrupt the
+    # input frame's schema for every later use (a second predict call on
+    # the same DataFrame object would see a phantom duplicate field).
+    schema = T.StructType(list(data.schema.fields)).add(output_col, "double")
 
     def score(batches):
         import xgboost as xgb
@@ -434,7 +454,12 @@ def predict_proba_barrier(
     spark = data.sparkSession
     bc = spark.sparkContext.broadcast(booster_bytes)
     feats = spec.features_of(spec.prepare(data, cluster=False))
-    schema = data.schema.add("probability_arr", "array<double>")
+    # Copy-then-extend, same reason as predict_barrier: schema.add
+    # mutates the frame's cached StructType in place. Explicit ArrayType:
+    # add()'s string form parses only simple type names, not array<...>.
+    schema = T.StructType(list(data.schema.fields)).add(
+        "probability_arr", T.ArrayType(T.DoubleType())
+    )
 
     def score(batches):
         import numpy as np

@@ -58,13 +58,30 @@ def make_stop_callback(flag: StopFlag):
     set — the reference's per-iteration Event poll (`main.py:745-752`
     checks its stop event inside the actor's training loop). Returning
     True from ``after_iteration`` is xgboost's cooperative-stop
-    contract: workers finish the current round in lockstep (the
-    allreduce keeps them aligned) and the booster keeps all completed
-    rounds. Import-gated: only call when xgboost is present."""
+    contract and the booster keeps all completed rounds.
+
+    The stop DECISION is itself allreduced (MAX over ranks): the flag
+    file can land mid-iteration, so unsynchronized polls let rank 0 see
+    it and leave the ring while rank 1 — having polled a moment earlier
+    (or reading stale DFS metadata) — enters the next iteration's
+    allreduce and hangs waiting for a departed peer. xgboost's own
+    allreduces synchronize metric VALUES, not callback return values,
+    so the agreement must be explicit. Import-gated: only call when
+    xgboost is present (>=1.7 for the collective module)."""
     import xgboost as xgb
 
     class _StopOnFlag(xgb.callback.TrainingCallback):
         def after_iteration(self, model, epoch, evals_log) -> bool:
-            return flag.should_stop()
+            local = 1 if flag.should_stop() else 0
+            from xgboost import collective
+
+            if collective.is_distributed():
+                import numpy as np
+
+                agreed = collective.allreduce(
+                    np.array([local], dtype=np.int32), collective.Op.MAX
+                )
+                return bool(agreed[0])
+            return bool(local)
 
     return _StopOnFlag()

@@ -56,17 +56,32 @@ class TrainResult:
     queued: list = field(default_factory=list)
 
 
-def assemble_features(df: DataFrame, spec: MatrixSpec) -> tuple[DataFrame, list[str]]:
-    """Project role columns and assemble the MLlib feature vector."""
-    df = spec.prepare(df)
+def assemble_features(
+    df: DataFrame,
+    spec: MatrixSpec,
+    *,
+    cluster: bool = True,
+    scoring: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """Project role columns and assemble the MLlib feature vector.
+
+    ``scoring=True`` keeps EVERY input column riding the frame (the xgb
+    backend's predict path keeps them, and a prediction that drops the
+    caller's id columns cannot be joined back); training keeps only
+    feats + roles so nothing extra rides the fit. ``cluster=False``
+    skips the qid repartition+sort — pointwise scoring does not need
+    the ranking clustering, and the shuffle is pure waste there.
+    """
+    df = spec.prepare(df, cluster=cluster)
     feats = spec.features_of(df)
-    keep = list(feats)
-    for c in (spec.label_cols or ()):
-        keep.append(c)
-    for c in (spec.weight_col, spec.qid_col, spec.base_margin_col):
-        if c:
+    if not scoring:
+        keep = list(feats)
+        for c in (spec.label_cols or ()):
             keep.append(c)
-    df = df.select(*dict.fromkeys(keep))
+        for c in (spec.weight_col, spec.qid_col, spec.base_margin_col):
+            if c:
+                keep.append(c)
+        df = df.select(*dict.fromkeys(keep))
     assembler = VectorAssembler(inputCols=feats, outputCol=FEATURES_COL)
     return assembler.transform(df), feats
 
@@ -267,7 +282,9 @@ def train(
             n_class > 2 or str(params.get("objective", "")).startswith("multi")
         )
         for eval_df, name in evals:
-            ea, _ = assemble_features(eval_df, spec)
+            # cluster=False: metric evaluation is pointwise — the qid
+            # repartition+sort would be a wasted full shuffle.
+            ea, _ = assemble_features(eval_df, spec, cluster=False)
             ea = ea.withColumn(
                 "__label__", F.col(spec.label_cols[0]).cast("double")
             )
@@ -328,7 +345,9 @@ def predict(
         return predict_barrier(
             pickle.dumps(model), data, spec, output_col=output_col
         )
-    assembled, _ = assemble_features(data, spec)
+    # scoring=True keeps passthrough columns (id columns etc.) like the
+    # xgb backend does; cluster=False skips the pointless qid shuffle.
+    assembled, _ = assemble_features(data, spec, cluster=False, scoring=True)
     scored = model.transform(assembled)
     drop = [FEATURES_COL, "rawPrediction", "probability"]
     if output_col != "prediction" and "prediction" in scored.columns:
@@ -349,7 +368,7 @@ def predict_proba(model: Any, data: DataFrame, spec: MatrixSpec) -> DataFrame:
         from xgboost_ray_spark.ml.barrier import predict_proba_barrier
 
         return predict_proba_barrier(pickle.dumps(model), data, spec)
-    assembled, _ = assemble_features(data, spec)
+    assembled, _ = assemble_features(data, spec, cluster=False, scoring=True)
     scored = model.transform(assembled)
     return scored.withColumn(
         "probability_arr", vector_to_array("probability")

@@ -72,6 +72,12 @@ def grid_search(
         RegressionEvaluator,
     )
 
+    grid = list(grid)
+    if not grid:
+        # Fail before the splits are built and cached — max() over zero
+        # trials would otherwise raise an opaque empty-sequence error
+        # after the expensive setup.
+        raise ValueError("grid_search: empty parameter grid")
     if maximize is None:
         maximize = metric == "auc"
     train_df, val_df = df.randomSplit(
@@ -113,7 +119,18 @@ def grid_search(
         train_df.unpersist()
         val_df.unpersist()
 
-    best = (max if maximize else min)(trials, key=lambda t: t.metric)
+    # NaN metrics (e.g. AUC over a single-class validation split) compare
+    # unpredictably under max/min and could silently win selection; pick
+    # among finite metrics only, and fail loudly if none exists.
+    import math
+
+    finite = [t for t in trials if not math.isnan(t.metric)]
+    if not finite:
+        raise ValueError(
+            "grid_search: every trial produced a NaN metric "
+            f"({metric!r}); validation split likely degenerate"
+        )
+    best = (max if maximize else min)(finite, key=lambda t: t.metric)
     return SearchResult(
         best_params=best.params,
         best_metric=best.metric,
