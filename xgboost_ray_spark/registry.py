@@ -290,6 +290,11 @@ def sql_davg(expr: str, alias: str) -> str:
 #              s05c/s05h) dropped forced broadcasts of SF-proportional
 #              sides in favor of s05d's AQE policy: all four pass the
 #              bare-session oracle drive at sf0.01 and sf0.1.
+#              s14c/s14d RE-verified 2026-08-15 after both moved onto the
+#              shared scd2_history builder + SCD2_HIST_CTE oracle (late-r7
+#              review dedup): foreign-cwd oracle drive at sf0.01 plus a
+#              one-off 3-leg perturbation sweep (shuffle=5/AQE-off/
+#              codegen-off), bit-stable.
 #     r9 (5):  s28k, s31d s31e s31g, s32c  — backlog reaches 0.
 #              (Also pass in the same 2026-08-14 sweep, 2.0 s combined.
 #              s31d and s33b changed semantics late in r7 — mixture
