@@ -98,10 +98,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     surviving = delta.join(dup_delta, "doc_id", "left_anti")
 
     # Append the survivors' bands to the stored index (day N+1 dedups
-    # against them too).
-    lsh_bands(minhash_signatures(surviving)).write.mode("append").parquet(
-        band_idx_path
-    )
+    # against them too) — from the ALREADY-materialized delta band
+    # parquet, not a second minhash pass: re-hashing the survivors' text
+    # would touch the corpus text twice per day, breaking the
+    # delta-proportional contract this example exists to demonstrate.
+    delta_bands.join(
+        surviving.select("doc_id"), "doc_id", "left_semi"
+    ).write.mode("append").parquet(band_idx_path)
 
     # -- refreshed ANN serving over base + surviving delta ----------------
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -48,7 +48,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        # dropDuplicatesWithinWatermark, NOT plain dropDuplicates: without
+        # the event-time column in the key set, plain dropDuplicates keeps
+        # every event_id ever seen in the state store forever — unbounded
+        # state against a continuous source. The within-watermark variant
+        # evicts keys once they age past the watermark, which is the
+        # correct production trade (an id replayed later than the
+        # watermark delay is emitted again).
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select(
             "event_id",
             "user_id",

@@ -32,7 +32,9 @@ def main() -> None:
         s = specs[name]
         check = "oracle" if s.oracle else "rows-only"
         tags = ", ".join(s.tags)
-        doc = " ".join(s.doc.split())
+        # Escape '|' — docs quoting expressions like |x-mean| > K*stddev
+        # would otherwise split into phantom table columns.
+        doc = " ".join(s.doc.split()).replace("|", "\\|")
         print(f"| `{name}` | {check} | {tags} | {doc} |")
 
 

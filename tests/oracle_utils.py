@@ -51,6 +51,14 @@ def _normalize_cell(v):
         return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
+            # DELIBERATE looseness: NaN folds into the null tag because
+            # pandas erases the NULL/NaN distinction in float64 columns on
+            # BOTH sides (toPandas and fetchdf render NULL doubles as NaN)
+            # — tagging NaN distinctly would false-fail legitimately-NULL
+            # double columns. The cost: a builder that truly emits NaN
+            # where the oracle emits NULL passes here; the repo convention
+            # (no NaN-producing expressions — DECIMAL money sums, guarded
+            # divisions) is what actually keeps that case out.
             return ("null", None)
         # repr, not the float itself: driver-faithful (it hashes the string
         # form, under which -0.0 != 0.0 while Python's == calls them equal)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from xgboost_ray_spark.operators.profile import OUTLIER_FLAGS_SQL
-from xgboost_ray_spark.registry import register, sql_dsum
+from xgboost_ray_spark.registry import dsum, register, sql_dsum
 from xgboost_ray_spark.streaming.windows import (
     read_events_stream,
     read_table_stream,
@@ -88,8 +88,13 @@ def s25c_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
     doc="Streaming exact dedup: dropDuplicates on the content digest over "
         "the documents replay, append mode — each distinct document emits "
-        "once, state holds only 32-byte digests. The streaming twin of s26 "
-        "(at production scale: withWatermark bounds state retention).",
+        "once, state holds only 32-byte digests. The streaming twin of "
+        "s26. NOTE at production scale: plain dropDuplicates keeps every "
+        "key forever (a watermark only evicts dedup state when the "
+        "event-time column is part of the key set) — an unbounded source "
+        "needs dropDuplicatesWithinWatermark, which trades exactness for "
+        "bounded state; exact global dedup over all history is the batch "
+        "job (s26), not a stream.",
     tags=("streaming", "dedup"),
 )
 def s25e_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,8 +149,9 @@ def s25f_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-            .alias("sum_value"),
+            # registry.dsum: the ONE spelling of the exact-decimal money
+            # sum, so a precision policy change cannot fork this entry.
+            dsum(F.col("value"), "sum_value"),
         )
         .select(F.col("w.start").alias("wstart"), "n_name", "n", "sum_value")
     )
@@ -572,7 +578,10 @@ def s25l_stream_outlier_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", cents.alias("v")
     )
     stats = static.groupBy("event_type").agg(
-        F.count("*").alias("n"),
+        # count(v), not count(*): s1/s2 skip NULLs, and the batch kernel
+        # + shared oracle count non-null values only (profile.py) — a
+        # count(*) n would compute wrong stats for any null-bearing group.
+        F.count("v").alias("n"),
         F.sum("v").cast(DEC38).alias("s1"),
         F.sum(F.col("v").cast(DEC38) * F.col("v").cast(DEC38)).alias("s2"),
     )

@@ -28,7 +28,7 @@ float-error distance of a .5-micro rounding boundary.
 
 from __future__ import annotations
 
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Iterator, Tuple
 
 import numpy as np
@@ -71,7 +71,16 @@ def _value_micros(values: np.ndarray) -> np.ndarray:
     out = np.rint(scaled)
     if risky.any():
         for i in np.nonzero(risky)[0]:
-            out[i] = float(Decimal(float(values[i])).quantize(_Q6) * 1_000_000)
+            # ROUND_HALF_UP (ties away from zero), NOT the Decimal default
+            # half-even: DuckDB's CAST(double AS DECIMAL(28,6)) rounds
+            # exact .5-micro ties away from zero (e.g. 0.0078125 ->
+            # 0.007813), so half-even here would emit a sum 1 micro off
+            # on exactly the boundary values this fallback exists for.
+            out[i] = float(
+                Decimal(float(values[i])).quantize(
+                    _Q6, rounding=ROUND_HALF_UP
+                ) * 1_000_000
+            )
     return out.astype(np.int64)
 
 
