@@ -302,38 +302,61 @@ def sql_davg(expr: str, alias: str) -> str:
 #              chunking stops at the first tail-covering chunk — and
 #              were re-verified same-day against the updated oracles
 #              from a foreign cwd at sf0.001+sf0.01+sf0.1.)
+#              RE-verified 2026-08-15 (start of r8, VERDICT r7 #3): all
+#              five pass the full-catalog bare-session foreign-cwd (/tmp)
+#              oracle sweep at sf0.01 (s28k 0.48 s, s31d 0.44, s31e 0.30,
+#              s31g 0.41, s32c 0.49) — the post-r7-retune oracles are the
+#              ones the driver will see.
 #   No backlog entry is without a planned round.
-#   r7 window (this one) executes the scheduled r7 set verbatim (VERDICT
-#   r6 #1). Rotated out to 51+ (all driver-green r6): s13b s23c s25h s25l
-#   s26h s26i s26k s27 s27d s27g s27h s27i s28e s28h s28l s30 s32b.
-#   Backlog after r7 (if sweep green): 22 = the scheduled r8 + r9 sets.
+#   r7 window executed the scheduled r7 set verbatim (VERDICT r6 #1);
+#   CORRECTNESS_r07 came back 50/50 green (all 17 first-time rows).
+#   r8 window (this one) executes the scheduled r8 set verbatim (VERDICT
+#   r7 #1): the S1 layout family s01b-i, s05f/s05g (TPC-H Q7/Q8),
+#   s14c/s14d (SCD2/point-in-time), s24d/s24e/s24f, s28i/s28j — all
+#   pre-verified three times as logged above, re-swept at the start of r8
+#   (2026-08-15) in a full-catalog bare-session foreign-cwd (/tmp) oracle
+#   sweep at sf0.01 — 157/157 clean (153 hash + 4 rows-only-by-design),
+#   140.5 s query wall — immediately after this rotation landed.
+#   Rotated out to 51+ (all driver-green r7): s04b s06c s06d s07c s07d
+#   s25b s25c s25f s25j s25k s26j s27e s27f s29f s29h s29i s29j.
+#   Backlog after r8 (if sweep green): 5 = the scheduled r9 set.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r7 set), ----
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r8 set), ----
     # -- canonicals keep their r6 cost order; the 17 new entries slot in
-    # -- cheap-relational-first / streaming-last per the 2026-08-14
-    # -- end-of-r6 bare-session sweep (0.3-2.4 s incl. oracle);
+    # -- cheap-relational-first per the 2026-08-14/15 bare-session sweeps
+    # -- (0.3-1.1 s each incl. oracle; no streaming entries this round);
     # -- s03 leads so the cheapest query absorbs the one-off JVM warmup -----
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s33_sequence_pack", "s12_having", "s31_hash_split",
-    "s16_topk_per_group", "s04b_disjunctive_pushdown", "s07c_inactive_customers",
-    "s23_json", "s18_string_funcs", "s06d_outerjoin_histogram", "s07d_sole_fault_supplier",
-    "s06c_cdc_upsert", "s11c_grouping_sets", "s24_tumbling_window",
-    "s01_parquet_scan", "s09d_argmax", "s29j_unicode_normalize",
-    "s29h_grouped_agg_udaf", "s30c_linear_model_train", "s14_window_analytic",
+    "s16_topk_per_group", "s28i_bigram_counts", "s28j_feature_hash",
+    "s23_json", "s18_string_funcs", "s24d_transition_counts",
+    "s24e_retention_cohorts", "s24f_user_sequences",
+    "s11c_grouping_sets", "s24_tumbling_window",
+    "s01_parquet_scan", "s09d_argmax", "s01g_jsonl_scan",
+    "s01b_orc_scan", "s30c_linear_model_train", "s14_window_analytic",
     "s07_semi_anti_join", "s26f_canonical_dedup", "s10_count_distinct",
-    "s27e_knn_classify", "s13_window_rank", "s17_setops",
-    "s02_csv_scan", "s27f_label_centroids", "s29f_audio_window_rms",
-    "s08_broadcast_join", "s04_filter", "s29i_map_in_arrow",
-    "s26j_fuzzy_snm", "s27c_embedding_neardup", "s06_outer_join",
-    "s25b_stream_sliding", "s25c_stream_watermark_append", "s29_pandas_udf",
+    "s14c_scd2_intervals", "s13_window_rank", "s17_setops",
+    "s02_csv_scan", "s14d_point_in_time", "s01c_partition_pruning",
+    "s08_broadcast_join", "s04_filter", "s01d_schema_evolution",
+    "s01e_compaction", "s27c_embedding_neardup", "s06_outer_join",
+    "s01f_binaryfile_scan", "s01h_zorder_layout", "s29_pandas_udf",
     "s25e_stream_dedup", "s32_profile", "s05b_salted_join",
-    "s25f_stream_static_join", "s25j_stream_trending",
-    "s25k_stream_session_window",
-    # -- slots 51+: driver-green entries rotated out in r7 ------------------
+    "s01i_dynamic_partition_pruning", "s05f_tpch_q7",
+    "s05g_tpch_q8",
+    # -- slots 51+: driver-green entries rotated out in r8 ------------------
+    "s04b_disjunctive_pushdown", "s06c_cdc_upsert",
+    "s06d_outerjoin_histogram", "s07c_inactive_customers",
+    "s07d_sole_fault_supplier", "s25b_stream_sliding",
+    "s25c_stream_watermark_append", "s25f_stream_static_join",
+    "s25j_stream_trending", "s25k_stream_session_window",
+    "s26j_fuzzy_snm", "s27e_knn_classify", "s27f_label_centroids",
+    "s29f_audio_window_rms", "s29h_grouped_agg_udaf",
+    "s29i_map_in_arrow", "s29j_unicode_normalize",
+    # -- driver-green entries rotated out in r7 ------------------
     "s28h_pii_redact", "s27_cosine_topk", "s28l_unigram_logprob",
     "s23c_variant", "s26h_boilerplate_phrases", "s26i_decontaminate",
     "s32b_data_quality", "s27h_embedding_quantize", "s27d_ivf_topk",
