@@ -209,8 +209,19 @@ def test_stop_callback_requires_xgboost():
     except ImportError:
         has_xgb = False
     if has_xgb:  # pragma: no cover - container has no xgboost
-        cb = make_stop_callback(StopFlag("/tmp/unused"))
+        # Construction asserts the supported collective-API range
+        # ([1.7, 3.0)) — outside it this raises RuntimeError by design.
+        flag = StopFlag("/tmp/stopflag_cb_test")
+        flag.clear()
+        cb = make_stop_callback(flag)
         assert hasattr(cb, "after_iteration")
+        # Exercise the NON-distributed decision path end-to-end: poll
+        # clear -> continue, poll set -> stop. This is the only leg a
+        # single host can check; the allreduce leg needs a live ring.
+        assert cb.after_iteration(None, 0, {}) is False
+        flag.request_stop()
+        assert cb.after_iteration(None, 1, {}) is True
+        flag.clear()
     else:
         with pytest.raises(ImportError):
             make_stop_callback(StopFlag("/tmp/unused"))
@@ -275,6 +286,34 @@ def test_prepare_shards_keeps_query_groups_whole_and_sorted(spark):
                 f"{seen[q]} and {pi}"
             )
     assert len(seen) == 8
+
+
+def test_prepare_shards_rejects_null_qids(spark):
+    """A NULL qid must fail AT THE API BOUNDARY with a ValueError naming
+    the column — hash-partitioned into a worker, it would otherwise die
+    deep inside the barrier stage as an opaque DMatrix(qid=...) error
+    that the restart loop then uselessly retries. Nulls in an EVAL set
+    must be caught too (they ride the same tagged union)."""
+    import pytest
+
+    from xgboost_ray_spark.matrix import MatrixSpec
+    from xgboost_ray_spark.ml.barrier import prepare_shards
+
+    spec = MatrixSpec(label_cols=("rel",), qid_col="qid")
+    bad = spark.createDataFrame(
+        [(1, 1.0, 1), (None, 2.0, 0)], "qid int, f double, rel int"
+    )
+    with pytest.raises(ValueError, match="'qid'"):
+        prepare_shards(bad, spec, num_workers=2)
+
+    good = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 2.0, 0)], "qid int, f double, rel int"
+    )
+    with pytest.raises(ValueError, match="'qid'"):
+        prepare_shards(good, spec, num_workers=2, evals=[(bad, "valid")])
+    # and the clean path still shards
+    prepared, *_ = prepare_shards(good, spec, num_workers=2)
+    assert prepared.count() == 2
 
 
 def test_prepare_shards_shuffles_exactly_once(spark):

@@ -242,8 +242,10 @@ def test_cosine_pandas_null_and_zero_norm_semantics(spark):
     assert out[1] == 1.0 and out[4] == 1.0
     assert out[2] is None, "NULL vector must yield NULL, not crash"
     assert out[3] == 0.0, "zero-norm clamps the denominator to 1"
-    # parity with the JVM expression path on non-degenerate rows
+    # parity with the JVM expression path, INCLUDING the degenerate rows:
+    # zero-norm must clamp (0.0, not NaN) and NULL must propagate in both
     jvm = {r["i"]: r["c"] for r in
-           df.filter("i in (1, 4)")
-             .select("i", cosine("a", "b").alias("c")).collect()}
-    assert jvm == {1: out[1], 4: out[4]}
+           df.select("i", cosine("a", "b").alias("c")).collect()}
+    assert jvm[1] == out[1] and jvm[4] == out[4]
+    assert jvm[3] == 0.0, "expression path must clamp zero norms too"
+    assert jvm[2] is None, "expression path must propagate NULL vectors"

@@ -162,6 +162,18 @@ def prepare_shards(
         # workers, so pairwise losses would compare documents of
         # different queries. Hash-partition on qid, then sort within
         # the shard — the order DMatrix(qid=...) requires.
+        # NULL qids would hash into one worker whose DMatrix(qid=...)
+        # then fails deep inside the barrier stage with an opaque xgboost
+        # error (and the restart loop would uselessly retry it). Fail at
+        # the API boundary instead, naming the column. isEmpty() is a
+        # limit(1) scan — early-terminating on the first offending row.
+        if not tagged.where(F.col(spec.qid_col).isNull()).isEmpty():
+            raise ValueError(
+                f"qid column {spec.qid_col!r} contains NULLs; every row "
+                "in dtrain and each eval set needs a query-group id for "
+                "ranking shards (DMatrix(qid=...) rejects nulls). Filter "
+                "or impute them before train()."
+            )
         prepared = tagged.repartition(
             num_workers, F.col(spec.qid_col)
         ).sortWithinPartitions(spec.qid_col)

@@ -67,8 +67,34 @@ def make_stop_callback(flag: StopFlag):
     allreduce and hangs waiting for a departed peer. xgboost's own
     allreduces synchronize metric VALUES, not callback return values,
     so the agreement must be explicit. Import-gated: only call when
-    xgboost is present (>=1.7 for the collective module)."""
+    xgboost is present (>=1.7 for the collective module).
+
+    The callback depends on a specific xgboost Python collective surface
+    (``collective.is_distributed``, ``collective.allreduce(np.int32
+    array, Op.MAX)``) that has shifted across xgboost majors and cannot
+    be exercised in this container (xgboost not installable) — so the
+    supported range is asserted HERE, at construction, where the failure
+    is a clear error at the API boundary instead of a worker crash deep
+    inside a barrier stage."""
     import xgboost as xgb
+
+    # [1.7, 3.0): 1.7 introduced xgboost.collective; the 2.x line kept
+    # is_distributed/allreduce(array, Op). 3.x is unverified (this
+    # environment cannot install xgboost to check) — fail loudly so the
+    # operator re-verifies the collective calls below before trusting a
+    # mid-training cooperative stop to them.
+    ver = tuple(
+        int("".join(ch for ch in part if ch.isdigit()) or 0)
+        for part in xgb.__version__.split(".")[:2]
+    )
+    if not ((1, 7) <= ver < (3, 0)):
+        raise RuntimeError(
+            f"make_stop_callback supports xgboost >=1.7,<3.0 (found "
+            f"{xgb.__version__}): the stop-decision allreduce uses "
+            "xgboost.collective.is_distributed/allreduce(np.int32, Op.MAX), "
+            "an API surface that has moved across xgboost majors. Verify "
+            "those calls against your xgboost and widen the pin."
+        )
 
     class _StopOnFlag(xgb.callback.TrainingCallback):
         def after_iteration(self, model, epoch, evals_log) -> bool:

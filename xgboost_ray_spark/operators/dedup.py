@@ -128,6 +128,20 @@ def scratch_once(tag: str, key: str) -> tuple[str, bool]:
     process, ``reset_spill_reuse()`` forces the next build to rewrite,
     and the ``spill_`` path prefix keeps the artifact under
     ``catalog.sweep_scratch``'s cross-session GC.
+
+    **Single-writer contract (explicit):** freshness is process-local
+    (``_SPILLED_PATHS`` + ``isdir``), so two *concurrent* processes on
+    the same checkout each see ``fresh=True`` for the same (tag, key)
+    and race their overwrite writes under each other's lazy readers.
+    One live engine session per checkout/scratch dir is the supported
+    mode — the same assumption Spark's relation cache and warehouse dir
+    make. The ``.owner_pid`` liveness marker protects a live session's
+    dirs from a concurrent process's *sweep* (GC), not from a concurrent
+    *writer*; sequential cross-process reuse is safe (a later process
+    rewrites, never trusts, a prior process's bytes). An atomic
+    tmp+rename would not close the gap either: POSIX cannot atomically
+    replace a non-empty directory, so the swap leaves a no-dir window
+    under exactly the live readers this contract exists to protect.
     """
     digest = hashlib.md5(key.encode()).hexdigest()[:12]
     path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
