@@ -1355,15 +1355,25 @@ def prefix_filtered_jaccard_pairs(
         "ppjoin_shingles",
         key=spill_key and f"{spill_key}|n={n}|t={threshold}",
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
-    ranked = sh.join(dfreq, "g").withColumn(
-        "r",
-        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "g")),
+    # df stays a separate partial-aggregate + join (NOT a count() window
+    # over g): a window cannot split a partition key, so a mega-hot
+    # shingle would serialize into one task, while the join keeps AQE's
+    # skew-split available on the fact side. The doc-size count, by
+    # contrast, rides the SAME doc_id window partitioning the ranking
+    # already pays for — a doc's shingle count is bounded by its text
+    # length, and folding it into the window removes a whole aggregation
+    # scan of the shingle frame plus a join per self-join side.
+    wdoc = W.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "g").select(
+        "doc_id",
+        "g",
+        F.row_number().over(wdoc.orderBy("df", "g")).alias("r"),
+        F.count("*").over(wdoc).alias("sz"),
     )
     # p = sz - ceil(t*sz) + 1 in exact integer arithmetic:
     # ceil((num/den)*sz) = (sz*num + den - 1) div den.
-    pref = ranked.join(sizes, "doc_id").filter(
+    pref = ranked.filter(
         F.col("r")
         <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
     )
