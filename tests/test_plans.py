@@ -930,6 +930,30 @@ def test_prefix_filter_join_avoids_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_prefix_filter_doc_size_rides_ranking_window(spark):
+    """The doc-size count feeding the prefix-length bound must ride the
+    ranking window's doc_id partition (count(*) OVER the same window
+    spec the rare-first ranking already shuffles for), not a separate
+    groupBy joined back on doc_id — the join shape re-scans and
+    re-shuffles the full shingle frame once more per self-join side.
+    Pin scripts/audit_plan_duplication.py's metric for this entry: the
+    shingle spill appears in at most 3 scans of the final adaptive plan
+    (it was 4 with the aggregate+join shape)."""
+    import re
+
+    df = _build(spark, "s26l_prefix_filter_join")
+    df.collect()  # AQE final plan: reused query stages collapse to one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # the adaptive final plan
+    n_spill_scans = len(
+        re.findall(r"Scan parquet[^\n]*spill_ppjoin_shingles", final)
+    )
+    assert n_spill_scans <= 3, (
+        f"shingle spill scanned {n_spill_scans}x — the doc-size count "
+        "regressed to a separate aggregate+join per self-join side"
+    )
+
+
 def test_kmeans_assignment_is_zero_shuffle(spark):
     """Centroids are plan literals, so the returned assignment plan is a
     cache read + JVM projection — no Exchange, no join."""
