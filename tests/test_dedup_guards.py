@@ -364,3 +364,65 @@ def test_dup_clusters_leaves_no_cachemanager_entry(spark):
         "dup_clusters left a persisted frame registered with the "
         "CacheManager after returning"
     )
+
+
+def test_prefix_filter_lossless_on_adversarial_corpora(spark):
+    """PPJoin prefix filtering claims PROVABLE losslessness vs the naive
+    all-pairs join (s26l shares s26d's oracle on that basis). The sf-dir
+    oracle exercises one data distribution; this drives the two kernels
+    over corpora crafted at the theorem's edges — an exact Jaccard tie
+    at the threshold (>= must keep it), just-below-threshold pairs
+    (must drop), identical docs, docs shorter than the shingle width
+    (one whole-text shingle by _gram_expr's greatest(...,1) clamp), a
+    stop-word shingle shared by every doc (prefix pruning's target),
+    in-doc duplicate words (distinct collapse), and a seeded random
+    near-dup corpus — across thresholds including a repeating-decimal
+    rational (1/3) and t=1.0 (prefix length collapses to 1)."""
+    import random
+
+    from xgboost_ray_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # J(tie4) vs J(tie5): |{w1 w2,w2 w3,w3 w4}| bigrams etc. — with n=1
+    # word-set semantics are easy to construct exactly; n=2 covers the
+    # sliding-window shingle path. Both widths run below.
+    crafted = [
+        (1, "w1 w2 w3 w4"),        # vs doc 2: unigram J = 3/5 (tie at 0.6)
+        (2, "w1 w2 w3 w5"),
+        (3, "w1 w2 w9 w10"),       # vs doc 1: J = 2/6 = 1/3 (tie at 1/3)
+        (4, "w1 w2 w3 w4"),        # identical to doc 1: J = 1
+        (5, "zz"),                 # shorter than any n: one whole-text shingle
+        (6, "zz"),                 # identical short doc: J = 1
+        (7, "w1 w1 w1 w2 w2 w3 w4"),  # duplicate words collapse to doc 1's set
+        (8, "qq rr ss tt uu"),     # disjoint from everything but the hot word
+        (9, "hot " * 3 + "only hot words here"),  # hot shingle stress
+        (10, "hot qq rr ss tt"),
+    ]
+    rng = random.Random(26)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    randoms = [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(30)
+    ]
+
+    def pairs(fn, docs_df, n, t):
+        rows = fn(docs_df, n=n, threshold=t).collect()
+        return sorted((r.doc_a, r.doc_b, r.jaccard) for r in rows)
+
+    for corpus in (crafted, crafted + randoms):
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        for n, t in ((1, 0.6), (1, 1 / 3), (2, 0.5), (1, 1.0)):
+            naive = pairs(ngram_jaccard_pairs, docs, n, t)
+            pruned = pairs(prefix_filtered_jaccard_pairs, docs, n, t)
+            assert pruned == naive, (
+                f"prefix filter diverged from all-pairs at n={n} t={t}: "
+                f"only_naive={set(naive) - set(pruned)} "
+                f"only_pruned={set(pruned) - set(naive)}"
+            )
+        # sanity: the crafted ties actually exercise the >= boundary
+        if corpus is crafted:
+            tie_pairs = {(a, b) for a, b, _ in pairs(
+                ngram_jaccard_pairs, docs, 1, 0.6)}
+            assert (1, 2) in tie_pairs, "exact-tie pair must survive"
