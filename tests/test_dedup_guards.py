@@ -426,3 +426,72 @@ def test_prefix_filter_lossless_on_adversarial_corpora(spark):
             tie_pairs = {(a, b) for a, b, _ in pairs(
                 ngram_jaccard_pairs, docs, 1, 0.6)}
             assert (1, 2) in tie_pairs, "exact-tie pair must survive"
+
+
+def test_hamming_multi_index_lossless_vs_brute_force(spark):
+    """The multi-index pigeonhole claim, pinned against brute force: with
+    the bucket cap out of the way, every pair within max_dist bits must
+    surface from the block equi-buckets. The sf oracle replicates the
+    SAME blocking in SQL, so a block-split bug (overlap, missed bits,
+    boundary off-by-one) could hide on both sides — brute force cannot.
+    Crafted cases flip bits AT block boundaries and spread flips across
+    all-but-one block; randoms cover 16-bit (dense collisions) and
+    64-bit (sign bit exercised) fingerprints."""
+    import random
+    from itertools import combinations
+
+    from xgboost_ray_spark.operators.dedup import simhash_hamming_pairs
+
+    def signed64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def brute(fps, d):
+        return sorted(
+            (a_id, b_id, bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+            for (a_id, a), (b_id, b) in combinations(sorted(fps), 2)
+            if bin((a ^ b) & ((1 << 64) - 1)).count("1") <= d
+        )
+
+    rng = random.Random(8)
+    base16 = 0b1010_0110_0101_1001
+    crafted16 = [
+        (1, base16),
+        (2, base16 ^ 0b0000_0000_0001_1000),    # 2 flips straddling a
+        (3, base16 ^ 0b0001_1000_0000_0000),    # 4-bit block boundary
+        (4, base16 ^ 0b1000_0000_1000_0001),    # 3 flips, 3 blocks: d=3
+        (5, base16 ^ 0b1000_0100_0010_0001),    # 1 flip per block: d=4
+        (6, (1 << 16) - 1),
+        (7, 0),
+    ]
+    rand16 = [(100 + i, rng.getrandbits(16)) for i in range(60)]
+    bases64 = [rng.getrandbits(64) for _ in range(8)]
+    near64 = [
+        (200 + i, b ^ sum(1 << p for p in rng.sample(range(64), rng.randint(0, 4))))
+        for i, b in enumerate(bases64 * 4)
+    ]
+
+    cases = [
+        (crafted16, 16, 3),
+        (crafted16, 16, 2),
+        (rand16, 16, 2),
+        (near64, 64, 3),
+    ]
+    for fps, bits, max_dist in cases:
+        fp_df = spark.createDataFrame(
+            [(i, signed64(v)) for i, v in fps], "doc_id long, simhash long"
+        )
+        got = sorted(
+            (r.doc_a, r.doc_b, r.dist)
+            for r in simhash_hamming_pairs(
+                fp_df.limit(0),  # docs unused when fingerprints given
+                max_dist=max_dist,
+                bits=bits,
+                max_bucket=10**6,
+                fingerprints=fp_df,
+            ).collect()
+        )
+        want = brute(fps, max_dist)
+        assert got == want, (
+            f"bits={bits} max_dist={max_dist}: "
+            f"missed={set(want) - set(got)} extra={set(got) - set(want)}"
+        )
