@@ -495,3 +495,52 @@ def test_hamming_multi_index_lossless_vs_brute_force(spark):
             f"bits={bits} max_dist={max_dist}: "
             f"missed={set(want) - set(got)} extra={set(got) - set(want)}"
         )
+
+
+def test_lsh_never_misses_exact_duplicates(spark):
+    """MinHash-LSH is approximate on NEAR dups, but exact on exact dups:
+    identical shingle sets give identical minhash rows, hence identical
+    band values, hence at least one shared bucket — a pair of exact
+    duplicates can never be missed, whatever the banding parameters.
+    (Identical SETS, not identical strings: word-permuted docs with the
+    same shingle multiset also qualify only when the n-gram sets match.)"""
+    from xgboost_ray_spark.operators.dedup import minhash_candidate_pairs
+
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body),                        # exact duplicate of 1
+            (3, "completely different text about spark partitions"),
+            (4, body),                        # second exact duplicate
+            (5, "another unrelated document entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(docs).select("doc_a", "doc_b").collect()
+    }
+    assert {(1, 2), (1, 4), (2, 4)} <= got, (
+        f"exact-duplicate pair missing from LSH candidates: {got}"
+    )
+
+
+def test_dup_clusters_high_diameter_chain(spark):
+    """Min-label propagation needs O(diameter) rounds. A path graph is
+    the worst case per node count: the min label crawls one hop per
+    round. Pin both contracts — a chain within max_iter converges to
+    the single root, and one beyond max_iter raises the loud
+    non-convergence error instead of returning partial labels."""
+    import pytest
+
+    from xgboost_ray_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a bigint, doc_b bigint"
+    )
+    roots = {r.doc_id: r.cluster_root for r in dup_clusters(chain).collect()}
+    assert roots == {i: 0 for i in range(9)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=3)
