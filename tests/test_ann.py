@@ -145,3 +145,42 @@ def test_gemm_topk_skips_null_embeddings(spark):
     got = gemm_topk(df, np.eye(2), k=3).toPandas()
     assert set(got["vec_id"]) == {1, 3}
     assert len(got) == 4  # 2 queries x 2 non-null corpus rows
+
+
+def test_ivf_full_probe_equals_exact_topk(spark):
+    """IVF's approximation comes ONLY from probing a subset of cells:
+    with nprobe = N_CENTROIDS every cell is probed, the candidate set is
+    the whole corpus, and the result must equal the exact brute-force
+    kernel row-for-row (same tiebreaks, same rounding). Pins that the
+    cell assignment/probe plumbing loses nothing it didn't choose to —
+    a partitioning bug (vector assigned to no cell, probe set built on
+    the wrong similarity) shows up here even when recall at nprobe=2
+    happens to look plausible."""
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.operators.similarity import (
+        N_CENTROIDS,
+        cosine_topk,
+        ivf_topk,
+    )
+    from xgboost_ray_spark.registry import ensure_workers_can_import
+    from tests.conftest import SF_SMOKE
+
+    ensure_workers_can_import(spark)
+    corpus = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 120")
+    )
+    queries = corpus.filter("vec_id < 6")
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.sim) for r in df.collect()
+        )
+
+    exact = rows(cosine_topk(queries, corpus, k=4))
+    ivf = rows(ivf_topk(queries, corpus, k=4, nprobe=N_CENTROIDS))
+    assert ivf == exact, (
+        f"full-probe IVF diverged from brute force: "
+        f"missing={set(exact) - set(ivf)} extra={set(ivf) - set(exact)}"
+    )
