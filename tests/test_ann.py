@@ -184,3 +184,37 @@ def test_ivf_full_probe_equals_exact_topk(spark):
         f"full-probe IVF diverged from brute force: "
         f"missing={set(exact) - set(ivf)} extra={set(ivf) - set(exact)}"
     )
+
+
+def test_quantized_full_rerank_equals_exact_topk(spark):
+    """The two-stage quantized ANN approximates ONLY through the stage-1
+    candidate cut: with rerank >= |corpus| both window cuts pass every
+    vector and the float rerank must reproduce the exact kernel
+    row-for-row — isolating the int8 quantization's effect to candidate
+    SELECTION (never to the returned sims/ranks) and pinning that the
+    two-level partition-local/global reduction drops nothing when the
+    budget covers the corpus."""
+    from xgboost_ray_spark.catalog import load_table
+    from xgboost_ray_spark.operators.similarity import cosine_topk, quantized_topk
+    from xgboost_ray_spark.registry import ensure_workers_can_import
+    from tests.conftest import SF_SMOKE
+
+    ensure_workers_can_import(spark)
+    corpus = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 120")
+    )
+    queries = corpus.filter("vec_id < 6")
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.sim) for r in df.collect()
+        )
+
+    exact = rows(cosine_topk(queries, corpus, k=4))
+    quant = rows(quantized_topk(queries, corpus, k=4, rerank=200))
+    assert quant == exact, (
+        f"full-rerank quantized ANN diverged from brute force: "
+        f"missing={set(exact) - set(quant)} extra={set(quant) - set(exact)}"
+    )
