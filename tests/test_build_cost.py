@@ -31,6 +31,10 @@ BOUNDS = [
     ("s26c_simhash", 364, 800),
     ("s26b_minhash_lsh", 1318, 2600),
     ("s26e_hamming_pairs", 1422, 2800),
+    # s27j executes its Lloyd iterations AT build (2 update collects +
+    # seed collect ride the count); the pin still catches the literal
+    # regression class — per-element centroid Columns measured 24,831.
+    ("s27j_kmeans", 507, 1100),
 ]
 
 

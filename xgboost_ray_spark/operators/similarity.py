@@ -1059,15 +1059,20 @@ def kmeans_assign(
     ]
 
     def cent_literal() -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(kk).cast("bigint").alias("k"),
-                    F.array(*[F.lit(int(v)).cast("bigint") for v in c]).alias("c"),
-                )
-                for kk, c in cents
-            ]
+        # SQL text parsed ONCE per assignment, not K*dim Column literals:
+        # composing F.lit/F.struct per element cost ~20k py4j round-trips
+        # per build (3 assignments x 8 centroids x 64 dims, several
+        # commands per literal) — driver-latency-bound work that would be
+        # strictly worse against a remote cluster (the vector.dot_sql
+        # rationale; round-trip count pinned in tests/test_build_cost.py).
+        # Integer literals render exactly; `L` suffix keeps them BIGINT.
+        arr = ", ".join(
+            "struct({k}L AS k, array({vs}) AS c)".format(
+                k=kk, vs=", ".join(f"{int(v)}L" for v in c)
+            )
+            for kk, c in cents
         )
+        return F.expr(f"array({arr})")
 
     def assign(frame: DataFrame) -> DataFrame:
         best = F.expr(
