@@ -35,6 +35,7 @@ BOUNDS = [
     # seed collect ride the count); the pin still catches the literal
     # regression class — per-element centroid Columns measured 24,831.
     ("s27j_kmeans", 507, 1100),
+    ("s27h_embedding_quantize", 166, 500),
 ]
 
 

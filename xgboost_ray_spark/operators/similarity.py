@@ -760,9 +760,16 @@ def embedding_stats(emb: DataFrame, dim: int | None = None) -> DataFrame:
     would silently null-pad any other corpus."""
     if dim is None:
         dim = embedding_dim(emb)
-    mins = [F.min(F.element_at("embedding", i + 1)) for i in range(dim)]
-    maxs = [F.max(F.element_at("embedding", i + 1)) for i in range(dim)]
-    return emb.agg(F.array(*mins).alias("mn"), F.array(*maxs).alias("mx"))
+    # SQL text parsed once per array, not 2*dim aggregate Columns — the
+    # per-element composition measured ~1.4k py4j round-trips per build
+    # at dim=64 (the vector.dot_sql rationale; s27h's total is pinned in
+    # tests/test_build_cost.py).
+    mins = ", ".join(f"min(element_at(embedding, {i + 1}))" for i in range(dim))
+    maxs = ", ".join(f"max(element_at(embedding, {i + 1}))" for i in range(dim))
+    return emb.agg(
+        F.expr(f"array({mins})").alias("mn"),
+        F.expr(f"array({maxs})").alias("mx"),
+    )
 
 
 def quantized_vectors(
