@@ -29,7 +29,7 @@ BOUNDS = [
     ("s27b_lsh_topk", 592, 1200),
     ("s27_cosine_topk", 427, 900),
     ("s26c_simhash", 364, 800),
-    ("s26b_minhash_lsh", 1318, 2600),
+    ("s26b_minhash_lsh", 415, 900),
     ("s26e_hamming_pairs", 1422, 2800),
     # s27j executes its Lloyd iterations AT build (2 update collects +
     # seed collect ride the count); the pin still catches the literal

@@ -321,13 +321,20 @@ def minhash_signatures(docs: DataFrame, k: int = N_HASHES) -> DataFrame:
         % MERSENNE_P
     )
     sh = sh.select("doc_id", x.alias("x"))
-    # SQL text, one parse per family (x < P and a < P, so x*a < 2^62 —
-    # bigint-exact in both the Column form and this one).
-    aggs = [
-        F.expr(f"MIN((x * {a} + {b}) % {MERSENNE_P})").alias(f"h{i}")
+    # SQL text, ONE parse for all k families (x < P and a < P, so
+    # x*a < 2^62 — bigint-exact in both the Column form and this one):
+    # k separate F.expr().alias() calls still cost ~3 py4j round-trips
+    # each; a single struct of aggregates is one. Catalyst extracts the
+    # MINs into the same partial-agg shape either way.
+    fields = ", ".join(
+        f"MIN((x * {a} + {b}) % {MERSENNE_P}) AS h{i}"
         for i, (a, b) in enumerate(_hash_family_constants(k))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.expr(f"struct({fields})").alias("_sig"))
+        .select("doc_id", "_sig.*")
+    )
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
@@ -337,14 +344,20 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     signature subtree (a UNION of per-band selects would re-execute the
     whole minhash pipeline once per band).
     """
-    band_exprs = []
-    for b in range(N_BANDS):
-        cols = [f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        band_exprs.append(
-            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols]))
+    # One SQL parse for the whole band array (the vector.dot_sql
+    # rationale): per-band md5/concat_ws/cast Columns cost several py4j
+    # round-trips per hash column.
+    bands = ", ".join(
+        "md5(concat_ws('_', {cols}))".format(
+            cols=", ".join(
+                f"CAST(h{b * BAND_SIZE + j} AS STRING)"
+                for j in range(BAND_SIZE)
+            )
         )
+        for b in range(N_BANDS)
+    )
     return sigs.select(
-        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band_id", "bv")
+        "doc_id", F.posexplode(F.expr(f"array({bands})")).alias("band_id", "bv")
     )
 
 

@@ -36,36 +36,25 @@ _PROFILE_COLS: tuple[tuple[str, bool], ...] = (
 def profile(df: DataFrame, cols: tuple[tuple[str, bool], ...]) -> DataFrame:
     """One-pass column profile: rows (column, n, n_null, n_distinct,
     min_num, max_num, min_str, max_str)."""
-    aggs = []
+    # SQL text parsed once, not ~7 aggregate Columns + an 8-field struct
+    # per column: the per-element composition measured ~2.4k py4j
+    # round-trips per build (the vector.dot_sql rationale; pinned in
+    # tests/test_build_cost.py). Same aggregates, same aliases.
+    structs = []
     for c, is_num in cols:
-        aggs += [
-            F.count(c).alias(f"{c}__n"),
-            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
-            (F.min(c).cast("double") if is_num else F.lit(None).cast("double")
-             ).alias(f"{c}__minn"),
-            (F.max(c).cast("double") if is_num else F.lit(None).cast("double")
-             ).alias(f"{c}__maxn"),
-            (F.lit(None).cast("string") if is_num else F.min(c).cast("string")
-             ).alias(f"{c}__mins"),
-            (F.lit(None).cast("string") if is_num else F.max(c).cast("string")
-             ).alias(f"{c}__maxs"),
-        ]
-    one = df.agg(*aggs)
-    rows = F.array(*[
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col(f"{c}__n").alias("n"),
-            F.col(f"{c}__nn").alias("n_null"),
-            F.col(f"{c}__nd").alias("n_distinct"),
-            F.col(f"{c}__minn").alias("min_num"),
-            F.col(f"{c}__maxn").alias("max_num"),
-            F.col(f"{c}__mins").alias("min_str"),
-            F.col(f"{c}__maxs").alias("max_str"),
+        minn = f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        maxn = f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        mins = "CAST(NULL AS STRING)" if is_num else f"CAST(min({c}) AS STRING)"
+        maxs = "CAST(NULL AS STRING)" if is_num else f"CAST(max({c}) AS STRING)"
+        structs.append(
+            f"struct('{c}' AS col_name, count({c}) AS n,"
+            f" count(*) - count({c}) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {minn} AS min_num, {maxn} AS max_num,"
+            f" {mins} AS min_str, {maxs} AS max_str)"
         )
-        for c, _ in cols
-    ])
-    return one.select(F.explode(rows).alias("p")).select("p.*")
+    one = df.agg(F.expr(f"array({', '.join(structs)})").alias("rows"))
+    return one.select(F.explode("rows").alias("p")).select("p.*")
 
 
 def _profile_oracle() -> str:
