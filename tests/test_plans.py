@@ -200,14 +200,28 @@ def test_argmax_aggregates_without_window(spark):
     assert plan.count(") Exchange") == 1
 
 
-def test_profile_single_pass_no_window(spark):
-    """The column profile is one aggregation pass: multi-distinct plans as
-    Expand + two aggregate levels (2 exchanges max), never per-column jobs
-    or a Window."""
+def test_profile_two_branch_hash_friendly_shape(spark):
+    """The column profile is TWO global aggregate branches crossJoined as
+    1-row scalar frames — never per-column jobs or a Window. Split on
+    purpose (profile.py): string min/max buffers are not UnsafeRow-
+    mutable, so a combined aggregate degrades the count-DISTINCT Expand
+    stage (k rows per input row) to SortAggregate on wide keys, measured
+    3x slower. Pin the shape: the distinct branch's Expand aggregates
+    stay HASH-based (SortAggregate appears only in the grouping-free
+    min/max branch, where zero grouping keys means no sort), and the
+    exchange count stays bounded (2 distinct levels + 1 single-partition
+    gather)."""
     plan = formatted_plan(_build(spark, "s32_profile"))
     assert "Window" not in plan
     assert "Expand" in plan
-    assert plan.count(") Exchange") <= 2
+    assert plan.count(") Exchange") <= 3
+    assert plan.count("HashAggregate") >= 4, (
+        "the count-DISTINCT branch regressed to sort-based aggregation — "
+        "did string min/max partials get recombined into it?"
+    )
+    assert plan.count("SortAggregate") <= 4, (
+        "SortAggregate beyond the grouping-free min/max branch"
+    )
 
 
 def test_funnel_windows_share_one_shuffle(spark):
