@@ -25,7 +25,11 @@ fixes — known by-design cases:
   * multi-stage ANN (s27d/e/g/i): memoized 1-row dim probe + stats +
     search scans; the index is persisted at scale;
   * role scans (s31g, s26i, s28l's no-explode total): different pruned
-    column sets of one table feeding different roles.
+    column sets of one table feeding different roles;
+  * SORT_AGG flags (round-8 class): s32_profile's Expand and
+    SortAggregates live in DIFFERENT branches by design (the split that
+    FIXED this class); s09d/s27e sort only by a low-cardinality group
+    key and still shuffle one row per (partition, group).
 
 Usage: python scripts/audit_plan_duplication.py [sf_dir] [only_prefix]
 """
@@ -81,12 +85,27 @@ def main() -> None:
             scans[path] = scans.get(path, 0) + 1
         worst = max(scans.values(), default=0)
         mark = ""
-        if n_gen >= 2 or worst >= 3 or n_slow_py:
+        # Sort-based aggregation where hash was expected (round-8 find):
+        # a non-UnsafeRow-mutable aggregate buffer (string/struct min-max)
+        # silently degrades the WHOLE aggregate to SortAggregate — fatal
+        # when it also carries a count-DISTINCT Expand (k rows per input
+        # row, sorted on wide keys; the s32_profile case, 3x slower).
+        # Known-benign: grouping-free global aggs (no sort at zero keys,
+        # s32's min/max branch) and low-cardinality group keys where the
+        # one-row-per-group shuffle still dominates (s09d, s27e).
+        n_sortagg = final.count("SortAggregate")
+        # Coarse co-occurrence check (string-level; the two may sit in
+        # different plan branches — s32_profile's split shape does, by
+        # design: its Expand lives in the hash-aggregated distinct
+        # branch, its SortAggregates in the grouping-free min/max one).
+        sort_expand = n_sortagg > 0 and "Expand" in final
+        if n_gen >= 2 or worst >= 3 or n_slow_py or sort_expand:
             mark = "  <== FLAG (triage against the by-design list)"
             flagged.append((name, n_gen, scans))
         slow = f" SLOW_PYTHON={n_slow_py}" if n_slow_py else ""
+        sagg = f" SORT_AGG={n_sortagg}" if n_sortagg else ""
         print(
-            f"{name:32s} gen={n_gen} max_scan={worst}{slow}{mark}",
+            f"{name:32s} gen={n_gen} max_scan={worst}{slow}{sagg}{mark}",
             flush=True,
         )
 
