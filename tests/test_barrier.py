@@ -209,11 +209,17 @@ def test_stop_callback_requires_xgboost():
     except ImportError:
         has_xgb = False
     if has_xgb:  # pragma: no cover - container has no xgboost
-        # Construction asserts the supported collective-API range
-        # ([1.7, 3.0)) — outside it this raises RuntimeError by design.
+        # Construction feature-probes the collective API: RuntimeError
+        # only when is_distributed/allreduce/Op.MAX are missing; outside
+        # the verified [1.7, 3.0) range it WARNS but still constructs,
+        # so this path is exercised on any xgboost that kept the API.
+        import warnings
+
         flag = StopFlag("/tmp/stopflag_cb_test")
         flag.clear()
-        cb = make_stop_callback(flag)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # version-range advisory
+            cb = make_stop_callback(flag)
         assert hasattr(cb, "after_iteration")
         # Exercise the NON-distributed decision path end-to-end: poll
         # clear -> continue, poll set -> stop. This is the only leg a

@@ -165,8 +165,15 @@ def prepare_shards(
         # NULL qids would hash into one worker whose DMatrix(qid=...)
         # then fails deep inside the barrier stage with an opaque xgboost
         # error (and the restart loop would uselessly retry it). Fail at
-        # the API boundary instead, naming the column. isEmpty() is a
-        # limit(1) scan — early-terminating on the first offending row.
+        # the API boundary instead, naming the column. Cost: the failure
+        # path stops at the first offending row (limit-1 under isEmpty);
+        # the CLEAN path proves emptiness against the scan statistics —
+        # IsNull(qid) pushes through the prepare/union projections to
+        # the source scan (verified: PushedFilters=[IsNull(qid)]), so
+        # columnar sources skip every row group whose null_count is 0
+        # and healthy runs pay a metadata pass, not a second data read;
+        # worst case (non-statistics sources) is one single-column scan
+        # before a multi-minute barrier train.
         if not tagged.where(F.col(spec.qid_col).isNull()).isEmpty():
             raise ValueError(
                 f"qid column {spec.qid_col!r} contains NULLs; every row "

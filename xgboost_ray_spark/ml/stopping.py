@@ -78,22 +78,37 @@ def make_stop_callback(flag: StopFlag):
     inside a barrier stage."""
     import xgboost as xgb
 
-    # [1.7, 3.0): 1.7 introduced xgboost.collective; the 2.x line kept
-    # is_distributed/allreduce(array, Op). 3.x is unverified (this
-    # environment cannot install xgboost to check) — fail loudly so the
-    # operator re-verifies the collective calls below before trusting a
-    # mid-training cooperative stop to them.
+    # Feature-probe the exact collective surface the callback calls —
+    # raise only when it is actually MISSING (a construction-time error
+    # naming the requirement beats a worker crash mid-training), and
+    # merely warn outside the verified [1.7, 3.0) range so a 3.x that
+    # kept the API still works. A hard version wall would turn every
+    # future-major install into a failure even where nothing moved.
+    try:
+        from xgboost import collective as _coll
+
+        _probe = (_coll.is_distributed, _coll.allreduce, _coll.Op.MAX)
+    except (ImportError, AttributeError) as exc:
+        raise RuntimeError(
+            f"make_stop_callback needs xgboost.collective.is_distributed/"
+            f"allreduce/Op.MAX (xgboost {xgb.__version__}: {exc}); the "
+            "stop-decision allreduce cannot be synchronized without them "
+            "— see the docstring for why unsynchronized polls hang the "
+            "ring."
+        ) from exc
     ver = tuple(
         int("".join(ch for ch in part if ch.isdigit()) or 0)
         for part in xgb.__version__.split(".")[:2]
     )
     if not ((1, 7) <= ver < (3, 0)):
-        raise RuntimeError(
-            f"make_stop_callback supports xgboost >=1.7,<3.0 (found "
-            f"{xgb.__version__}): the stop-decision allreduce uses "
-            "xgboost.collective.is_distributed/allreduce(np.int32, Op.MAX), "
-            "an API surface that has moved across xgboost majors. Verify "
-            "those calls against your xgboost and widen the pin."
+        import warnings
+
+        warnings.warn(
+            f"make_stop_callback is verified against xgboost >=1.7,<3.0 "
+            f"(found {xgb.__version__}); the collective API probe passed, "
+            "but re-verify allreduce(np.int32, Op.MAX) semantics before "
+            "trusting a mid-training cooperative stop on this version.",
+            stacklevel=2,
         )
 
     class _StopOnFlag(xgb.callback.TrainingCallback):
