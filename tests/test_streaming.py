@@ -413,3 +413,94 @@ def test_s25c_append_output_matches_golden_digest(spark):
         3380,
         "77ad9c219242e1526f009fba5cc7f73e",
     )
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in for driving the
+    sessionizer kernel directly — the stream harness tests above cover
+    the engine wiring; this one isolates the KERNEL's boundary
+    arithmetic, which real event data never lands on exactly."""
+
+    def __init__(self, value=None, watermark_ms=0):
+        self._v = value
+        self.hasTimedOut = False
+        self._wm = watermark_ms
+        self.timeout_set_to = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set_to = ms
+
+
+def test_sessionizer_kernel_exact_gap_boundary():
+    """The session gap is STRICTLY greater-than (> GAP_US, matching the
+    batch operator's `> 30*60*1e6` microsecond comparison): two events
+    exactly GAP_US apart are ONE session; one microsecond more splits
+    them. Covered at both places the kernel compares — within a batch
+    (np.diff leg) and against carried state (first-event leg) — because
+    real event data never lands on the boundary and the two legs are
+    separate code paths."""
+    import pandas as pd
+
+    from xgboost_ray_spark.streaming.stateful import (
+        GAP_US,
+        close_user_sessions,
+    )
+
+    def batch(ts_us_list):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(ts_us_list),
+                "ts": pd.to_datetime(pd.Series(ts_us_list), unit="us"),
+                "event_id": range(len(ts_us_list)),
+                "value": [1.0] * len(ts_us_list),
+            }
+        )
+
+    t0 = 1_700_000_000_000_000  # epoch us
+
+    # Within one batch: exact gap -> one open session, nothing closed.
+    st = _FakeGroupState()
+    out = list(close_user_sessions((7,), iter([batch([t0, t0 + GAP_US])]), st))
+    assert out == [] and st.get[2] == 2, "exact gap must NOT split"
+
+    # Within one batch: gap + 1 us -> first session closes with 1 event.
+    st = _FakeGroupState()
+    out = list(
+        close_user_sessions((7,), iter([batch([t0, t0 + GAP_US + 1])]), st)
+    )
+    assert len(out) == 1 and int(out[0]["n_events"].iloc[0]) == 1
+    assert st.get[2] == 1, "second event opens a fresh session"
+
+    # Across batches: first event exactly GAP_US after the carried
+    # last_us continues the carried session (n merges to 3).
+    carried = (t0, t0 + 60, 2, 2_000_000)
+    st = _FakeGroupState(value=carried)
+    out = list(
+        close_user_sessions((7,), iter([batch([t0 + 60 + GAP_US])]), st)
+    )
+    assert out == [] and st.get[2] == 3, "exact cross-batch gap continues"
+
+    # Across batches: one microsecond more emits the carried session.
+    st = _FakeGroupState(value=carried)
+    out = list(
+        close_user_sessions((7,), iter([batch([t0 + 60 + GAP_US + 1])]), st)
+    )
+    assert len(out) == 1 and int(out[0]["n_events"].iloc[0]) == 2
+    assert st.get[2] == 1, "carried session closed, new one open"
