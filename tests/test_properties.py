@@ -147,3 +147,68 @@ def test_weighted_sample_deterministic_and_layout_independent(spark, weights, k)
     assert len(set(ids)) == len(ids)
     again = weighted_sample(df.repartition(7), key="doc_id", weight="w", k=k).collect()
     assert {r.doc_id for r in again} == set(ids)
+
+
+def test_chunk_overlap_token_count_boundaries(spark, tmp_path):
+    """s33b's last-chunk rule — emit chunks every CHUNK_STRIDE tokens and
+    STOP at the first chunk reaching the document end, ceil((n - chunk)
+    / stride) clamped at 0 — pinned at the exact token counts where the
+    r7 retune changed behavior: n == CHUNK_TOKENS (one chunk; the naive
+    floor((n-1)/stride) bound emitted a fully-contained duplicate tail
+    here), n == CHUNK_TOKENS ± 1, an exact stride multiple landing flush
+    on the end, and single-token docs. Verified against an independent
+    pure-Python spelling of the claimed semantics, chunk hashes
+    included, on a crafted documents table."""
+    import hashlib
+
+    from xgboost_ray_spark.operators.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from xgboost_ray_spark.registry import all_queries
+
+    lengths = [
+        1,
+        CHUNK_TOKENS - 1,
+        CHUNK_TOKENS,          # the duplicate-tail regression case
+        CHUNK_TOKENS + 1,
+        CHUNK_TOKENS + CHUNK_STRIDE,      # second chunk lands flush on end
+        CHUNK_TOKENS + CHUNK_STRIDE + 1,  # ...and one token past it
+        3 * CHUNK_STRIDE + CHUNK_TOKENS,  # flush multi-chunk doc
+        100,
+    ]
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    sf_dir = tmp_path / "sf_chunks"
+    sf_dir.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf_dir / "documents.parquet")
+    )
+
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_len, r.chunk_hash)
+        for r in all_queries()["s33b_chunk_overlap"]
+        .build(spark, str(sf_dir))
+        .collect()
+    }
+
+    want = {}
+    for doc_id, n in enumerate(lengths):
+        toks = [f"w{doc_id}_{j}" for j in range(n)]
+        idx = 0
+        while True:
+            start = idx * CHUNK_STRIDE
+            chunk = toks[start : start + CHUNK_TOKENS]
+            want[(doc_id, idx)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+            if start + CHUNK_TOKENS >= n:  # first chunk reaching the end
+                break
+            idx += 1
+    assert got == want, (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)} "
+        f"diff={[k for k in got if k in want and got[k] != want[k]]}"
+    )
