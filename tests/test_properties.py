@@ -212,3 +212,39 @@ def test_chunk_overlap_token_count_boundaries(spark, tmp_path):
         f"missing={set(want) - set(got)} extra={set(got) - set(want)} "
         f"diff={[k for k in got if k in want and got[k] != want[k]]}"
     )
+
+
+def test_sequence_pack_exact_budget_boundaries(spark):
+    """chunk_id = floor(tokens-before-me / budget): a doc whose
+    predecessors exactly fill the budget starts the NEXT chunk (no
+    off-by-one at before_me == budget), an oversized doc is assigned by
+    its before-me count alone (it may overflow its chunk — the
+    documented greedy-fill semantics), and packing is per-source.
+    Verified against a pure-Python fold."""
+    from xgboost_ray_spark.operators.sampling import sequence_pack
+
+    budget = 10
+    rows = [
+        # source "a": 4+6 fills chunk 0 exactly; next doc must open chunk 1
+        (1, "a", 4), (2, "a", 6), (3, "a", 1),
+        # oversized doc: before_me 1+9=10... craft: 9 then 25 then 1
+        (10, "b", 9), (11, "b", 25), (12, "b", 1),
+        # single doc exactly at budget
+        (20, "c", 10), (21, "c", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r.doc_id: r.chunk_id for r in sequence_pack(df, budget).collect()
+    }
+    want = {}
+    for src in ("a", "b", "c"):
+        before = 0
+        for doc_id, s, n in rows:
+            if s != src:
+                continue
+            want[doc_id] = before // budget
+            before += n
+    assert got == want, f"{got} != {want}"
+    assert got[3] == 1, "doc after an exactly-filled chunk opens the next"
+    assert got[12] == 3, "oversized doc advances the running count fully"
+    assert got[21] == 1, "exact-budget doc fills chunk 0 alone"
