@@ -53,6 +53,21 @@ class StopFlag:
             pass
 
 
+def parse_version_band(version: str) -> tuple[int, int]:
+    """First two numeric components of an xgboost ``__version__``,
+    padded to exactly two. The pad matters: a one-part version like
+    ``"3"`` must compare as ``(3, 0)`` — the bare ``(3,)`` sorts BELOW
+    ``(3, 0)`` under tuple-prefix ordering, so ``(3,) < (3, 0)`` is True
+    and a 3.x build reporting a one-part version would silently pass the
+    ``< (3, 0)`` ceiling and skip the out-of-range warning. Non-numeric
+    suffixes (``2.1.0rc1``) are stripped per component."""
+    ver = tuple(
+        int("".join(ch for ch in part if ch.isdigit()) or 0)
+        for part in version.split(".")[:2]
+    )
+    return (ver + (0, 0))[:2]
+
+
 def make_stop_callback(flag: StopFlag):
     """xgboost ``TrainingCallback`` that ends training when the flag is
     set — the reference's per-iteration Event poll (`main.py:745-752`
@@ -96,10 +111,7 @@ def make_stop_callback(flag: StopFlag):
             "— see the docstring for why unsynchronized polls hang the "
             "ring."
         ) from exc
-    ver = tuple(
-        int("".join(ch for ch in part if ch.isdigit()) or 0)
-        for part in xgb.__version__.split(".")[:2]
-    )
+    ver = parse_version_band(xgb.__version__)
     if not ((1, 7) <= ver < (3, 0)):
         import warnings
 

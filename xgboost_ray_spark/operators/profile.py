@@ -51,7 +51,16 @@ def profile(df: DataFrame, cols: tuple[tuple[str, bool], ...]) -> DataFrame:
 
     SQL text parsed once per branch, not ~7 aggregate Columns per
     column (the vector.dot_sql rationale; round-trips pinned in
-    tests/test_build_cost.py)."""
+    tests/test_build_cost.py).
+
+    Caller contract: because the two branches each aggregate ``df``
+    independently, the input frame's ENTIRE upstream plan executes
+    twice. For the registered s32 entries that input is a pruned
+    columnar scan, where the second pass re-reads cheap column chunks —
+    the measured win over the one-aggregate SortAggregate plan. If you
+    profile an expensive derived frame (joins, UDFs, shuffles upstream),
+    ``persist()`` it before calling and unpersist after, or you pay its
+    full construction cost twice."""
     nd_fields = ", ".join(
         f"count(DISTINCT {c}) AS {c}__nd" for c, _ in cols
     )
