@@ -159,6 +159,52 @@ def test_spill_rebuild_self_heals_after_external_gc(spark):
     assert build(spark, SF_SMOKE).count() > 0  # self-heals by rewriting
 
 
+def test_spill_reuse_verifies_completion_marker(spark):
+    """Verify-on-read: the reuse leg must trust a dir only when the
+    completion marker the finished write stamped is still there. A dir
+    tampered with AFTER our write (a foreign sweep mis-judging liveness,
+    a manual partial delete can remove any subset of files while isdir
+    stays true) must downgrade to a rewrite — the missing-dir self-heal
+    path — not be served to the consumer as silent partial data."""
+    import os
+
+    from xgboost_ray_spark.catalog import SCRATCH_DIR
+    from xgboost_ray_spark.operators import dedup
+    from xgboost_ray_spark.registry import all_queries
+
+    build = all_queries()["s26d_ngram_jaccard"].build
+    expected = build(spark, SF_SMOKE).count()
+    assert expected > 0
+    # Unit leg: the three freshness states of one (tag, key).
+    path, fresh = dedup.scratch_once("marker_unit", "k1")
+    assert fresh, "never-written path must be fresh"
+    os.makedirs(path, exist_ok=True)
+    dedup.mark_scratch_written(path)
+    assert os.path.isfile(os.path.join(path, dedup.COMPLETE_MARKER))
+    _, fresh = dedup.scratch_once("marker_unit", "k1")
+    assert not fresh, "completed write must be reused"
+    os.remove(os.path.join(path, dedup.COMPLETE_MARKER))  # tamper
+    _, fresh = dedup.scratch_once("marker_unit", "k1")
+    assert fresh, "marker gone -> reuse must downgrade to rewrite"
+
+    # Integration leg: the registered s26d spill self-heals through the
+    # same predicate — tamper its marker, the next build rewrites and
+    # still produces identical results with the marker restored.
+    spilled = [
+        p
+        for p in dedup._SPILLED_PATHS
+        if p.startswith(os.path.join(SCRATCH_DIR, "spill_jaccard_shingles"))
+    ]
+    assert spilled, "s26d must register its keyed spill"
+    for p in spilled:
+        marker = os.path.join(p, dedup.COMPLETE_MARKER)
+        assert os.path.isfile(marker), "finished write must stamp marker"
+        os.remove(marker)
+    assert build(spark, SF_SMOKE).count() == expected
+    for p in spilled:
+        assert os.path.isfile(os.path.join(p, dedup.COMPLETE_MARKER))
+
+
 def test_keyless_spill_same_object_reuses_not_overwrites(spark):
     """A keyless digest hashes the analyzed plan, which Spark memoizes on
     the Dataset — so spilling the SAME DataFrame object twice hashes to

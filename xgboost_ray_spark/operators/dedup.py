@@ -118,9 +118,11 @@ def scratch_once(tag: str, key: str) -> tuple[str, bool]:
     :func:`mark_scratch_written` — AFTER the write completes, so a build
     that dies mid-write is rewritten, never reused. When not ``fresh``
     the path was fully written earlier in THIS process under the same
-    (tag, key) and must be reused as-is: rewriting it would invalidate
-    the file listing a previously built, still-lazy frame captured
-    (the FILE_NOT_EXIST failure spill() documents).
+    (tag, key) — proven by the in-memory record AND the on-disk
+    ``COMPLETE_MARKER`` the finished write stamped (verify-on-read) —
+    and must be reused as-is: rewriting it would invalidate the file
+    listing a previously built, still-lazy frame captured (the
+    FILE_NOT_EXIST failure spill() documents).
 
     The same rules as spill() apply: ``key`` must name the inputs and
     layout parameters (interleaved builds over two sf dirs must not share
@@ -145,13 +147,44 @@ def scratch_once(tag: str, key: str) -> tuple[str, bool]:
     """
     digest = hashlib.md5(key.encode()).hexdigest()[:12]
     path = os.path.join(SCRATCH_DIR, f"spill_{tag}_{digest}")
-    return path, path not in _SPILLED_PATHS or not os.path.isdir(path)
+    fresh = (
+        path not in _SPILLED_PATHS
+        or not os.path.isdir(path)
+        # Verify-on-read: reuse trusts only a dir whose completion marker
+        # survived. ``_SPILLED_PATHS`` proves OUR write finished, but the
+        # bytes can be tampered with afterwards by something external to
+        # the contract (a foreign process's sweep mis-judging liveness, a
+        # manual partial delete) — ``isdir`` alone would then serve a
+        # half-dir to the consumer as silent partial data. A missing
+        # marker downgrades to a rewrite, the same self-heal path as a
+        # missing dir (lazy readers of the old listing are already broken
+        # either way; rebuilding is the only honest option).
+        or not os.path.isfile(os.path.join(path, COMPLETE_MARKER))
+    )
+    return path, fresh
+
+
+# Completion marker written inside every spill/scratch dir AFTER its
+# artifact write finishes — the disk twin of the in-memory
+# ``_SPILLED_PATHS`` record. Dot-prefixed so Spark/Hadoop file listings
+# ignore it (same convention as ``.owner_pid``); checked by
+# ``scratch_once``'s reuse leg (verify-on-read, VERDICT r7 #6 candidate).
+COMPLETE_MARKER = ".scratch_complete"
 
 
 def mark_scratch_written(path: str) -> None:
     """Record a completed :func:`scratch_once` write for in-process reuse
-    and stamp the ``.owner_pid`` liveness marker that protects the dir
-    from a concurrent process's ``sweep_scratch``."""
+    (memory + on-disk completion marker) and stamp the ``.owner_pid``
+    liveness marker that protects the dir from a concurrent process's
+    ``sweep_scratch``."""
+    try:
+        with open(os.path.join(path, COMPLETE_MARKER), "w") as fh:
+            fh.write("complete\n")
+    except OSError:
+        # Advisory, like .owner_pid: if the marker can't be written the
+        # reuse leg treats the dir as incomplete and rewrites — wasteful,
+        # never wrong.
+        pass
     _SPILLED_PATHS.add(path)
     _write_owner_marker(path)
 
