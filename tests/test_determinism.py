@@ -71,6 +71,13 @@ RISKY = [
     "s29i_map_in_arrow",
     "s26j_fuzzy_snm",
     "s06c_cdc_upsert",
+    # r9-window first-timers with order-sensitive shapes (same convention,
+    # added when the r9 rotation put them in front of the driver): mixture
+    # oversampling's ordered row_number window; the drift report's float
+    # PSI sum over per-bin terms (partial-agg order varies with layout;
+    # round(8) must absorb it).
+    "s31d_domain_mixture",
+    "s32c_drift_report",
 ]
 
 # (conf, perturbed value, restore-to-default value is read per test)
