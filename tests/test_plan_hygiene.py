@@ -133,6 +133,27 @@ _SHUFFLE_BUDGET: dict[str, int] = {
 }
 
 
+# Entries allowed to plan SortAggregate, with their audited occurrence
+# count. The round-8 profile defect made this a named degradation class:
+# a min/max or collect buffer that is not UnsafeRow-mutable (strings,
+# structs) silently downgrades its ENTIRE aggregation stage — including
+# any count-DISTINCT Expand multiplying rows k-fold — from hash- to
+# sort-based, which at 100 TB means a per-partition sort of the fact
+# table where a hash table should be. The three audited survivors are
+# deliberate: s09d and s27e use the struct-argmax pattern (the partial
+# still combines map-side; the sort runs over the low-cardinality group
+# key only — measured 0.34 s at sf0.1 for s09d), and s32_profile's
+# min/max branch is GROUPING-FREE (zero sort keys = no sort; the
+# hash-sensitive distinct branch was split off in round 8 precisely to
+# keep it out of this list). A new SortAggregate anywhere else is
+# presumed to be this defect class until measured and justified here.
+_SORT_AGG_ALLOWED: dict[str, int] = {
+    "s09d_argmax": 2,  # partial + final over the struct buffer
+    "s27e_knn_classify": 2,  # same struct-argmax vote tiebreak
+    "s32_profile": 2,  # grouping-free min/max branch (partial + final)
+}
+
+
 @pytest.fixture(scope="module")
 def catalog_plans(spark) -> dict[str, str]:
     """One build + executedPlan string per batch entry (shared by both
@@ -192,4 +213,22 @@ def test_shuffle_exchange_counts_stay_at_pin(catalog_plans):
     assert not under, (
         "shuffle Exchange count BELOW pin — an improvement; re-pin the "
         f"new count so the gate stays tight: {under}"
+    )
+
+
+def test_sort_aggregate_only_where_audited(catalog_plans):
+    """No entry outside the audited allowlist may plan a SortAggregate —
+    the round-8 silent-degradation class (see _SORT_AGG_ALLOWED)."""
+    offenders: dict[str, int] = {}
+    for name, plan in catalog_plans.items():
+        n = plan.count("SortAggregate")
+        if n != _SORT_AGG_ALLOWED.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        "SortAggregate count off its audited value {got} — a non-hashable "
+        "aggregation buffer (string/struct min-max, collect_*) degrades "
+        "the whole stage to sort-based; split the offending aggregate "
+        "into its own grouping-free or hash-friendly branch (the s32 "
+        "round-8 fix), or audit and allowlist it with a measurement."
+        .format(got=offenders)
     )
