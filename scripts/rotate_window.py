@@ -76,10 +76,29 @@ def main() -> None:
     backlog = [n for n in names if n not in seen and n not in CANONICAL_ENTRIES]
     backlog.sort(key=lambda n: (times.get(n, float("inf")), n))
 
+    # Post-freeze mode (backlog exhausted, round 9+): free rotating slots
+    # go to RE-verification. The mechanical signal is staleness — the
+    # round of each entry's most recent driver row, oldest first — but
+    # the REVIEWED ranking must put entries whose plans changed since
+    # their last row ahead of merely-old ones (the r9 rotation pattern);
+    # that mapping needs human judgment over the round's diff, so this
+    # report only supplies the staleness half.
+    last_round: dict[str, int] = {}
+    for path in rounds:
+        rnum = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            for entry in json.load(fh):
+                last_round[entry] = max(last_round.get(entry, 0), rnum)
+    stale = sorted(
+        (n for n in names if n in seen and n not in CANONICAL_ENTRIES),
+        key=lambda n: (last_round.get(n, 0), times.get(n, float("inf")), n),
+    )
+
     n_rot = DRIVER_WINDOW - len(CANONICAL_ENTRIES)
     rotation = backlog[:n_rot]
+    refill = stale[: n_rot - len(rotation)]
     window = sorted(
-        list(CANONICAL_ENTRIES) + rotation,
+        list(CANONICAL_ENTRIES) + rotation + refill,
         key=lambda n: (times.get(n, float("inf")), n),
     )
 
@@ -88,9 +107,21 @@ def main() -> None:
     for n in backlog:
         t = times.get(n)
         print(f"  {t:7.2f}s  {n}" if t is not None else f"      ?    {n}")
+    if refill:
+        print(
+            f"\nre-verification refill ({len(refill)} slots, stalest driver "
+            "row first — REORDER by changed-plans-first before adopting):"
+        )
+        for n in refill:
+            print(f"  r{last_round.get(n, 0):<3d} {n}")
     print(f"\nsuggested next window ({len(window)} entries, cheap-first):")
     for n in window:
-        tag = "  <- rotated in" if n in rotation else ""
+        if n in rotation:
+            tag = "  <- rotated in"
+        elif n in refill:
+            tag = f"  <- re-verify (last row r{last_round.get(n, 0)})"
+        else:
+            tag = ""
         print(f'    "{n}",{tag}')
 
 
