@@ -44,18 +44,20 @@ BOUNDS = [
     # batch count is deterministic for fixed input) and was bit-stable
     # across back-to-back runs on 2026-08-15. All already low-hundreds —
     # no per-element composition found; pinned so it stays that way.
-    ("s25_stream_tumbling", 177, 400),
-    ("s25b_stream_sliding", 177, 400),
+    # (re-measured after the runners gained the one-call micro-batch plan
+    # capture for the streaming hygiene sweep — +1 where it applies)
+    ("s25_stream_tumbling", 178, 400),
+    ("s25b_stream_sliding", 178, 400),
     ("s25c_stream_watermark_append", 179, 400),
     ("s25d_stateful_sessions", 105, 250),
-    ("s25e_stream_dedup", 63, 150),
-    ("s25f_stream_static_join", 292, 600),
-    ("s25g_stream_stream_join", 424, 900),
-    ("s25h_file_sink_etl", 130, 300),
+    ("s25e_stream_dedup", 64, 150),
+    ("s25f_stream_static_join", 293, 600),
+    ("s25g_stream_stream_join", 425, 900),
+    ("s25h_file_sink_etl", 131, 300),
     ("s25i_stream_cdc_upsert", 752, 1500),
-    ("s25j_stream_trending", 220, 500),
-    ("s25k_stream_session_window", 150, 350),
-    ("s25l_stream_outlier_guard", 673, 1400),
+    ("s25j_stream_trending", 221, 500),
+    ("s25k_stream_session_window", 151, 350),
+    ("s25l_stream_outlier_guard", 674, 1400),
 ]
 
 

@@ -216,6 +216,46 @@ def test_shuffle_exchange_counts_stay_at_pin(catalog_plans):
     )
 
 
+def test_no_banned_nodes_in_streaming_microbatch_plans(spark):
+    """The streaming leg of rule 1: micro-batch executed plans only exist
+    while a query runs, so the stream runners stash the last one
+    (streaming/windows.py LAST_STREAM_PLAN) and this sweep re-drives each
+    streaming entry and inspects it. s25i is the one legitimate
+    no-capture entry — its foreachBatch sink issues plain batch writes
+    (no streaming plan by construction); its merge topology is covered by
+    test_streaming.py's CDC restart tests."""
+    from xgboost_ray_spark.streaming import windows as sw
+
+    violations: dict[str, list[str]] = {}
+    missing: list[str] = []
+    checked = 0
+    for name, spec in all_queries().items():
+        if "streaming" not in spec.tags:
+            continue
+        sw.LAST_STREAM_PLAN[:] = []
+        spec.build(spark, SF_SMOKE)
+        if not sw.LAST_STREAM_PLAN:
+            missing.append(name)
+            continue
+        plan = sw.LAST_STREAM_PLAN[0]
+        found = [
+            node
+            for node, allowed in _BANNED_NODES.items()
+            if node in plan and name not in allowed
+        ]
+        if found:
+            violations[name] = found
+        checked += 1
+    assert not violations, (
+        f"banned physical nodes in streaming micro-batch plans: {violations}"
+    )
+    assert missing == ["s25i_stream_cdc_upsert"], (
+        "streaming entries without a captured micro-batch plan (runner "
+        f"bypassed or capture broke): {missing}"
+    )
+    assert checked >= 11, f"streaming sweep shrank unexpectedly: {checked}"
+
+
 def test_sort_aggregate_only_where_audited(catalog_plans):
     """No entry outside the audited allowlist may plan a SortAggregate —
     the round-8 silent-degradation class (see _SORT_AGG_ALLOWED)."""

@@ -128,6 +128,24 @@ def stream_state_partitions(spark: SparkSession):
 _MEMORY_SINK_VIEWS: deque[tuple[SparkSession, str]] = deque()
 _MEMORY_SINK_KEEP = 8
 
+# Most recent micro-batch executed plan, stashed by the two runners for
+# the streaming leg of the plan-hygiene sweep (tests/test_plan_hygiene.py
+# pins the batch catalog directly; streaming plans only exist while a
+# query runs, so the runner captures them in passing). One list cell,
+# overwritten per run — read it immediately after the build returns.
+LAST_STREAM_PLAN: list[str] = []
+
+
+def _capture_stream_plan(q) -> None:
+    """Stash the finished query's lastExecution plan text (explainInternal
+    reads driver-side state — no job, one py4j call, covered by the
+    build-cost ceilings' headroom). Advisory: capture failures leave the
+    cell empty rather than failing the run."""
+    try:
+        LAST_STREAM_PLAN[:] = [q._jsq.explainInternal(True)]
+    except Exception:
+        LAST_STREAM_PLAN[:] = []
+
 
 def run_stream_to_memory(
     agg: DataFrame, spark: SparkSession, output_mode: str = "complete"
@@ -149,6 +167,7 @@ def run_stream_to_memory(
         _MEMORY_SINK_VIEWS.append((spark, name))
         try:
             q.processAllAvailable()
+            _capture_stream_plan(q)
         finally:
             q.stop()
     # The memory sink keeps the result rows after stop(); the uniquely-named
@@ -197,4 +216,5 @@ def run_stream_to_files(
         writer = writer.partitionBy(partition_by)
     q = writer.start()
     q.awaitTermination()
+    _capture_stream_plan(q)
     return spark.read.parquet(out_dir)
