@@ -248,3 +248,90 @@ def test_sequence_pack_exact_budget_boundaries(spark):
     assert got[3] == 1, "doc after an exactly-filled chunk opens the next"
     assert got[12] == 3, "oversized doc advances the running count fully"
     assert got[21] == 1, "exact-budget doc fills chunk 0 alone"
+
+
+def test_temporal_split_exact_embargo_boundaries(spark, tmp_path):
+    """The r9-window first-timer s31e pins BOTH of its edges at the
+    microsecond: train is STRICTLY before cutoff - PURGE_DAYS (a row at
+    exactly the embargo start is purged, not trained — the leak-free
+    guarantee), and test is >= cutoff (a row at exactly the cutoff is
+    test). Driven end-to-end through the registered builder over a
+    purpose-built orders table whose rows sit 1 us either side of each
+    edge; prices are decades so a misassigned row corrupts its bucket's
+    sum visibly."""
+    from datetime import datetime
+
+    from xgboost_ray_spark.registry import all_queries
+
+    rows = [
+        # (o_orderdate, o_totalprice)
+        (datetime(2000, 5, 1, 23, 59, 59, 999999), 1.0),  # 1us < embargo -> train
+        (datetime(2000, 5, 2, 0, 0, 0), 10.0),            # == embargo start -> purged
+        (datetime(2000, 5, 31, 23, 59, 59, 999999), 100.0),  # 1us < cutoff -> purged
+        (datetime(2000, 6, 1, 0, 0, 0), 1000.0),          # == cutoff -> test
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["split"]: (r["n_orders"], r["sum_price"])
+        for r in all_queries()["s31e_temporal_split"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        "train": (1, 1.0),
+        "purged": (2, 110.0),
+        "test": (1, 1000.0),
+    }, got
+
+
+def test_drift_report_exact_split_and_bin_boundaries(spark, tmp_path):
+    """The r9-window first-timer s32c pins its three edges: an event at
+    exactly DRIFT_SPLIT_TS belongs to the CURRENT slice (ref is strict
+    <), a value at exactly a bin edge (20.0) belongs to the upper bin,
+    and values at/above bin 10's floor are capped into the last bin.
+    The PSI itself is recomputed in pure Python with the same
+    +1-per-occupied-bin Laplace smoothing, so a misassigned row moves a
+    bin count and the rounded PSI detectably."""
+    import math
+    from datetime import datetime
+
+    from xgboost_ray_spark.operators.profile import DRIFT_N_BINS
+    from xgboost_ray_spark.registry import all_queries
+
+    split = datetime(2024, 1, 15)
+    before = datetime(2024, 1, 14, 23, 59, 59, 999999)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, before, 1, "e", 19.999999, None),  # ref, bin 0
+        (2, split, 1, "e", 19.999999, None),   # ts == split -> CUR, bin 0
+        (3, before, 1, "e", 20.0, None),       # ref, value == edge -> bin 1
+        (4, before, 1, "e", 219.9, None),      # ref, floor 10 -> capped bin 10
+        (5, split, 1, "e", 500.0, None),       # cur, far over -> capped bin 10
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    # expected, by the documented semantics
+    per_bin = {0: (1, 1), 1: (1, 0), 10: (1, 1)}  # bin -> (c_ref, c_cur)
+    tot_ref = sum(c for c, _ in per_bin.values())
+    tot_cur = sum(c for _, c in per_bin.values())
+    psi = 0.0
+    for c_ref, c_cur in per_bin.values():
+        p_ref = (c_ref + 1) / (tot_ref + DRIFT_N_BINS)
+        p_cur = (c_cur + 1) / (tot_cur + DRIFT_N_BINS)
+        psi += (p_cur - p_ref) * math.log(p_cur / p_ref)
+
+    [row] = (
+        all_queries()["s32c_drift_report"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    assert row["event_type"] == "e"
+    assert row["n_bins"] == len(per_bin)
+    assert row["psi"] == round(psi, 8), (row["psi"], psi)
