@@ -335,3 +335,94 @@ def test_drift_report_exact_split_and_bin_boundaries(spark, tmp_path):
     assert row["event_type"] == "e"
     assert row["n_bins"] == len(per_bin)
     assert row["psi"] == round(psi, 8), (row["psi"], psi)
+
+
+def test_domain_mixture_exact_budget_boundaries(spark, tmp_path):
+    """s31d satisfies each lang's budget EXACTLY via deterministic
+    oversampling, pinned at the four arithmetic edges: budget == count
+    (one epoch each, no phantom epoch 1), budget == count + 1 (exactly
+    the rank-1 doc repeats), budget < count (truncate, never oversample),
+    budget == 2*count (every doc exactly twice), and a lang with no
+    budget contributes nothing."""
+    from xgboost_ray_spark.registry import all_queries
+
+    rows = []
+    rows += [("de", i) for i in range(50)]          # B=50 == cnt
+    rows += [("es", 100 + i) for i in range(49)]    # B=50 == cnt+1
+    rows += [("fr", 200 + i) for i in range(51)]    # B=50 <  cnt
+    rows += [("en", 300 + i) for i in range(75)]    # B=150 == 2*cnt
+    rows += [("xx", 400 + i) for i in range(5)]     # no budget
+    spark.createDataFrame(rows, "lang string, doc_id long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = (
+        all_queries()["s31d_domain_mixture"]
+        .build(spark, str(tmp_path))
+        .collect()
+    )
+    per_lang: dict[str, list] = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r)
+    assert set(per_lang) == {"de", "es", "fr", "en"}
+    # every budget satisfied exactly
+    assert {k: len(v) for k, v in per_lang.items()} == {
+        "de": 50, "es": 50, "fr": 50, "en": 150,
+    }
+    # de: budget == count -> no oversampling at the exact boundary
+    assert {r["epoch"] for r in per_lang["de"]} == {0}
+    # es: exactly ONE doc carries epoch 1 (the md5-rank-1 doc)
+    es_epoch1 = [r for r in per_lang["es"] if r["epoch"] == 1]
+    assert len(es_epoch1) == 1
+    assert len({r["doc_id"] for r in per_lang["es"]}) == 49
+    # fr: truncation keeps 50 DISTINCT docs of 51, single epoch
+    assert len({r["doc_id"] for r in per_lang["fr"]}) == 50
+    assert {r["epoch"] for r in per_lang["fr"]} == {0}
+    # en: budget == 2*count -> every doc exactly twice (epochs 0 and 1)
+    from collections import Counter
+
+    en_mult = Counter(r["doc_id"] for r in per_lang["en"])
+    assert set(en_mult.values()) == {2}
+    assert {r["epoch"] for r in per_lang["en"]} == {0, 1}
+
+
+def test_negative_pairs_exclude_self_and_match_affine_hash(spark, tmp_path):
+    """s31g pinned against a pure-Python recomputation of its affine
+    hash on a 21-doc corpus chosen so THREE (anchor, j) draws land on
+    the anchor itself — the self-negative exclusion edge actually
+    fires — and every surviving pair's partner metadata joins back
+    exactly."""
+    from xgboost_ray_spark.operators.sampling import (
+        NEG_PER_ANCHOR,
+        _NEG_MULT,
+        _NEG_STEP,
+    )
+    from xgboost_ray_spark.registry import all_queries
+
+    c = 21
+    rows = [(i, f"src{i % 4}", ["en", "de"][i % 2]) for i in range(c)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    want = set()
+    self_hits = 0
+    for i in range(c):
+        for j in range(1, NEG_PER_ANCHOR + 1):
+            neg = (i * _NEG_MULT + j * _NEG_STEP) % c
+            if neg == i:
+                self_hits += 1
+                continue
+            want.add((i, j, neg, f"src{neg % 4}", ["en", "de"][neg % 2]))
+    assert self_hits == 3, "fixture must exercise the self-exclusion edge"
+
+    got = {
+        (r["doc_id"], r["neg_rank"], r["neg_id"], r["neg_source"],
+         r["neg_lang"])
+        for r in all_queries()["s31g_negative_pairs"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
