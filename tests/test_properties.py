@@ -426,3 +426,53 @@ def test_negative_pairs_exclude_self_and_match_affine_hash(spark, tmp_path):
     assert got == want, (
         f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
     )
+
+
+def test_class_entropy_matches_pure_python(spark, tmp_path):
+    """s28k recomputed in pure Python over crafted docs covering every
+    character-class composition edge: all four classes balanced (maximum
+    entropy, 2000 mbits, flag ok), a single-class doc (entropy 0,
+    degenerate), a two-class doc (1000 mbits), multi-byte 'other'
+    characters, and the empty-doc filter."""
+    import math
+
+    from xgboost_ray_spark.registry import all_queries
+
+    docs = {
+        1: "ab12  #!",   # 2 alpha, 2 digit, 2 space, 2 other -> 2000.0
+        2: "aaaa",       # one class -> 0.0, degenerate
+        3: "ab12",       # two classes? no: alpha+digit balanced -> 1000.0
+        4: "日本語",      # all 'other' (multi-byte) -> 0.0, degenerate
+        5: "",           # filtered out by length > 0
+    }
+    spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def expected(text: str) -> float:
+        n = len(text)
+        counts = [
+            sum(c.isascii() and c.isalpha() for c in text),
+            sum(c.isdigit() for c in text),
+            text.count(" "),
+        ]
+        counts.append(n - sum(counts))
+        h = -sum(
+            (k / n) * math.log2(k / n) for k in counts if k > 0
+        )
+        return round(1000.0 * h, 6)
+
+    got = {
+        r["doc_id"]: (r["entropy_mbits"], r["entropy_flag"])
+        for r in all_queries()["s28k_class_entropy"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    want = {
+        d: (expected(t), "degenerate" if expected(t) < 500 else "ok")
+        for d, t in docs.items()
+        if len(t) > 0
+    }
+    assert got == want, (got, want)
+    assert got[1] == (2000.0, "ok")
+    assert got[2] == (0.0, "degenerate")
