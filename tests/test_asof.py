@@ -131,3 +131,44 @@ def test_right_cols_colliding_with_left_raise(spark):
             left, right, on="k", left_time="lt", right_time="rt",
             right_cols=["price"], tiebreak=["rt"],
         )
+
+
+def test_range_join_bands_exact_edges_match_pure_python(spark):
+    """range_join_bands pinned at every band edge: a value exactly at a
+    band's lower bound joins that band (inclusive lo), a value exactly at
+    the upper bound joins the NEXT band only (half-open hi — adjacent
+    bands never double-attach), values outside every band drop, and
+    values exactly on interior bin multiples (the fan-out lattice) attach
+    once, never once per bin. Verified against a pure-Python evaluation
+    of the [lo, hi) definition."""
+    from xgboost_ray_spark.operators.joins import (
+        DISCOUNT_BANDS,
+        range_join_bands,
+    )
+
+    edges = sorted({b for _, lo, hi in DISCOUNT_BANDS for b in (lo, hi)})
+    values = sorted(
+        set(
+            edges  # every lo/hi exactly
+            + [e - 1e-9 for e in edges]  # a hair under each edge
+            + [0.01, 0.04, 0.05, 0.10]  # interior bin-lattice multiples
+            + [-0.005, 0.12, 0.99]  # outside every band
+        )
+    )
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    got = {
+        (r["id"], r["band"]) for r in range_join_bands(fact, "v").collect()
+    }
+    want = {
+        (i, name)
+        for i, v in enumerate(values)
+        for name, lo, hi in DISCOUNT_BANDS
+        if lo <= v < hi
+    }
+    assert got == want, (
+        f"missing={sorted(want - got)} extra={sorted(got - want)}"
+    )
+    # each in-band value attached exactly once (no per-bin duplicates)
+    assert len(got) == len({i for i, _ in got})
