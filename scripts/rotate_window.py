@@ -85,7 +85,11 @@ def main() -> None:
     # report only supplies the staleness half.
     last_round: dict[str, int] = {}
     for path in rounds:
-        rnum = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue  # stray manual copy (e.g. *_backup.json) — the
+            # `seen` union above tolerates it, so staleness should too
+        rnum = int(m.group(1))
         with open(path) as fh:
             for entry in json.load(fh):
                 last_round[entry] = max(last_round.get(entry, 0), rnum)

@@ -13,6 +13,14 @@ method)`` for every ``.collect()``/``.collectAsList()``/``.toPandas()``/
 ``.crossJoin()`` call. The set must EQUAL the audited allowlist below —
 removals must be pruned here too, so the list never rots.
 
+Known blind spot, covered elsewhere: a keyless ``.join()`` or a SQL
+``CROSS JOIN`` string is a cartesian spelled without ``crossJoin`` —
+statically indistinguishable from ``str.join`` in an AST. The RUNTIME
+signature of every condition-less join is BroadcastNestedLoopJoin, and
+tests/test_plan_hygiene.py pins that node to its audited 1-row-frame
+sites catalog-wide; this module is the documentation layer, that sweep
+is the enforcement layer for the spelling-independent class.
+
 Every allowlisted site is O(1) or K-sized w.r.t. the corpus:
 
   collect —

@@ -133,6 +133,34 @@ _SHUFFLE_BUDGET: dict[str, int] = {
 }
 
 
+# Entries allowed to plan BroadcastNestedLoopJoin, with the audited
+# occurrence count. BNLJ is what EVERY condition-less join plans —
+# ``crossJoin``, a bare ``.join()`` with no key, SQL ``CROSS JOIN`` —
+# so this runtime gate catches the all-pairs class uniformly no matter
+# how the join is spelled (the static audit in test_driver_surface.py
+# can only see the ``.crossJoin`` spelling; a keyless ``.join`` is
+# indistinguishable from ``str.join`` in an AST). Every audited site
+# joins a broadcast ONE-ROW scalar frame (corpus counts, embedding
+# stats, quantile thresholds, the profile branches) — nested-loop over
+# one row is a map-side attach, not a blowup. A new BNLJ anywhere else
+# is presumed an accidental cartesian until audited here.
+_BNLJ_ALLOWED: dict[str, int] = {
+    "s07c_inactive_customers": 1,
+    "s09e_quantile_filter": 1,
+    "s27_cosine_topk": 1,
+    "s27c_embedding_neardup": 1,
+    "s27d_ivf_topk": 2,
+    "s27e_knn_classify": 1,
+    "s27h_embedding_quantize": 1,
+    "s27i_quantized_topk": 1,
+    "s28e_tfidf_top_terms": 1,
+    "s28l_unigram_logprob": 1,
+    "s31g_negative_pairs": 1,
+    "s32_profile": 1,
+    "s32b_data_quality": 1,
+}
+
+
 # Entries allowed to plan SortAggregate, with their audited occurrence
 # count. The round-8 profile defect made this a named degradation class:
 # a min/max or collect buffer that is not UnsafeRow-mutable (strings,
@@ -220,9 +248,13 @@ def test_no_banned_nodes_in_streaming_microbatch_plans(spark):
     """The streaming leg of rule 1: micro-batch executed plans only exist
     while a query runs, so the stream runners stash the last one
     (streaming/windows.py LAST_STREAM_PLAN) and this sweep re-drives each
-    streaming entry and inspects it. s25i is the one legitimate
-    no-capture entry — its foreachBatch sink issues plain batch writes
-    (no streaming plan by construction); its merge topology is covered by
+    streaming entry and inspects it. The ~40 s of re-drives duplicates
+    executions other tests perform, deliberately: piggybacking on
+    test_streaming.py's runs would make this sweep's coverage depend on
+    which tests happened to run first, and a single-cell capture keeps
+    the runner hook one line. s25i is the one legitimate no-capture
+    entry — its foreachBatch sink issues plain batch writes (no
+    streaming plan by construction); its merge topology is covered by
     test_streaming.py's CDC restart tests."""
     from xgboost_ray_spark.streaming import windows as sw
 
@@ -254,6 +286,41 @@ def test_no_banned_nodes_in_streaming_microbatch_plans(spark):
         f"bypassed or capture broke): {missing}"
     )
     assert checked >= 11, f"streaming sweep shrank unexpectedly: {checked}"
+
+
+def test_nested_loop_joins_only_on_scalar_frames(catalog_plans):
+    """No entry outside the audited allowlist may plan a
+    BroadcastNestedLoopJoin — the uniform runtime signature of a
+    condition-less join however it is spelled (see _BNLJ_ALLOWED)."""
+    offenders: dict[str, int] = {}
+    for name, plan in catalog_plans.items():
+        n = plan.count("BroadcastNestedLoopJoin")
+        if n != _BNLJ_ALLOWED.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"BroadcastNestedLoopJoin count off its audited value: {offenders} "
+        "— a keyless join over anything bigger than a 1-row scalar frame "
+        "is an all-pairs blowup; give the join a key, or audit the site "
+        "(1-row broadcast only) and allowlist it."
+    )
+
+
+def test_allowlists_carry_no_stale_keys(catalog_plans):
+    """Every pinned/allowlisted name must still be a live batch entry —
+    a stale key would let a future entry silently inherit an unaudited
+    budget or allowance (the rot guard test_driver_surface.py applies to
+    its own list, applied to this module's three tables)."""
+    live = set(catalog_plans)
+    for table_name, table in (
+        ("_SHUFFLE_BUDGET", _SHUFFLE_BUDGET),
+        ("_SORT_AGG_ALLOWED", _SORT_AGG_ALLOWED),
+        ("_BNLJ_ALLOWED", _BNLJ_ALLOWED),
+    ):
+        stale = sorted(set(table) - live)
+        assert not stale, (
+            f"{table_name} pins entries that no longer exist — prune "
+            f"them: {stale}"
+        )
 
 
 def test_sort_aggregate_only_where_audited(catalog_plans):

@@ -157,8 +157,13 @@ def scratch_once(tag: str, key: str) -> tuple[str, bool]:
         # manual partial delete) — ``isdir`` alone would then serve a
         # half-dir to the consumer as silent partial data. A missing
         # marker downgrades to a rewrite, the same self-heal path as a
-        # missing dir (lazy readers of the old listing are already broken
-        # either way; rebuilding is the only honest option).
+        # missing dir. Deliberate trade-off: a tamper that removed ONLY
+        # the marker (data intact) now triggers a rewrite whose overwrite
+        # can break a still-live reader of the old listing with a loud
+        # FILE_NOT_EXIST — but a marker-missing dir cannot be proven
+        # complete from here, and the alternative (trusting it) turns
+        # every data-file tamper into silent partial RESULTS. Loud beats
+        # silent; the pre-marker behavior had the silent branch.
         or not os.path.isfile(os.path.join(path, COMPLETE_MARKER))
     )
     return path, fresh
