@@ -62,11 +62,22 @@ def parse_timings(path: str) -> dict[str, float]:
 def main() -> None:
     times = parse_timings(sys.argv[1]) if len(sys.argv) > 1 else {}
 
+    # One pass over the round files builds both views: `seen` (any driver
+    # row ever) and `last_round` (staleness for the re-verify refill).
     seen: set[str] = set()
+    last_round: dict[str, int] = {}
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
         with open(path) as fh:
-            seen |= set(json.load(fh))
+            entries = set(json.load(fh))
+        seen |= entries
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue  # stray manual copy (e.g. *_backup.json) counts for
+            # `seen` but can't be placed on the round axis
+        rnum = int(m.group(1))
+        for entry in entries:
+            last_round[entry] = max(last_round.get(entry, 0), rnum)
     names = list(all_queries())
 
     missing_canon = [c for c in CANONICAL_ENTRIES if c not in names]
@@ -83,16 +94,6 @@ def main() -> None:
     # their last row ahead of merely-old ones (the r9 rotation pattern);
     # that mapping needs human judgment over the round's diff, so this
     # report only supplies the staleness half.
-    last_round: dict[str, int] = {}
-    for path in rounds:
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m is None:
-            continue  # stray manual copy (e.g. *_backup.json) — the
-            # `seen` union above tolerates it, so staleness should too
-        rnum = int(m.group(1))
-        with open(path) as fh:
-            for entry in json.load(fh):
-                last_round[entry] = max(last_round.get(entry, 0), rnum)
     stale = sorted(
         (n for n in names if n in seen and n not in CANONICAL_ENTRIES),
         key=lambda n: (last_round.get(n, 0), times.get(n, float("inf")), n),

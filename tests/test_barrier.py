@@ -353,10 +353,15 @@ def test_version_band_padding():
     assert parse_version_band("2.1.0rc1") == (2, 1)
     assert parse_version_band("3.0.0") == (3, 0)
     assert parse_version_band("3") == (3, 0)
+    # leading digits only: joining ALL digits would read 1.6rc9 as
+    # (1, 69) and wave a below-band build past the (1, 7) floor
+    assert parse_version_band("1.6rc9") == (1, 6)
+    assert parse_version_band("2.0rc1") == (2, 0)
     # the guard that motivated the pad: "3" is OUT of the verified band
     band = lambda v: (1, 7) <= parse_version_band(v) < (3, 0)  # noqa: E731
     assert band("1.7.6") and band("2.1.4")
     assert not band("3") and not band("3.0.0") and not band("1.6.2")
+    assert not band("1.6rc9")
 
 
 def test_prepare_shards_shuffles_exactly_once(spark):

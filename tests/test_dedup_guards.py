@@ -187,6 +187,36 @@ def test_spill_reuse_verifies_completion_marker(spark):
     _, fresh = dedup.scratch_once("marker_unit", "k1")
     assert fresh, "marker gone -> reuse must downgrade to rewrite"
 
+    # Marker-write FAILURE leg: when the marker itself can't be written
+    # (ENOSPC/EACCES), the in-memory record must stay the authority —
+    # otherwise every later build would see "marker missing", rewrite,
+    # and overwrite part files under earlier builds' live readers.
+    import builtins
+
+    path2, fresh = dedup.scratch_once("marker_unit_fail", "k1")
+    assert fresh
+    os.makedirs(path2, exist_ok=True)
+    real_open = builtins.open
+
+    def failing_open(p, *a, **kw):
+        if str(p).endswith(dedup.COMPLETE_MARKER):
+            raise OSError("disk full")
+        return real_open(p, *a, **kw)
+
+    builtins.open = failing_open
+    try:
+        dedup.mark_scratch_written(path2)
+    finally:
+        builtins.open = real_open
+    assert path2 in dedup._MARKERLESS
+    assert not os.path.isfile(os.path.join(path2, dedup.COMPLETE_MARKER))
+    _, fresh = dedup.scratch_once("marker_unit_fail", "k1")
+    assert not fresh, "failed marker write must NOT force perpetual rewrites"
+    # a later successful mark restores verify-on-read for the dir
+    dedup.mark_scratch_written(path2)
+    assert path2 not in dedup._MARKERLESS
+    assert os.path.isfile(os.path.join(path2, dedup.COMPLETE_MARKER))
+
     # Integration leg: the registered s26d spill self-heals through the
     # same predicate — tamper its marker, the next build rewrites and
     # still produces identical results with the marker restored.

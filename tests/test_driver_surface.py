@@ -52,29 +52,34 @@ from __future__ import annotations
 
 import ast
 import os
+from collections import Counter
 
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "xgboost_ray_spark")
 
 _ATTRS = ("collect", "collectAsList", "toPandas", "crossJoin")
 
-ALLOWED: set[tuple[str, str, str]] = {
-    ("matrix.py", "_with_contiguous_index", "collect"),
-    ("plans/explain.py", "executed_plan", "collect"),
-    ("operators/dedup.py", "dup_clusters", "collect"),
-    ("operators/relational.py", "s01f_binaryfile_scan", "collect"),
-    ("operators/similarity.py", "kmeans_assign", "collect"),
-    ("ml/barrier.py", "_run_barrier_job", "collect"),
-    ("operators/profile.py", "profile", "crossJoin"),
-    ("operators/profile.py", "s32b_data_quality", "crossJoin"),
-    ("operators/relational.py", "s09e_quantile_filter", "crossJoin"),
-    ("operators/text.py", "s28e_tfidf_top_terms", "crossJoin"),
-    ("operators/text.py", "s28l_unigram_logprob", "crossJoin"),
+# (file, enclosing function, method) -> audited CALL COUNT. Counted, not
+# a set: a second data-sized collect added inside a function that already
+# has one audited call must fail too, not hide behind set-dedup.
+ALLOWED: dict[tuple[str, str, str], int] = {
+    ("matrix.py", "_with_contiguous_index", "collect"): 1,
+    ("plans/explain.py", "executed_plan", "collect"): 1,
+    ("operators/dedup.py", "dup_clusters", "collect"): 1,
+    ("operators/relational.py", "s01f_binaryfile_scan", "collect"): 1,
+    # K-row seed select + K*dim centroid pullback — two audited calls
+    ("operators/similarity.py", "kmeans_assign", "collect"): 2,
+    ("ml/barrier.py", "_run_barrier_job", "collect"): 1,
+    ("operators/profile.py", "profile", "crossJoin"): 1,
+    ("operators/profile.py", "s32b_data_quality", "crossJoin"): 1,
+    ("operators/relational.py", "s09e_quantile_filter", "crossJoin"): 1,
+    ("operators/text.py", "s28e_tfidf_top_terms", "crossJoin"): 1,
+    ("operators/text.py", "s28l_unigram_logprob", "crossJoin"): 1,
 }
 
 
-def _call_sites() -> set[tuple[str, str, str]]:
-    sites: set[tuple[str, str, str]] = set()
+def _call_sites() -> Counter:
+    sites: Counter = Counter()
     for root, _, files in os.walk(PKG):
         if "__pycache__" in root:
             continue
@@ -104,20 +109,21 @@ def _call_sites() -> set[tuple[str, str, str]]:
                     and isinstance(node.func, ast.Attribute)
                     and node.func.attr in _ATTRS
                 ):
-                    sites.add((rel, func_of.get(node, "?"), node.func.attr))
+                    sites[(rel, func_of.get(node, "?"), node.func.attr)] += 1
     return sites
 
 
 def test_driver_materialization_sites_are_audited():
     sites = _call_sites()
-    new = sites - ALLOWED
-    gone = ALLOWED - sites
-    assert not new, (
-        "NEW driver-materialization site(s) — prove each is O(1)/K-sized "
-        "w.r.t. the corpus (never data-sized), document it in this "
-        f"module's audit list, then allowlist: {sorted(new)}"
-    )
-    assert not gone, (
-        "allowlisted site(s) no longer exist — prune them so the audit "
-        f"list never rots: {sorted(gone)}"
+    wrong = {
+        k: (sites.get(k, 0), ALLOWED.get(k, 0))
+        for k in set(sites) | set(ALLOWED)
+        if sites.get(k, 0) != ALLOWED.get(k, 0)
+    }
+    assert not wrong, (
+        "driver-materialization call counts off their audited values "
+        "{(file, function, method): (found, audited)} — prove each new "
+        "call is O(1)/K-sized w.r.t. the corpus (never data-sized), "
+        "document it in this module's audit list, then re-pin; prune "
+        f"removed sites so the list never rots: {wrong}"
     )

@@ -59,10 +59,14 @@ def parse_version_band(version: str) -> tuple[int, int]:
     ``"3"`` must compare as ``(3, 0)`` — the bare ``(3,)`` sorts BELOW
     ``(3, 0)`` under tuple-prefix ordering, so ``(3,) < (3, 0)`` is True
     and a 3.x build reporting a one-part version would silently pass the
-    ``< (3, 0)`` ceiling and skip the out-of-range warning. Non-numeric
-    suffixes (``2.1.0rc1``) are stripped per component."""
+    ``< (3, 0)`` ceiling and skip the out-of-range warning. A component's
+    LEADING digits are the number — joining all digits would read
+    ``1.6rc9`` as (1, 69) and wave a below-band build past the (1, 7)
+    floor."""
+    import re as _re
+
     ver = tuple(
-        int("".join(ch for ch in part if ch.isdigit()) or 0)
+        int(_re.match(r"\d*", part).group() or 0)
         for part in version.split(".")[:2]
     )
     return (ver + (0, 0))[:2]

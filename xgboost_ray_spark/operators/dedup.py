@@ -164,7 +164,16 @@ def scratch_once(tag: str, key: str) -> tuple[str, bool]:
         # complete from here, and the alternative (trusting it) turns
         # every data-file tamper into silent partial RESULTS. Loud beats
         # silent; the pre-marker behavior had the silent branch.
-        or not os.path.isfile(os.path.join(path, COMPLETE_MARKER))
+        # _MARKERLESS exception: when the marker WRITE itself failed
+        # (ENOSPC/EACCES), the in-memory record stays the only authority
+        # — pre-marker semantics for that dir. Without it, every later
+        # build of the (tag, key) would see "marker missing", rewrite,
+        # and overwrite the part files under earlier builds' live
+        # readers — repeatedly.
+        or (
+            path not in _MARKERLESS
+            and not os.path.isfile(os.path.join(path, COMPLETE_MARKER))
+        )
     )
     return path, fresh
 
@@ -185,11 +194,15 @@ def mark_scratch_written(path: str) -> None:
     try:
         with open(os.path.join(path, COMPLETE_MARKER), "w") as fh:
             fh.write("complete\n")
+        _MARKERLESS.discard(path)
     except OSError:
-        # Advisory, like .owner_pid: if the marker can't be written the
-        # reuse leg treats the dir as incomplete and rewrites — wasteful,
-        # never wrong.
-        pass
+        # Advisory, like .owner_pid — but the failure must be REMEMBERED:
+        # were the reuse leg to treat this dir as incomplete, every later
+        # build would rewrite it and overwrite part files under earlier
+        # builds' live readers. _MARKERLESS keeps pre-marker semantics
+        # (in-memory record is the authority, no verify-on-read
+        # protection) for exactly the dirs whose marker never landed.
+        _MARKERLESS.add(path)
     _SPILLED_PATHS.add(path)
     _write_owner_marker(path)
 
@@ -225,6 +238,11 @@ def _write_owner_marker(path: str) -> None:
 # code changes, so only this process's own writes are trusted for reuse.
 _SPILLED_PATHS: set[str] = set()
 
+# Dirs whose COMPLETE_MARKER write failed (OSError) after a successful
+# artifact write: the reuse leg trusts the in-memory record alone for
+# these (pre-marker semantics) instead of rewriting on every build.
+_MARKERLESS: set[str] = set()
+
 
 def reset_spill_reuse() -> None:
     """Forget this process's spill-reuse record so the NEXT build of a
@@ -243,6 +261,7 @@ def reset_spill_reuse() -> None:
     build before the next.
     """
     _SPILLED_PATHS.clear()
+    _MARKERLESS.clear()
 
 # observe() names must be unique within a query plan; composing the same
 # operator twice with the default name would raise AnalysisException, so
