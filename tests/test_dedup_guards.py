@@ -175,8 +175,13 @@ def test_spill_reuse_verifies_completion_marker(spark):
     build = all_queries()["s26d_ngram_jaccard"].build
     expected = build(spark, SF_SMOKE).count()
     assert expected > 0
-    # Unit leg: the three freshness states of one (tag, key).
+    # Unit leg: the three freshness states of one (tag, key). The
+    # .scratch dirs persist across suite RUNS, so clear any prior run's
+    # leftovers first — this test's own final re-mark writes markers.
+    import shutil
+
     path, fresh = dedup.scratch_once("marker_unit", "k1")
+    shutil.rmtree(path, ignore_errors=True)
     assert fresh, "never-written path must be fresh"
     os.makedirs(path, exist_ok=True)
     dedup.mark_scratch_written(path)
@@ -194,6 +199,7 @@ def test_spill_reuse_verifies_completion_marker(spark):
     import builtins
 
     path2, fresh = dedup.scratch_once("marker_unit_fail", "k1")
+    shutil.rmtree(path2, ignore_errors=True)  # prior run's marker
     assert fresh
     os.makedirs(path2, exist_ok=True)
     real_open = builtins.open
