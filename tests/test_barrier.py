@@ -353,10 +353,13 @@ def test_version_band_padding():
     assert parse_version_band("2.1.0rc1") == (2, 1)
     assert parse_version_band("3.0.0") == (3, 0)
     assert parse_version_band("3") == (3, 0)
-    # leading digits only: joining ALL digits would read 1.6rc9 as
-    # (1, 69) and wave a below-band build past the (1, 7) floor
+    # first digit RUN only: joining ALL digits would read 1.6rc9 as
+    # (1, 69) and wave a below-band build past the (1, 7) floor, while
+    # a start-anchored match would read v1.7.6 as (0, 7) and warn
+    # spuriously on an in-band install
     assert parse_version_band("1.6rc9") == (1, 6)
     assert parse_version_band("2.0rc1") == (2, 0)
+    assert parse_version_band("v1.7.6") == (1, 7)
     # the guard that motivated the pad: "3" is OUT of the verified band
     band = lambda v: (1, 7) <= parse_version_band(v) < (3, 0)  # noqa: E731
     assert band("1.7.6") and band("2.1.4")

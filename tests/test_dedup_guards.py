@@ -159,7 +159,7 @@ def test_spill_rebuild_self_heals_after_external_gc(spark):
     assert build(spark, SF_SMOKE).count() > 0  # self-heals by rewriting
 
 
-def test_spill_reuse_verifies_completion_marker(spark):
+def test_spill_reuse_verifies_completion_marker(spark, monkeypatch):
     """Verify-on-read: the reuse leg must trust a dir only when the
     completion marker the finished write stamped is still there. A dir
     tampered with AFTER our write (a foreign sweep mis-judging liveness,
@@ -209,11 +209,9 @@ def test_spill_reuse_verifies_completion_marker(spark):
             raise OSError("disk full")
         return real_open(p, *a, **kw)
 
-    builtins.open = failing_open
-    try:
+    with monkeypatch.context() as mp:
+        mp.setattr(builtins, "open", failing_open)
         dedup.mark_scratch_written(path2)
-    finally:
-        builtins.open = real_open
     assert path2 in dedup._MARKERLESS
     assert not os.path.isfile(os.path.join(path2, dedup.COMPLETE_MARKER))
     _, fresh = dedup.scratch_once("marker_unit_fail", "k1")

@@ -24,6 +24,7 @@ are xgboost-free and unit-tested.
 from __future__ import annotations
 
 import os
+import re
 
 
 class StopFlag:
@@ -60,13 +61,13 @@ def parse_version_band(version: str) -> tuple[int, int]:
     ``(3, 0)`` under tuple-prefix ordering, so ``(3,) < (3, 0)`` is True
     and a 3.x build reporting a one-part version would silently pass the
     ``< (3, 0)`` ceiling and skip the out-of-range warning. A component's
-    LEADING digits are the number — joining all digits would read
+    FIRST digit run is the number — joining all digits would read
     ``1.6rc9`` as (1, 69) and wave a below-band build past the (1, 7)
-    floor."""
-    import re as _re
-
+    floor, while anchoring at the start would read a ``v1.7.6``-style
+    prefixed version as (0, 7) and warn spuriously on an in-band
+    install."""
     ver = tuple(
-        int(_re.match(r"\d*", part).group() or 0)
+        int(m.group()) if (m := re.search(r"\d+", part)) else 0
         for part in version.split(".")[:2]
     )
     return (ver + (0, 0))[:2]
