@@ -476,3 +476,81 @@ def test_class_entropy_matches_pure_python(spark, tmp_path):
     assert got == want, (got, want)
     assert got[1] == (2000.0, "ok")
     assert got[2] == (0.0, "degenerate")
+
+
+def test_funnel_strict_order_at_exact_timestamps(spark, tmp_path):
+    """s24c's funnel steps are STRICTLY ordered (ts > prior step): a
+    click at exactly the view's timestamp does not advance the funnel, a
+    click 1 us later does; a purchase before the qualifying click never
+    counts; steps out of order never count. Driven end-to-end through
+    the registered builder over a purpose-built events table."""
+    from datetime import datetime, timedelta
+
+    from xgboost_ray_spark.registry import all_queries
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    us = timedelta(microseconds=1)
+    rows = []
+    # user 1: click AT the view instant (excluded), later click counts,
+    # purchase AT that click instant (excluded) -> view+click only
+    rows += [(1, "view", t0), (1, "click", t0),
+             (1, "click", t0 + us), (1, "purchase", t0 + us)]
+    # user 2: clean strict chain 1 us apart -> full funnel
+    rows += [(2, "view", t0), (2, "click", t0 + us),
+             (2, "purchase", t0 + 2 * us)]
+    # user 3: click BEFORE the view, none after -> view only
+    rows += [(3, "click", t0), (3, "view", t0 + us)]
+    # user 4: purchase between view and click -> view+click, no funnel
+    rows += [(4, "view", t0), (4, "purchase", t0 + us),
+             (4, "click", t0 + 2 * us)]
+    spark.createDataFrame(
+        [(i, u, e, t) for i, (u, e, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    [row] = (
+        all_queries()["s24c_funnel"].build(spark, str(tmp_path)).collect()
+    )
+    assert (row["n_view"], row["n_view_click"], row["n_full_funnel"]) == (
+        4, 3, 1,
+    ), row
+
+
+def test_retention_cohort_week_and_day_boundaries(spark, tmp_path):
+    """s24e's week bucketing pinned at its two edges: an event 6 days
+    after the cohort day (even at 23:59:59.999999) is still week 0, the
+    7th day at midnight is week 1, the 14th day is week 2 — and an
+    event 1 us before midnight belongs to the earlier calendar day for
+    BOTH the cohort assignment and the activity day. Multiple events in
+    one (user, week) collapse to one active row."""
+    from datetime import datetime
+
+    from xgboost_ray_spark.registry import all_queries
+
+    rows = [
+        # user 1, cohort 2024-03-01
+        (1, datetime(2024, 3, 1, 12, 0, 0)),
+        (1, datetime(2024, 3, 7, 23, 59, 59, 999999)),  # day 6 -> week 0
+        (1, datetime(2024, 3, 8, 0, 0, 0)),             # day 7 -> week 1
+        (1, datetime(2024, 3, 8, 18, 0, 0)),            # same week, distinct
+        (1, datetime(2024, 3, 14, 12, 0, 0)),           # day 13 -> week 1
+        (1, datetime(2024, 3, 15, 0, 0, 0)),            # day 14 -> week 2
+        # user 2: 1 us before midnight -> cohort day is still 03-01
+        (2, datetime(2024, 3, 1, 23, 59, 59, 999999)),
+    ]
+    spark.createDataFrame(
+        [(i, u, "e", t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (str(r["cohort_day"]), r["week_k"]): r["n_active"]
+        for r in all_queries()["s24e_retention_cohorts"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        ("2024-03-01", 0): 2,
+        ("2024-03-01", 1): 1,
+        ("2024-03-01", 2): 1,
+    }, got
