@@ -31,9 +31,11 @@ Every allowlisted site is O(1) or K-sized w.r.t. the corpus:
     connected components (one long).
   * relational.py/s01f_binaryfile_scan: bounded fixture write (the demo
     corpus slice materialized once into the scratch layout).
-  * similarity.py/kmeans_assign (x2): K-row seed select and K*dim
-    integer centroid pullback per Lloyd round — bounded driver state by
-    design (pushed back as plan literals for zero-shuffle assignment).
+  * similarity.py/kmeans_assign (x3): the 1-row min-vec_id seed, the
+    1-row-per-pass farthest-point argmax (TakeOrderedAndProject, K-1
+    passes), and the K*dim integer centroid pullback per Lloyd round —
+    bounded driver state by design (pushed back as plan literals for
+    zero-shuffle assignment/seeding distance maps).
   * ml/barrier.py/_run_barrier_job: num_workers rows of (rank, model
     bytes) — the trained booster, not data.
 
@@ -67,8 +69,9 @@ ALLOWED: dict[tuple[str, str, str], int] = {
     ("plans/explain.py", "executed_plan", "collect"): 1,
     ("operators/dedup.py", "dup_clusters", "collect"): 1,
     ("operators/relational.py", "s01f_binaryfile_scan", "collect"): 1,
-    # K-row seed select + K*dim centroid pullback — two audited calls
-    ("operators/similarity.py", "kmeans_assign", "collect"): 2,
+    # 1-row first-seed select + 1-row farthest-point argmax per pass +
+    # K*dim centroid pullback — three audited calls
+    ("operators/similarity.py", "kmeans_assign", "collect"): 3,
     ("ml/barrier.py", "_run_barrier_job", "collect"): 1,
     ("operators/profile.py", "profile", "crossJoin"): 1,
     ("operators/profile.py", "s32b_data_quality", "crossJoin"): 1,

@@ -43,13 +43,15 @@ def test_pagerank_star_concentrates_rank_on_hub(spark):
 
 
 def test_kmeans_starved_cluster_keeps_seed_centroid(spark):
-    """All three seeds are identical points, so in round 1 every point
-    ties onto cluster 0 and clusters 1 and 2 STARVE — the update must
-    carry their seed centroids forward (the COALESCE path) instead of
-    dividing by zero or dropping them. In round 2 those kept centroids
-    (still at the duplicate point) win the tight points back from
-    cluster 0's dragged mean — observable proof the starved centroids
-    survived."""
+    """K exceeds the number of DISTINCT points, so farthest-point seeding
+    exhausts the real geometry after two seeds (X = min-vec_id point,
+    Y = its farthest) and the third pass sees all-zero min-distances —
+    the (dist DESC, vec_id ASC) tie-break re-picks vec_id 0, duplicating
+    seed X. Cluster 2 then STARVES in every round (ties go to the lowest
+    k), and the update must carry its centroid forward (the COALESCE /
+    ``by_k.get`` path) instead of dividing by zero or dropping the k —
+    the final assignment still lands every point at exact zero distance
+    on its own value's lowest-k centroid."""
     rows = [
         (0, [0.1, 0.1]),
         (1, [0.1, 0.1]),
@@ -62,17 +64,60 @@ def test_kmeans_starved_cluster_keeps_seed_centroid(spark):
     out = kmeans_assign(vecs, k=3, iters=2).collect()
     assert len(out) == 4
     by_vec = {r["vec_id"]: r for r in out}
-    # identical points get identical (cluster, dist), ties -> lowest id
+    # the duplicate X points tie between clusters 0 and 2 -> lowest k
     assert (
-        by_vec[0]["cluster"] == by_vec[1]["cluster"] == by_vec[2]["cluster"]
+        by_vec[0]["cluster"] == by_vec[1]["cluster"] == by_vec[2]["cluster"] == 0
     )
-    assert by_vec[0]["dist"] == by_vec[1]["dist"] == by_vec[2]["dist"]
-    # the tight points sit exactly on a carried-forward seed centroid:
-    # cluster 1 (not 0) wins them in round 2, at exact zero distance
-    assert by_vec[0]["cluster"] == 1
-    assert by_vec[0]["dist"] == 0
-    # the far point stays with cluster 0's dragged mean
-    assert by_vec[3]["cluster"] == 0
+    # the far point seeded cluster 1 (farthest from the min-vec_id point)
+    assert by_vec[3]["cluster"] == 1
+    # every point sits exactly on its centroid; the starved cluster 2
+    # never crashes the update and never wins a tie against cluster 0
+    assert all(r["dist"] == 0 for r in out)
+    assert {r["cluster"] for r in out} == {0, 1}
+
+
+def test_kmeans_farthest_point_seeding_recovers_adversarial_blobs(spark):
+    """The round-9 control that motivated the seeding swap (SCALE.md):
+    8 well-separated blobs with BLOB-SORTED vec_ids — the adversarial
+    ordering under which fixed-first-K seeding put ALL K seeds in blob 0
+    and converged at ~97x the best-of-random inertia. Farthest-point
+    (greedy max-min) provably lands one seed per blob once inter-blob
+    separation exceeds twice the intra-blob diameter, so the final
+    clustering must recover the blobs exactly — each blob one cluster,
+    all 8 clusters used, and within-cluster squared distances bounded by
+    the jitter scale (~1x-optimal inertia), not the blob separation."""
+    centers = [
+        (-0.4, -0.4), (-0.4, 0.0), (-0.4, 0.4), (0.0, -0.4),
+        (0.0, 0.4), (0.4, -0.4), (0.4, 0.0), (0.4, 0.4),
+    ]
+    jitter = [(-0.01, -0.01), (-0.01, 0.01), (0.01, -0.01),
+              (0.01, 0.01), (0.0, 0.0), (0.02, 0.0)]
+    rows = [
+        (b * len(jitter) + i, [cx + jx, cy + jy])
+        for b, (cx, cy) in enumerate(centers)
+        for i, (jx, jy) in enumerate(jitter)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = kmeans_assign(vecs, k=8, iters=2).collect()
+    assert len(out) == len(rows)
+    blob_of = {vid: vid // len(jitter) for vid, _ in rows}
+    clusters_per_blob: dict[int, set[int]] = {}
+    for r in out:
+        clusters_per_blob.setdefault(blob_of[r["vec_id"]], set()).add(
+            r["cluster"]
+        )
+    assert all(len(cs) == 1 for cs in clusters_per_blob.values()), (
+        f"a blob split across clusters: {clusters_per_blob}"
+    )
+    assert len({next(iter(cs)) for cs in clusters_per_blob.values()}) == 8, (
+        f"blobs merged into fewer than 8 clusters: {clusters_per_blob}"
+    )
+    # inertia at the jitter scale: max squared distance to a centroid is
+    # bounded by (2 * 0.02 * KM_SCALE)^2 per axis, nowhere near the
+    # separation scale (0.4 * KM_SCALE)^2 a blob-0-collapsed seeding pays
+    assert all(r["dist"] <= 2 * (2 * 0.02 * 10_000) ** 2 for r in out)
 
 
 def test_kmeans_assigns_each_point_to_nearest_centroid(spark):
