@@ -1147,7 +1147,7 @@ def kmeans_assign(
 
 def _kmeans_oracle_sql() -> str:
     """CTE-unrolled fixed-point Lloyd's rounds (same integer arithmetic)."""
-    assign_tpl = """a{i} AS (
+    assign_tpl = """a{i} AS MATERIALIZED (
       SELECT vec_id, k AS cluster, dist
       FROM (
         SELECT p.vec_id, c.k,
@@ -1159,7 +1159,7 @@ def _kmeans_oracle_sql() -> str:
         GROUP BY 1, 2
       ) WHERE rn = 1
     )"""
-    update_tpl = """c{j} AS (
+    update_tpl = """c{j} AS MATERIALIZED (
       SELECT cm.k, cm.d,
              COALESCE(u.q, cm.q) AS q
       FROM c{prev} cm LEFT JOIN (
@@ -1168,8 +1168,14 @@ def _kmeans_oracle_sql() -> str:
         GROUP BY 1, 2
       ) u ON u.k = cm.k AND u.d = cm.d
     )"""
+    # Every multiply-referenced CTE is AS MATERIALIZED (DuckDB syntax;
+    # the oracle only ever runs on DuckDB). DuckDB 1.x INLINES plain
+    # CTEs, and the seed chain references each s{j-1} twice (the f{j}
+    # distance pass and the s{j} union) — inlined, that re-expands the
+    # pts scan 2^(K-1) times and the oracle alone took 87 s at sf0.01;
+    # materialized it is linear in K and runs in well under a second.
     ctes = [
-        f"""pts AS (
+        f"""pts AS MATERIALIZED (
           SELECT vec_id, d,
                  CAST(FLOOR((CAST(embedding[CAST(d AS INT)] AS DOUBLE)
                              + 0.5) * {KM_SCALE}) AS BIGINT) AS q
@@ -1183,7 +1189,7 @@ def _kmeans_oracle_sql() -> str:
         # each f{j} is the global argmax of min-distance-to-chosen-seeds
         # with the (dist DESC, vec_id ASC) tie-break — same integer
         # arithmetic as the Spark passes, so the seed trajectory hashes.
-        """s0 AS (
+        """s0 AS MATERIALIZED (
           SELECT 0 AS k, p.d, p.q FROM pts p
           WHERE p.vec_id = (SELECT MIN(vec_id) FROM pts)
         )""",
@@ -1198,12 +1204,12 @@ def _kmeans_oracle_sql() -> str:
             ) GROUP BY vec_id
           ) ORDER BY mind DESC, vec_id LIMIT 1
         )""")
-        ctes.append(f"""s{j} AS (
+        ctes.append(f"""s{j} AS MATERIALIZED (
           SELECT * FROM s{j - 1}
           UNION ALL
           SELECT {j} AS k, p.d, p.q FROM pts p JOIN f{j} USING (vec_id)
         )""")
-    ctes.append(f"c0 AS (SELECT * FROM s{KM_K - 1})")
+    ctes.append(f"c0 AS MATERIALIZED (SELECT * FROM s{KM_K - 1})")
     prev = 0
     for i in range(1, KM_ITERS + 1):
         ctes.append(assign_tpl.format(i=i, cents=f"c{prev}"))
