@@ -342,35 +342,55 @@ def sql_davg(expr: str, alias: str) -> str:
 #   Rotated out to 51+ (all driver-green r8): s01b s01c s01d s01e s01f
 #   s01g s01h s01i s05f s05g s14c s14d s24d s24e s24f s28i s28j.
 #   Backlog after r9 (if sweep green): 0 — catalog fully driver-checked.
+#   CORRECTNESS_r09 came back 50/50 green — backlog 0, all 157 entries
+#   carry a driver row (153 hash + 4 rows-only by design).
+#   r10 window (this one): with the backlog at 0, all 17 rotating slots
+#   are RE-verification, stalest-driver-row-first per rotate_window.py's
+#   refill (VERDICT r9 #2), with one judgment override per the
+#   changed-plans-first rule: s27j re-enters because round 10 swaps its
+#   seeding to deterministic farthest-point WITH the CTE-unrolled oracle
+#   (SCALE.md contract; the new trajectory has no driver row), displacing
+#   the 17th-stalest suggestion (s15b, r3-era, next round). The 16
+#   staleness refills: the complete r2-era set s08b s08c s09b s10b s11
+#   s11b s26d s26g s29b s29d (s10b is rows-only by design — HLL sketches
+#   aren't engine-portable; its accuracy-vs-exact pin lives in
+#   tests/test_registry.py) and the oldest r3-era rows s06b s09c s10c
+#   s11d s11e s14b. After r10, no entry's driver row predates r3, and the
+#   remaining r3-era tail (12 entries) fits inside r11's rotation.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r9 set: ------
-    # -- the final 5 first-timers + 12 re-verifications — r8 changed-plan
-    # -- entries first, then the oldest driver rows), roughly cost-ordered
-    # -- per the 2026-08-15 bare-session sweeps; the expensive re-verifies
-    # -- (s27j 2.06 s, s26l 2.40 s in that sweep) close the window;
-    # -- s03 leads so the cheapest query absorbs the one-off JVM warmup -----
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r10 set: -----
+    # -- all re-verification, stalest driver row first — the complete
+    # -- r2-era tier + the six oldest r3-era rows + s27j under its new
+    # -- farthest-point seed trajectory), roughly cost-ordered; the heavy
+    # -- iterative re-verifies (s27j ~2.1 s standalone, s26g ~4 s) close
+    # -- the window; s03 leads so the cheapest query absorbs JVM warmup ----
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s33_sequence_pack", "s12_having", "s31_hash_split",
-    "s16_topk_per_group", "s31e_temporal_split", "s31g_negative_pairs",
-    "s23_json", "s18_string_funcs", "s31d_domain_mixture",
-    "s28k_class_entropy", "s32c_drift_report",
-    "s11c_grouping_sets", "s24_tumbling_window",
-    "s01_parquet_scan", "s09d_argmax", "s26_dedup_exact",
-    "s05_inner_join", "s30c_linear_model_train", "s14_window_analytic",
-    "s07_semi_anti_join", "s26f_canonical_dedup", "s10_count_distinct",
-    "s26c_simhash", "s13_window_rank", "s17_setops",
-    "s02_csv_scan", "s24b_sessionization", "s27h_embedding_quantize",
-    "s08_broadcast_join", "s04_filter", "s27i_quantized_topk",
-    "s26b_minhash_lsh", "s27c_embedding_neardup", "s06_outer_join",
-    "s05c_tpch_q3", "s09_groupby_agg", "s29_pandas_udf",
+    "s16_topk_per_group", "s23_json", "s18_string_funcs",
+    "s10c_distinct_rows", "s11_rollup", "s11b_cube", "s11d_pivot",
+    "s11e_unpivot", "s11c_grouping_sets", "s24_tumbling_window",
+    "s01_parquet_scan", "s09d_argmax", "s06b_full_outer_join",
+    "s09b_stats_agg", "s09c_salted_agg", "s10b_approx_count_distinct",
+    "s14b_range_frame", "s08b_asof_join", "s30c_linear_model_train",
+    "s14_window_analytic", "s07_semi_anti_join", "s26f_canonical_dedup",
+    "s26d_ngram_jaccard", "s10_count_distinct", "s13_window_rank",
+    "s17_setops", "s02_csv_scan", "s08_broadcast_join", "s08c_range_join",
+    "s04_filter", "s27c_embedding_neardup", "s06_outer_join",
+    "s29_pandas_udf", "s29b_multimodal_decode", "s29d_multimodal_resize",
     "s25e_stream_dedup", "s32_profile", "s05b_salted_join",
-    "s27j_kmeans", "s05h_tpch_q9",
+    "s27j_kmeans", "s26g_dup_clusters",
+    # -- slots 51+: driver-green entries rotated out in r10 -----------------
+    "s31e_temporal_split", "s31g_negative_pairs", "s31d_domain_mixture",
+    "s28k_class_entropy", "s32c_drift_report", "s26_dedup_exact",
+    "s05_inner_join", "s26c_simhash", "s24b_sessionization",
+    "s27h_embedding_quantize", "s27i_quantized_topk", "s26b_minhash_lsh",
+    "s05c_tpch_q3", "s09_groupby_agg", "s05h_tpch_q9",
     "s26l_prefix_filter_join",
-    # -- slots 51+: driver-green entries rotated out in r9 ------------------
+    # -- driver-green entries rotated out in r9 ------------------
     "s01b_orc_scan", "s01c_partition_pruning", "s01d_schema_evolution",
     "s01e_compaction", "s01f_binaryfile_scan", "s01g_jsonl_scan",
     "s01h_zorder_layout", "s01i_dynamic_partition_pruning",
@@ -412,18 +432,10 @@ _DRIVER_ORDER = [
     # -- driver-green variants rotated out in earlier rounds ----------------
     "s30b_ltr_rank",
     "s15b_sort_nulls", "s28d_fingerprint", "s22b_array_hof",
-    "s14b_range_frame", "s31b_stratified_sample", "s28f_regex_tokens",
-    "s28c_quality_score", "s11e_unpivot", "s28b_lang_id", "s23b_from_json",
-    "s10c_distinct_rows", "s11d_pivot", "s29e_frame_sample",
-    "s09c_salted_agg", "s06b_full_outer_join", "s29c_grouped_map",
+    "s31b_stratified_sample", "s28f_regex_tokens",
+    "s28c_quality_score", "s28b_lang_id", "s23b_from_json",
+    "s29e_frame_sample", "s29c_grouped_map",
     "s31c_group_sample",
-    # -- and the rest of the catalog ---------------------------------------
-    "s10b_approx_count_distinct", "s11_rollup",
-    "s11b_cube",
-    "s09b_stats_agg",
-    "s08b_asof_join", "s29d_multimodal_resize",
-    "s26d_ngram_jaccard", "s29b_multimodal_decode",
-    "s08c_range_join", "s26g_dup_clusters",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
