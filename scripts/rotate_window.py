@@ -68,13 +68,18 @@ def main() -> None:
     last_round: dict[str, int] = {}
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            # A stray manual copy (e.g. *_backup.json) can't be placed on
+            # the round axis. Skip it ENTIRELY — folding it into `seen`
+            # without a round would default its entries to round 0 and
+            # rank a just-verified entry FIRST in the re-verify refill.
+            print(f"WARNING: ignoring {os.path.basename(path)} — "
+                  "name doesn't match CORRECTNESS_r<N>.json", file=sys.stderr)
+            continue
         with open(path) as fh:
             entries = set(json.load(fh))
         seen |= entries
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m is None:
-            continue  # stray manual copy (e.g. *_backup.json) counts for
-            # `seen` but can't be placed on the round axis
         rnum = int(m.group(1))
         for entry in entries:
             last_round[entry] = max(last_round.get(entry, 0), rnum)

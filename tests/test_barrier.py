@@ -360,6 +360,11 @@ def test_version_band_padding():
     assert parse_version_band("1.6rc9") == (1, 6)
     assert parse_version_band("2.0rc1") == (2, 0)
     assert parse_version_band("v1.7.6") == (1, 7)
+    # PEP 440 epoch prefix is stripped, not read as the major: without
+    # the strip, '1!2.0' would parse as (1, 0) and an in-band
+    # epoch-tagged build would warn spuriously
+    assert parse_version_band("1!2.0") == (2, 0)
+    assert parse_version_band("1!1.6rc9") == (1, 6)
     # the guard that motivated the pad: "3" is OUT of the verified band
     band = lambda v: (1, 7) <= parse_version_band(v) < (3, 0)  # noqa: E731
     assert band("1.7.6") and band("2.1.4")

@@ -65,10 +65,14 @@ def parse_version_band(version: str) -> tuple[int, int]:
     ``1.6rc9`` as (1, 69) and wave a below-band build past the (1, 7)
     floor, while anchoring at the start would read a ``v1.7.6``-style
     prefixed version as (0, 7) and warn spuriously on an in-band
-    install."""
+    install. A PEP 440 epoch prefix (``1!2.0``) is stripped before the
+    digit-run scan — without the strip the epoch digit would read as
+    the major and an in-band epoch-tagged build would warn spuriously
+    (xgboost has never published one; handled for the same defensive
+    reason as the ``v``-prefix case)."""
     ver = tuple(
         int(m.group()) if (m := re.search(r"\d+", part)) else 0
-        for part in version.split(".")[:2]
+        for part in re.sub(r"^\d+!", "", version).split(".")[:2]
     )
     return (ver + (0, 0))[:2]
 

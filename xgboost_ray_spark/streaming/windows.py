@@ -152,6 +152,9 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Run a streaming aggregation to completion into a memory sink."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    # Clear BEFORE start so a failed run leaves the cell empty, never the
+    # previous query's plan (the cell's contract is "this run's plan").
+    LAST_STREAM_PLAN[:] = []
     with stream_state_partitions(spark):
         q = (
             agg.writeStream.outputMode(output_mode)
@@ -214,6 +217,9 @@ def run_stream_to_files(
     )
     if partition_by:
         writer = writer.partitionBy(partition_by)
+    # Same pre-start clear as run_stream_to_memory: a failed run must not
+    # leave the previous query's plan readable as this run's.
+    LAST_STREAM_PLAN[:] = []
     q = writer.start()
     q.awaitTermination()
     _capture_stream_plan(q)
