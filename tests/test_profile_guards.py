@@ -96,3 +96,43 @@ def test_s32b_empty_snapshot_reports_zero_not_null(spark, tmp_path):
     got = {r.check_name: r.n_violations for r in out.collect()}
     assert len(got) == 5
     assert all(v == 0 for v in got.values()), got
+
+
+def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
+    """profile() executes its input plan twice by design (docstring
+    contract, measured 3x win over the one-aggregate SortAggregate plan
+    for pruned scans). For a derived frame that doubles real work, so the
+    call must emit the foot-gun warning when the analyzed plan carries a
+    join/aggregate/shuffle node AND the frame is unpersisted — and stay
+    silent for the two sanctioned shapes (pruned scan; persisted derived
+    frame)."""
+    import logging
+
+    from xgboost_ray_spark.operators.profile import profile
+
+    logger = "xgboost_ray_spark.operators.profile"
+    a = spark.range(10).withColumnRenamed("id", "k")
+    joined = a.join(spark.range(10).withColumnRenamed("id", "k"), "k")
+
+    with caplog.at_level(logging.WARNING, logger=logger):
+        profile(joined, (("k", True),))
+    assert any(
+        "executes its input plan TWICE" in r.getMessage()
+        for r in caplog.records
+    ), "no foot-gun warning for an unpersisted joined input"
+
+    # sanctioned shape 1: a plain scan-like frame -> silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        profile(a, (("k", True),))
+    assert not caplog.records, [r.getMessage() for r in caplog.records]
+
+    # sanctioned shape 2: the documented mitigation (persist) -> silent
+    joined.persist()
+    try:
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger=logger):
+            profile(joined, (("k", True),))
+        assert not caplog.records, [r.getMessage() for r in caplog.records]
+    finally:
+        joined.unpersist()

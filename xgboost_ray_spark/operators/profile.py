@@ -15,11 +15,15 @@ profiling happens ad hoc in pandas. Here it is a first-class operator.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.catalog import load_table
 from xgboost_ray_spark.registry import register
+
+_LOG = logging.getLogger(__name__)
 
 # (column, numeric?) — o_orderdate profiles via a fixed-format string
 # rendering (lexicographic == chronological for this format).
@@ -31,6 +35,38 @@ _PROFILE_COLS: tuple[tuple[str, bool], ...] = (
     ("o_orderpriority", False),
     ("o_orderdate_s", False),
 )
+
+
+# Analyzed-logical-plan node names whose recompute is expensive enough
+# that profiling the frame unpersisted doubles real work (vs a pruned
+# scan, whose second pass re-reads cheap column chunks).
+_EXPENSIVE_PLAN_NODES = ("Join", "Aggregate", "Repartition", "Window")
+
+
+def _warn_if_recompute_expensive(df: DataFrame) -> None:
+    """Warn when ``profile``'s documented double-execution contract is
+    about to bite: the input's ANALYZED logical plan (one py4j string
+    render — no optimization, no job) contains a join/aggregate/shuffle
+    node AND the frame is not persisted. Persisted inputs are exempt —
+    their second pass hits the cache, which is exactly the documented
+    mitigation. Advisory only: never fails the call (the check is
+    best-effort and a deliberate unpersisted double-pass stays legal)."""
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # plan render is diagnostics, never a failure path
+        return
+    hits = [n for n in _EXPENSIVE_PLAN_NODES if n in plan]
+    if hits:
+        _LOG.warning(
+            "profile() executes its input plan TWICE (two independent "
+            "aggregate branches) and this input contains %s — persist() "
+            "the frame before profiling (and unpersist after) to avoid "
+            "paying its construction cost twice; see profile()'s "
+            "caller contract.",
+            "/".join(hits),
+        )
 
 
 def profile(df: DataFrame, cols: tuple[tuple[str, bool], ...]) -> DataFrame:
@@ -60,7 +96,9 @@ def profile(df: DataFrame, cols: tuple[tuple[str, bool], ...]) -> DataFrame:
     the measured win over the one-aggregate SortAggregate plan. If you
     profile an expensive derived frame (joins, UDFs, shuffles upstream),
     ``persist()`` it before calling and unpersist after, or you pay its
-    full construction cost twice."""
+    full construction cost twice. ``_warn_if_recompute_expensive`` turns
+    that contract into a logged warning at call time."""
+    _warn_if_recompute_expensive(df)
     nd_fields = ", ".join(
         f"count(DISTINCT {c}) AS {c}__nd" for c, _ in cols
     )
