@@ -357,6 +357,13 @@ def sql_davg(expr: str, alias: str) -> str:
 #   tests/test_registry.py) and the oldest r3-era rows s06b s09c s10c
 #   s11d s11e s14b. After r10, no entry's driver row predates r3, and the
 #   remaining r3-era tail (12 entries) fits inside r11's rotation.
+#   Pre-verification (2026-08-15, quiet host, bare-session /tmp sweeps
+#   under this ordering with the final r10 code): sf0.01 — 157/157 clean
+#   (153 hash + 4 rows-only), 130.7 s query wall; sf0.1 — 157/157 clean,
+#   210.2 s. Rotating-slot sf0.01 timings: s10c 0.44, s11 0.73, s11b
+#   0.76, s11d 0.68, s11e 0.29, s06b 0.67, s09b 0.74, s09c 0.50, s10b
+#   0.32, s14b 0.45, s08b 0.78, s26d 2.54, s08c 2.03, s29b 0.82, s29d
+#   0.68, s27j 2.60 (new farthest-point trajectory), s26g 3.48.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
