@@ -365,6 +365,8 @@ def test_version_band_padding():
     # epoch-tagged build would warn spuriously
     assert parse_version_band("1!2.0") == (2, 0)
     assert parse_version_band("1!1.6rc9") == (1, 6)
+    # the strip composes with the v-prefix the function already supports
+    assert parse_version_band("v1!2.0") == (2, 0)
     # the guard that motivated the pad: "3" is OUT of the verified band
     band = lambda v: (1, 7) <= parse_version_band(v) < (3, 0)  # noqa: E731
     assert band("1.7.6") and band("2.1.4")

@@ -13,7 +13,7 @@ from xgboost_ray_spark.operators.graph import (
     PR_SCALE,
     pagerank,
 )
-from xgboost_ray_spark.operators.similarity import kmeans_assign
+from xgboost_ray_spark.operators.similarity import KM_SCALE, kmeans_assign
 
 
 def test_pagerank_two_node_cycle_is_fixed_point(spark):
@@ -117,7 +117,7 @@ def test_kmeans_farthest_point_seeding_recovers_adversarial_blobs(spark):
     # inertia at the jitter scale: max squared distance to a centroid is
     # bounded by (2 * 0.02 * KM_SCALE)^2 per axis, nowhere near the
     # separation scale (0.4 * KM_SCALE)^2 a blob-0-collapsed seeding pays
-    assert all(r["dist"] <= 2 * (2 * 0.02 * 10_000) ** 2 for r in out)
+    assert all(r["dist"] <= 2 * (2 * 0.02 * KM_SCALE) ** 2 for r in out)
 
 
 def test_kmeans_assigns_each_point_to_nearest_centroid(spark):

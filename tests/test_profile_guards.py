@@ -121,10 +121,23 @@ def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
         for r in caplog.records
     ), "no foot-gun warning for an unpersisted joined input"
 
-    # sanctioned shape 1: a plain scan-like frame -> silent
+    # dropDuplicates and orderBy shuffle the full input too — in the
+    # ANALYZED plan they appear as Deduplicate/Sort, not Aggregate
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger=logger):
-        profile(a, (("k", True),))
+        profile(a.dropDuplicates(["k"]), (("k", True),))
+    assert any(
+        "Deduplicate" in r.getMessage() for r in caplog.records
+    ), "no warning for an unpersisted dropDuplicates input"
+
+    # sanctioned shape 1: a plain scan-like frame -> silent, even when
+    # an IDENTIFIER contains a node name (node matching is anchored to
+    # the plan-tree position, not bare substrings)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        profile(
+            a.withColumnRenamed("k", "JoinKey"), (("JoinKey", True),)
+        )
     assert not caplog.records, [r.getMessage() for r in caplog.records]
 
     # sanctioned shape 2: the documented mitigation (persist) -> silent

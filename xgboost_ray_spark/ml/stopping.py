@@ -72,7 +72,7 @@ def parse_version_band(version: str) -> tuple[int, int]:
     reason as the ``v``-prefix case)."""
     ver = tuple(
         int(m.group()) if (m := re.search(r"\d+", part)) else 0
-        for part in re.sub(r"^\d+!", "", version).split(".")[:2]
+        for part in re.sub(r"^[vV]?\d+!", "", version).split(".")[:2]
     )
     return (ver + (0, 0))[:2]
 

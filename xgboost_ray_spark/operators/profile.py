@@ -16,6 +16,7 @@ profiling happens ad hoc in pandas. Here it is a first-class operator.
 from __future__ import annotations
 
 import logging
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,8 +40,20 @@ _PROFILE_COLS: tuple[tuple[str, bool], ...] = (
 
 # Analyzed-logical-plan node names whose recompute is expensive enough
 # that profiling the frame unpersisted doubles real work (vs a pruned
-# scan, whose second pass re-reads cheap column chunks).
-_EXPENSIVE_PLAN_NODES = ("Join", "Aggregate", "Repartition", "Window")
+# scan, whose second pass re-reads cheap column chunks). Deduplicate and
+# Sort are full shuffles at this stage too (dropDuplicates/orderBy show
+# up under those names in the ANALYZED plan, before any physical
+# rewrite); RepartitionByExpression is repartition(col).
+_EXPENSIVE_PLAN_NODES = (
+    "Join", "Aggregate", "Deduplicate", "Sort",
+    "Repartition", "RepartitionByExpression", "Window",
+)
+# Node names sit right after the plan tree's drawing prefix; anchoring
+# there keeps identifiers from matching (a column named WindowStart
+# appears inside brackets mid-line, never at the node position).
+_EXPENSIVE_NODE_RE = re.compile(
+    r"(?m)^[\s+:|-]*(" + "|".join(_EXPENSIVE_PLAN_NODES) + r")\b"
+)
 
 
 def _warn_if_recompute_expensive(df: DataFrame) -> None:
@@ -50,14 +63,20 @@ def _warn_if_recompute_expensive(df: DataFrame) -> None:
     node AND the frame is not persisted. Persisted inputs are exempt —
     their second pass hits the cache, which is exactly the documented
     mitigation. Advisory only: never fails the call (the check is
-    best-effort and a deliberate unpersisted double-pass stays legal)."""
+    best-effort and a deliberate unpersisted double-pass stays legal).
+    Known over-warn: a frame DERIVED from a persisted parent (e.g.
+    ``profile(cached.select(...))``) still shows the parent's Join in
+    its analyzed plan — cache substitution happens later, in
+    withCachedData — so it warns even though both branches would hit
+    the cache. Cheap to silence by persisting the profiled frame
+    itself; erring loud beats missing the real double-pass."""
     try:
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
             return
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # plan render is diagnostics, never a failure path
         return
-    hits = [n for n in _EXPENSIVE_PLAN_NODES if n in plan]
+    hits = sorted(set(_EXPENSIVE_NODE_RE.findall(plan)))
     if hits:
         _LOG.warning(
             "profile() executes its input plan TWICE (two independent "

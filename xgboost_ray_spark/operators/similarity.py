@@ -1037,6 +1037,25 @@ def _km_quantize_expr() -> Column:
     )
 
 
+def _km_sqdist_sql(vec_sql: str) -> str:
+    """Integer squared distance between the quantized column ``q`` and
+    ``vec_sql`` — the ONE spelling shared by the seeding distance map
+    and the assignment step. Integer-exactness ACROSS those two sites is
+    the correctness invariant the oracle hash pins; a single builder
+    makes it impossible to edit one and silently break the other."""
+    return (
+        f"aggregate(zip_with(q, {vec_sql}, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _km_int_array_sql(vals) -> str:
+    """BIGINT array literal (`L` suffix keeps elements BIGINT) — shared
+    by the seed literals and the centroid literals for the same reason
+    as :func:`_km_sqdist_sql`."""
+    return "array({})".format(", ".join(f"{int(v)}L" for v in vals))
+
+
 def kmeans_assign(
     vectors: DataFrame, k: int = KM_K, iters: int = KM_ITERS
 ) -> DataFrame:
@@ -1077,14 +1096,9 @@ def kmeans_assign(
     for _ in range(1, k):
         # One SQL-text literal per pass (array of the seeds chosen so
         # far) — the same single-parse rationale as cent_literal below.
-        arr = ", ".join(
-            "array({})".format(", ".join(f"{int(v)}L" for v in s))
-            for s in seed_qs
-        )
+        arr = ", ".join(_km_int_array_sql(s) for s in seed_qs)
         min_dist = F.expr(
-            f"array_min(transform(array({arr}), s -> "
-            "aggregate(zip_with(q, s, (a, b) -> (a - b) * (a - b)),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)))"
+            f"array_min(transform(array({arr}), s -> {_km_sqdist_sql('s')}))"
         )
         farthest = (
             pts.select("vec_id", "q", min_dist.alias("min_dist"))
@@ -1104,9 +1118,7 @@ def kmeans_assign(
         # rationale; round-trip count pinned in tests/test_build_cost.py).
         # Integer literals render exactly; `L` suffix keeps them BIGINT.
         arr = ", ".join(
-            "struct({k}L AS k, array({vs}) AS c)".format(
-                k=kk, vs=", ".join(f"{int(v)}L" for v in c)
-            )
+            f"struct({kk}L AS k, {_km_int_array_sql(c)} AS c)"
             for kk, c in cents
         )
         return F.expr(f"array({arr})")
@@ -1114,8 +1126,7 @@ def kmeans_assign(
     def assign(frame: DataFrame) -> DataFrame:
         best = F.expr(
             "array_min(transform(cents, s -> struct("
-            "aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d, s.k AS k)))"
+            f"{_km_sqdist_sql('s.c')} AS d, s.k AS k)))"
         )
         return frame.withColumn("cents", cent_literal()).select(
             "vec_id",
