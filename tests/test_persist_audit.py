@@ -1,0 +1,118 @@
+"""Static audit: every executor-cache lifecycle site is allowlisted.
+
+A ``persist()``/``cache()`` without a matching release leaks executor
+storage memory for the life of the session — invisible at sf0.1 (the
+whole table fits), real at 100 TB where the storage pool evicts shuffle
+and recompute churn begins. The SCALE.md iterative contracts ("persists
+its multiply-read inputs", "localCheckpoint handback") are claims about
+exactly these sites; this test pins them the same way the
+driver-materialization and broadcast-hint audits pin theirs, so a NEW
+cache site fails CI with the burden of proof on the author.
+
+Counts are call SITES per (file, function, method), not runtime pairing
+(an in-loop persist legitimately carries several unpersist sites on the
+different loop-exit paths — dup_clusters has 3 persist sites against 6
+unpersist sites and is leak-free). What each audited group guarantees:
+
+  * ml/train.py/train — the assembled training frame persists
+    MEMORY_AND_DISK before the iterative fit, released in the finally.
+  * ml/tuning.py/grid_search — train/val frames cached across the
+    grid's fits, both released after the loop.
+  * operators/dedup.py/dup_clusters — shingle/pair frames persist
+    across the edge union's multiple reads; per-round label frames
+    persist inside the loop and EVERY exit path (converged,
+    round-cap, checkpoint rotation) releases the superseded frame;
+    the returned frame is a localCheckpoint handback so lineage (and
+    the persisted inputs) can be dropped while the result stays live.
+  * operators/graph.py/pagerank — pre-keyed edge and node frames
+    persist across rounds, released after the localCheckpoint
+    handback of the final ranks.
+  * operators/similarity.py/kmeans_assign — the quantized points
+    persist across seeding passes + Lloyd rounds, released before
+    returning the (literal-centroid, cache-independent) assignment.
+
+The handback pattern is the repo rule for RETURNED frames: never return
+a frame whose plan still reads a cache the function just released —
+localCheckpoint (eager) first, then unpersist.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+from collections import Counter
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "xgboost_ray_spark",
+)
+
+_ATTRS = ("persist", "cache", "unpersist", "localCheckpoint")
+
+# (file, enclosing function, method) -> audited CALL COUNT.
+ALLOWED: dict[tuple[str, str, str], int] = {
+    ("ml/train.py", "train", "persist"): 1,
+    ("ml/train.py", "train", "unpersist"): 1,
+    ("ml/tuning.py", "grid_search", "cache"): 2,
+    ("ml/tuning.py", "grid_search", "unpersist"): 2,
+    ("operators/dedup.py", "dup_clusters", "localCheckpoint"): 2,
+    ("operators/dedup.py", "dup_clusters", "persist"): 3,
+    ("operators/dedup.py", "dup_clusters", "unpersist"): 6,
+    ("operators/graph.py", "pagerank", "localCheckpoint"): 1,
+    ("operators/graph.py", "pagerank", "persist"): 2,
+    ("operators/graph.py", "pagerank", "unpersist"): 2,
+    ("operators/similarity.py", "kmeans_assign", "persist"): 1,
+    ("operators/similarity.py", "kmeans_assign", "unpersist"): 1,
+}
+
+
+def _call_sites() -> Counter:
+    sites: Counter = Counter()
+    for root, _, files in os.walk(PKG):
+        if "__pycache__" in root:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            func_of: dict[ast.AST, str] = {}
+
+            def assign(node: ast.AST, fn: str) -> None:
+                for child in ast.iter_child_nodes(node):
+                    nfn = fn
+                    if isinstance(
+                        child, (ast.FunctionDef, ast.AsyncFunctionDef)
+                    ):
+                        nfn = child.name
+                    func_of[child] = nfn
+                    assign(child, nfn)
+
+            assign(tree, "<module>")
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in _ATTRS
+                ):
+                    sites[(rel, func_of.get(node, "?"), node.func.attr)] += 1
+    return sites
+
+
+def test_cache_lifecycle_sites_are_audited():
+    sites = _call_sites()
+    wrong = {
+        k: (sites.get(k, 0), ALLOWED.get(k, 0))
+        for k in set(sites) | set(ALLOWED)
+        if sites.get(k, 0) != ALLOWED.get(k, 0)
+    }
+    assert not wrong, (
+        "cache-lifecycle call counts off their audited values "
+        "{(file, function, method): (found, audited)} — for each new "
+        "site, show the release on every exit path and (for returned "
+        "frames) the localCheckpoint handback, document it in this "
+        "module's audit list, then re-pin; prune removed sites so the "
+        f"list never rots: {wrong}"
+    )
