@@ -122,3 +122,27 @@ def test_canonicals_pinned_in_window(registry):
     assert set(CANONICAL_ENTRIES) <= window
     assert len(CANONICAL_ENTRIES) == 33
     assert len({family(c) for c in CANONICAL_ENTRIES}) == 33
+
+
+def test_operators_md_is_current():
+    """OPERATORS.md is generated from the registry (the judge reads it as
+    the operator inventory); a registry edit that forgets the regen step
+    ships a stale catalog. Regenerate in-process and compare."""
+    import contextlib
+    import io
+    import os
+    import runpy
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        runpy.run_path(
+            os.path.join(repo, "scripts", "gen_operators_md.py"),
+            run_name="__main__",
+        )
+    with open(os.path.join(repo, "OPERATORS.md")) as fh:
+        on_disk = fh.read()
+    assert buf.getvalue() == on_disk, (
+        "OPERATORS.md is stale — regenerate it: "
+        "python scripts/gen_operators_md.py > OPERATORS.md"
+    )
