@@ -554,3 +554,57 @@ def test_retention_cohort_week_and_day_boundaries(spark, tmp_path):
         ("2024-03-01", 1): 1,
         ("2024-03-01", 2): 1,
     }, got
+
+
+@given(
+    pts=st.lists(
+        st.lists(
+            st.integers(min_value=-128, max_value=127), min_size=2, max_size=2
+        ),
+        min_size=2,
+        max_size=6,
+        unique_by=tuple,
+    )
+)
+@settings(**_SETTINGS)
+def test_farthest_point_seed_order_matches_pure_python(spark, pts):
+    """The k-means farthest-point seeding must equal a from-first-
+    principles pure-Python mirror — an oracle INDEPENDENT of both the
+    Spark SQL expressions and the DuckDB CTE unrolling (which share
+    their arithmetic spelling, so a shared misreading of the greedy
+    max-min rule would slip past the hash check). Exposed through the
+    public API by k = n, iters = 0: every point becomes a seed and its
+    cluster id IS its selection rank. Coordinates are k/256 (exact in
+    float32), so the quantization mirrors exactly; points are unique,
+    so selection ranks are unambiguous."""
+    from xgboost_ray_spark.operators.similarity import KM_SCALE, kmeans_assign
+
+    import math
+
+    coords = [[v / 256 for v in p] for p in pts]
+    # FLOOR like both engines; v is a /256 rational in [-0.5, 0.5), so
+    # (v + 0.5) * SCALE is exact in float64 and the floor is unambiguous
+    qs = [[math.floor((v + 0.5) * KM_SCALE) for v in p] for p in coords]
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = [0]  # seed 0 = the min-vec_id point
+    while len(order) < len(qs):
+        best = min(
+            (
+                (-min(sqd(q, qs[s]) for s in order), i)
+                for i, q in enumerate(qs)
+            ),
+        )
+        order.append(best[1])
+
+    vecs = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(coords)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(vecs, k=len(qs), iters=0).collect()
+    }
+    expected = {vid: rank for rank, vid in enumerate(order)}
+    assert got == expected
