@@ -608,3 +608,61 @@ def test_farthest_point_seed_order_matches_pure_python(spark, pts):
     }
     expected = {vid: rank for rank, vid in enumerate(order)}
     assert got == expected
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    right_rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.integers(min_value=0, max_value=99),
+        ),
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pure_python_mirror(spark, left_rows, right_rows):
+    """asof_join's union + last_value(ignorenulls) window spelling vs a
+    from-first-principles pure-Python scan — an oracle independent of
+    the SQL spelling, covering exactly the semantics the docstring
+    claims were each a real bug once: inclusive <=, max-(time, tiebreak)
+    winner among candidates, NULL right times/keys never match, NULL
+    left keys and NULL left times come back unmatched."""
+    from xgboost_ray_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k long, lt long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(right_rows)],
+        "k long, rt long, rid long, val long",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["val", "rid"], tiebreak=["rid"],
+    )
+    got = {r["lid"]: (r["val"], r["rid"]) for r in out.collect()}
+
+    expected = {}
+    for lid, (lk, lt_) in enumerate(left_rows):
+        cands = [
+            (rt, rid, v)
+            for rid, (rk, rt, v) in enumerate(right_rows)
+            if lk is not None and rk == lk
+            and rt is not None and lt_ is not None and rt <= lt_
+        ]
+        if cands:
+            rt, rid, v = max(cands)
+            expected[lid] = (v, rid)
+        else:
+            expected[lid] = (None, None)
+    assert got == expected
