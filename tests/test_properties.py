@@ -666,3 +666,86 @@ def test_asof_join_matches_pure_python_mirror(spark, left_rows, right_rows):
         else:
             expected[lid] = (None, None)
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_dup_clusters_matches_union_find(spark, edges):
+    """The iterative min-label propagation must equal a pure-Python
+    union-find on every generated graph — an oracle independent of both
+    the Spark loop and the recursive-CTE DuckDB oracle (which could
+    share a misreading of the closure semantics). Generated graphs
+    include self-loops, parallel/reversed duplicate edges, and chains
+    (multi-round convergence)."""
+    from xgboost_ray_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_root"] for r in dup_clusters(pairs).collect()
+    }
+
+    comp: dict[int, set] = {}
+    for node in {n for e in edges for n in e}:
+        comp[node] = {node}
+    for a, b in edges:
+        ca, cb = comp[a], comp[b]
+        if ca is not cb:
+            ca |= cb
+            for n in cb:
+                comp[n] = ca
+    expected = {n: min(c) for n, c in comp.items()}
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_matches_pure_python(spark, docs):
+    """Exact n-gram Jaccard vs a from-first-principles mirror: distinct
+    word-bigram sets (with the short-doc whole-text fallback shingle),
+    Fraction-exact threshold comparison, i<j pair ordering. Independent
+    of both the Spark join spelling and the DuckDB oracle, which share
+    the shingle/threshold expressions."""
+    from fractions import Fraction
+
+    from xgboost_ray_spark.operators.dedup import ngram_jaccard_pairs
+
+    n, threshold = 2, 0.5
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=n, threshold=threshold).collect()
+    }
+
+    def shingles(words):
+        m = max(len(words) - (n - 1), 1)
+        return {" ".join(words[i : i + n]) for i in range(m)}
+
+    sets = [shingles(w) for w in docs]
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter and Fraction(inter, union) >= Fraction(1, 2):
+                expected[(i, j)] = inter / union
+    assert set(got) == set(expected)
+    for pair, j_exact in expected.items():
+        assert abs(got[pair] - j_exact) <= 1e-6
