@@ -749,3 +749,48 @@ def test_ngram_jaccard_matches_pure_python(spark, docs):
     assert set(got) == set(expected)
     for pair, j_exact in expected.items():
         assert abs(got[pair] - j_exact) <= 1e-6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_pure_python_mirror(spark, edges):
+    """The fixed-point PageRank loop vs a from-first-principles integer
+    mirror — independent of both the Spark plan and the CTE-unrolled
+    DuckDB oracle. Pins the exact declared semantics: out-degree counts
+    DUPLICATE edges (each sends its own share), shares are
+    floor(rank / od), damping is (85 * inc) // 100 over BASE, and dst
+    nodes that never appear as src drop out (the documented no-dangling
+    contract)."""
+    from xgboost_ray_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_PCT,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+
+    nodes = {s for s, _ in edges}
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    rank = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        inc = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + rank[s] // od[s]
+        rank = {
+            n: PR_BASE + (PR_DAMP_PCT * inc.get(n, 0)) // 100 for n in nodes
+        }
+    assert got == rank
