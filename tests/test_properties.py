@@ -794,3 +794,79 @@ def test_pagerank_matches_pure_python_mirror(spark, edges):
             n: PR_BASE + (PR_DAMP_PCT * inc.get(n, 0)) // 100 for n in nodes
         }
     assert got == rank
+
+
+def test_sessionization_gap_boundary_is_strict(spark, tmp_path):
+    """s24b's session cut is STRICTLY > 30 minutes between consecutive
+    events (microsecond-exact, matching the oracle's epoch_us
+    arithmetic): a gap of exactly 30:00.000000 continues the session,
+    one microsecond more starts a new one; simultaneous events
+    (tie-broken by event_id) share a session; a lone event is one
+    session. Driven through the registered builder over a purpose-built
+    events table."""
+    from datetime import datetime, timedelta
+
+    from xgboost_ray_spark.registry import all_queries
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    gap = timedelta(minutes=30)
+    us = timedelta(microseconds=1)
+    rows = [
+        # user 1: exact-30:00 gap continues; +1 us past it cuts
+        (1, t0), (1, t0 + gap), (1, t0 + gap + gap + us),
+        # user 2: lone event
+        (2, t0),
+        # user 3: two simultaneous events
+        (3, t0), (3, t0),
+    ]
+    spark.createDataFrame(
+        [(i, u, "view", t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in all_queries()["s24b_sessionization"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (2, 3), 2: (1, 1), 3: (1, 2)}, got
+
+
+def test_gaps_islands_day_and_month_boundaries(spark, tmp_path):
+    """s14e's islands are runs of CONSECUTIVE CALENDAR DAYS of activity:
+    same-day repeat events collapse (distinct before the window), a
+    one-day gap splits islands, a month boundary does not (date
+    arithmetic, not day-of-month), and 23:59:59.999999 -> 00:00:00.000000
+    counts as two consecutive days."""
+    from datetime import date, datetime, timedelta
+
+    from xgboost_ray_spark.registry import all_queries
+
+    rows = [
+        # user 1: two events on 03-01 (collapse), 03-02, gap, 03-04
+        (1, datetime(2024, 3, 1, 9, 0)), (1, datetime(2024, 3, 1, 21, 0)),
+        (1, datetime(2024, 3, 2, 0, 0)), (1, datetime(2024, 3, 4, 5, 0)),
+        # user 2: month boundary is still consecutive
+        (2, datetime(2024, 3, 31, 12, 0)), (2, datetime(2024, 4, 1, 12, 0)),
+        # user 3: 1 us before midnight belongs to the earlier day
+        (3, datetime(2024, 3, 1, 23, 59, 59) + timedelta(microseconds=999999)),
+        (3, datetime(2024, 3, 2, 0, 0)),
+    ]
+    spark.createDataFrame(
+        [(i, u, "view", t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["island_start"], r["island_end"], r["n_days"])
+        for r in all_queries()["s14e_gaps_islands"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        (1, date(2024, 3, 1), date(2024, 3, 2), 2),
+        (1, date(2024, 3, 4), date(2024, 3, 4), 1),
+        (2, date(2024, 3, 31), date(2024, 4, 1), 2),
+        (3, date(2024, 3, 1), date(2024, 3, 2), 2),
+    }, got
