@@ -870,3 +870,82 @@ def test_gaps_islands_day_and_month_boundaries(spark, tmp_path):
         (2, date(2024, 3, 31), date(2024, 4, 1), 2),
         (3, date(2024, 3, 1), date(2024, 3, 2), 2),
     }, got
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),        # user
+            st.integers(min_value=0, max_value=5),        # seconds offset
+            st.sampled_from(["view", "click"]),           # type
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_history_matches_pure_python_mirror(spark, events):
+    """scd2_history vs a from-first-principles mirror: per user, order
+    by (ts, event_id); rows whose type differs from the previous row
+    open an interval; the NEXT CHANGE row's ts closes it (not the next
+    event's); the last change stays open (valid_to NULL). Generated
+    streams include duplicate timestamps (event_id tie-break) and
+    zero-length intervals (two changes at one ts). Independent of both
+    the lag/lead window spelling and the shared SCD2_HIST_CTE oracle."""
+    from datetime import datetime, timedelta, timezone
+
+    from xgboost_ray_spark.operators.cdc import scd2_history
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    t0_us = int(t0.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    df = spark.createDataFrame(
+        [
+            (u, ty, t0 + timedelta(seconds=s), eid)
+            for eid, (u, s, ty) in enumerate(events)
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    key = lambda t: (t[0], t[2], -1 if t[3] is None else t[3], t[1])
+    got = sorted(
+        (
+            (
+                r["user_id"],
+                r["event_type"],
+                r["valid_from_us"],
+                r["valid_to_us"],
+            )
+            for r in scd2_history(df)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("valid_from").alias("valid_from_us"),
+            F.unix_micros("valid_to").alias("valid_to_us"),
+        )
+        .collect()
+        ),
+        key=key,
+    )
+
+    expected = []
+    for u in {e[0] for e in events}:
+        stream = sorted(
+            (s, eid, ty)
+            for eid, (uu, s, ty) in enumerate(events)
+            if uu == u
+        )
+        changes = [
+            (s, ty)
+            for i, (s, eid, ty) in enumerate(stream)
+            if i == 0 or stream[i - 1][2] != ty
+        ]
+        for i, (s, ty) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            expected.append(
+                (
+                    u,
+                    ty,
+                    t0_us + s * 1_000_000,
+                    None if nxt is None else t0_us + nxt * 1_000_000,
+                )
+            )
+    assert got == sorted(expected, key=key)
