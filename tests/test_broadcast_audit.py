@@ -1,4 +1,4 @@
-"""Static audit: every explicit broadcast() hint is allowlisted.
+"""Static audit: every explicit broadcast hint is allowlisted.
 
 A broadcast hint is a PROMISE that the hinted side stays bounded at
 100 TB — Spark trusts it unconditionally (no AQE size re-check for an
@@ -12,11 +12,14 @@ wrong at cluster scale. The judge re-audits hint sites each round; this
 test pins that audit so a NEW hint fails CI with the burden of proof on
 the author, not on the next audit.
 
-Mechanics mirror tests/test_driver_surface.py: AST walk (no Spark
-session), collecting (file, enclosing function) -> COUNT for every
-``broadcast(...)`` call (``F.broadcast`` or a bare imported
-``broadcast``). The set must EQUAL the audited allowlist — removals
-must be pruned here too, so the list never rots.
+Mechanics live in tests/audit_utils.py (shared with the driver-surface
+and cache-lifecycle audits): AST walk, no Spark session, collecting
+(file, enclosing function) -> COUNT. All THREE hint spellings Spark
+honors are matched — ``F.broadcast(df)``, ``df.hint("broadcast")`` (and
+its broadcastjoin/mapjoin aliases), and SQL comment hints
+(``/*+ BROADCAST(t) */`` inside any SQL string constant). The set must
+EQUAL the audited allowlist — removals must be pruned here too, so the
+list never rots.
 
 Every allowlisted hint is one of five bounded classes, none
 SF-proportional:
@@ -29,8 +32,7 @@ SF-proportional:
     (joins.py s16b max-revenue row, s09e quantile threshold, text.py
     corpus N / token total, profile.py corpus stats row, sampling.py
     s31g corpus count, similarity.py quantized_vectors stats row,
-    layout.py zorder min/max row, streaming s25l per-type stats,
-    dedup.py s26i test-set digests).
+    layout.py zorder min/max row, streaming s25l per-type stats).
   * QUERY SIDE OF ANN — |queries| rows by construction, the corpus
     never broadcasts (similarity.py cosine_topk / lsh_cosine_topk /
     quantized_topk, functions/ann.py gemm_topk); IVF broadcasts K
@@ -56,13 +58,10 @@ hint and let AQE decide (the round-8 lesson), not to extend this list.
 from __future__ import annotations
 
 import ast
-import os
-from collections import Counter
 
-PKG = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "xgboost_ray_spark",
-)
+from tests.audit_utils import call_name, call_sites, string_constants
+
+_HINT_NAMES = ("broadcast", "broadcastjoin", "mapjoin")
 
 # (file, enclosing function) -> audited broadcast-hint CALL COUNT.
 ALLOWED: dict[tuple[str, str], int] = {
@@ -103,54 +102,32 @@ ALLOWED: dict[tuple[str, str], int] = {
 }
 
 
-def _call_sites() -> Counter:
-    sites: Counter = Counter()
-    for root, _, files in os.walk(PKG):
-        if "__pycache__" in root:
-            continue
-        for fname in files:
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(root, fname)
-            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
-            with open(path) as fh:
-                tree = ast.parse(fh.read())
-            func_of: dict[ast.AST, str] = {}
-
-            def assign(node: ast.AST, fn: str) -> None:
-                for child in ast.iter_child_nodes(node):
-                    nfn = fn
-                    if isinstance(
-                        child, (ast.FunctionDef, ast.AsyncFunctionDef)
-                    ):
-                        nfn = child.name
-                    func_of[child] = nfn
-                    assign(child, nfn)
-
-            assign(tree, "<module>")
-            for node in ast.walk(tree):
-                if not isinstance(node, ast.Call):
-                    continue
-                f = node.func
-                name = (
-                    f.attr
-                    if isinstance(f, ast.Attribute)
-                    else (f.id if isinstance(f, ast.Name) else None)
-                )
-                if name == "broadcast":
-                    sites[(rel, func_of.get(node, "?"))] += 1
-    return sites
+def _match_hint(node: ast.Call) -> str | None:
+    name = call_name(node)
+    if name == "broadcast":
+        return "broadcast"
+    # df.hint("broadcast") — Spark trusts this exactly like F.broadcast
+    if (
+        name == "hint"
+        and node.args
+        and isinstance(node.args[0], ast.Constant)
+        and isinstance(node.args[0].value, str)
+        and node.args[0].value.lower() in _HINT_NAMES
+    ):
+        return "broadcast"
+    return None
 
 
 def test_broadcast_hint_sites_are_audited():
-    sites = _call_sites()
+    sites = call_sites(_match_hint)
+    found = {(f, fn): n for (f, fn, _label), n in sites.items()}
     wrong = {
-        k: (sites.get(k, 0), ALLOWED.get(k, 0))
-        for k in set(sites) | set(ALLOWED)
-        if sites.get(k, 0) != ALLOWED.get(k, 0)
+        k: (found.get(k, 0), ALLOWED.get(k, 0))
+        for k in set(found) | set(ALLOWED)
+        if found.get(k, 0) != ALLOWED.get(k, 0)
     }
     assert not wrong, (
-        "broadcast() hint counts off their audited values "
+        "broadcast hint counts off their audited values "
         "{(file, function): (found, audited)} — prove each new hint's "
         "side is BOUNDED at 100 TB (tiny dim, 1-row scalar, query side, "
         "K-sized model, delta digests — never SF-proportional), document "
@@ -158,3 +135,16 @@ def test_broadcast_hint_sites_are_audited():
         "grow with the corpus, delete the hint and let AQE decide "
         f"(the round-8 lesson): {wrong}"
     )
+
+
+def test_no_sql_comment_broadcast_hints():
+    """The third hint spelling: /*+ BROADCAST(t) */ inside SQL text.
+    None exist; any new one must move to an auditable call-site
+    spelling (F.broadcast / df.hint) or extend this test with its
+    justification."""
+    hits = [
+        (f, fn, s)
+        for f, fn, s in string_constants("/*+")
+        if any(h in s.lower() for h in _HINT_NAMES)
+    ]
+    assert not hits, f"SQL comment broadcast hints found: {hits}"

@@ -53,11 +53,8 @@ Every allowlisted site is O(1) or K-sized w.r.t. the corpus:
 from __future__ import annotations
 
 import ast
-import os
-from collections import Counter
 
-PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "xgboost_ray_spark")
+from tests.audit_utils import call_sites
 
 _ATTRS = ("collect", "collectAsList", "toPandas", "crossJoin")
 
@@ -81,43 +78,16 @@ ALLOWED: dict[tuple[str, str, str], int] = {
 }
 
 
-def _call_sites() -> Counter:
-    sites: Counter = Counter()
-    for root, _, files in os.walk(PKG):
-        if "__pycache__" in root:
-            continue
-        for fname in files:
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(root, fname)
-            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
-            with open(path) as fh:
-                tree = ast.parse(fh.read())
-            func_of: dict[ast.AST, str] = {}
-
-            def assign(node: ast.AST, fn: str) -> None:
-                for child in ast.iter_child_nodes(node):
-                    nfn = fn
-                    if isinstance(
-                        child, (ast.FunctionDef, ast.AsyncFunctionDef)
-                    ):
-                        nfn = child.name
-                    func_of[child] = nfn
-                    assign(child, nfn)
-
-            assign(tree, "<module>")
-            for node in ast.walk(tree):
-                if (
-                    isinstance(node, ast.Call)
-                    and isinstance(node.func, ast.Attribute)
-                    and node.func.attr in _ATTRS
-                ):
-                    sites[(rel, func_of.get(node, "?"), node.func.attr)] += 1
-    return sites
+def _match(node: ast.Call) -> str | None:
+    # attribute calls only: a bare name like collect() is never the
+    # DataFrame method this audit is about
+    if isinstance(node.func, ast.Attribute) and node.func.attr in _ATTRS:
+        return node.func.attr
+    return None
 
 
 def test_driver_materialization_sites_are_audited():
-    sites = _call_sites()
+    sites = call_sites(_match)
     wrong = {
         k: (sites.get(k, 0), ALLOWED.get(k, 0))
         for k in set(sites) | set(ALLOWED)

@@ -7,7 +7,12 @@ and recompute churn begins. The SCALE.md iterative contracts ("persists
 its multiply-read inputs", "localCheckpoint handback") are claims about
 exactly these sites; this test pins them the same way the
 driver-materialization and broadcast-hint audits pin theirs, so a NEW
-cache site fails CI with the burden of proof on the author.
+cache site fails CI with the burden of proof on the author. Every
+retention spelling is covered: the DataFrame methods
+(persist/cache/unpersist/localCheckpoint), the catalog calls
+(cacheTable/uncacheTable), reliable ``checkpoint()``, and the SQL
+``CACHE TABLE`` text form (a separate string scan — the AST walk can't
+see inside SQL).
 
 Counts are call SITES per (file, function, method), not runtime pairing
 (an in-loop persist legitimately carries several unpersist sites on the
@@ -39,15 +44,18 @@ localCheckpoint (eager) first, then unpersist.
 from __future__ import annotations
 
 import ast
-import os
-from collections import Counter
 
-PKG = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "xgboost_ray_spark",
+from tests.audit_utils import call_name, call_sites, string_constants
+
+_ATTRS = (
+    "persist",
+    "cache",
+    "unpersist",
+    "localCheckpoint",
+    "checkpoint",
+    "cacheTable",
+    "uncacheTable",
 )
-
-_ATTRS = ("persist", "cache", "unpersist", "localCheckpoint")
 
 # (file, enclosing function, method) -> audited CALL COUNT.
 ALLOWED: dict[tuple[str, str, str], int] = {
@@ -66,43 +74,13 @@ ALLOWED: dict[tuple[str, str, str], int] = {
 }
 
 
-def _call_sites() -> Counter:
-    sites: Counter = Counter()
-    for root, _, files in os.walk(PKG):
-        if "__pycache__" in root:
-            continue
-        for fname in files:
-            if not fname.endswith(".py"):
-                continue
-            path = os.path.join(root, fname)
-            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
-            with open(path) as fh:
-                tree = ast.parse(fh.read())
-            func_of: dict[ast.AST, str] = {}
-
-            def assign(node: ast.AST, fn: str) -> None:
-                for child in ast.iter_child_nodes(node):
-                    nfn = fn
-                    if isinstance(
-                        child, (ast.FunctionDef, ast.AsyncFunctionDef)
-                    ):
-                        nfn = child.name
-                    func_of[child] = nfn
-                    assign(child, nfn)
-
-            assign(tree, "<module>")
-            for node in ast.walk(tree):
-                if (
-                    isinstance(node, ast.Call)
-                    and isinstance(node.func, ast.Attribute)
-                    and node.func.attr in _ATTRS
-                ):
-                    sites[(rel, func_of.get(node, "?"), node.func.attr)] += 1
-    return sites
+def _match_lifecycle(node: ast.Call) -> str | None:
+    name = call_name(node)
+    return name if name in _ATTRS else None
 
 
 def test_cache_lifecycle_sites_are_audited():
-    sites = _call_sites()
+    sites = call_sites(_match_lifecycle)
     wrong = {
         k: (sites.get(k, 0), ALLOWED.get(k, 0))
         for k in set(sites) | set(ALLOWED)
@@ -116,3 +94,11 @@ def test_cache_lifecycle_sites_are_audited():
         "module's audit list, then re-pin; prune removed sites so the "
         f"list never rots: {wrong}"
     )
+
+
+def test_no_sql_cache_table():
+    """The SQL text spelling of the same retention class. None exist;
+    any new one must move to an auditable call-site spelling or extend
+    this test with its lifecycle justification."""
+    hits = string_constants("cache table")
+    assert not hits, f"SQL CACHE TABLE statements found: {hits}"

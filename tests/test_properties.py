@@ -744,7 +744,8 @@ def test_ngram_jaccard_matches_pure_python(spark, docs):
         for j in range(i + 1, len(docs)):
             inter = len(sets[i] & sets[j])
             union = len(sets[i] | sets[j])
-            if inter and Fraction(inter, union) >= Fraction(1, 2):
+            thr = Fraction(threshold).limit_denominator(10**6)
+            if inter and Fraction(inter, union) >= thr:
                 expected[(i, j)] = inter / union
     assert set(got) == set(expected)
     for pair, j_exact in expected.items():
@@ -838,20 +839,29 @@ def test_gaps_islands_day_and_month_boundaries(spark, tmp_path):
     same-day repeat events collapse (distinct before the window), a
     one-day gap splits islands, a month boundary does not (date
     arithmetic, not day-of-month), and 23:59:59.999999 -> 00:00:00.000000
-    counts as two consecutive days."""
-    from datetime import date, datetime, timedelta
+    counts as two consecutive days. Timestamps are tz-aware UTC so the
+    fixture means the same instants on any test host (PySpark converts
+    NAIVE datetimes through the OS timezone, which the session tz conf
+    does not govern — a naive 23:59:59.999999 would cross the UTC date
+    line on an east-of-UTC host and merge user 3's island)."""
+    from datetime import date, datetime, timedelta, timezone
 
     from xgboost_ray_spark.registry import all_queries
 
+    utc = timezone.utc
     rows = [
         # user 1: two events on 03-01 (collapse), 03-02, gap, 03-04
-        (1, datetime(2024, 3, 1, 9, 0)), (1, datetime(2024, 3, 1, 21, 0)),
-        (1, datetime(2024, 3, 2, 0, 0)), (1, datetime(2024, 3, 4, 5, 0)),
+        (1, datetime(2024, 3, 1, 9, 0, tzinfo=utc)),
+        (1, datetime(2024, 3, 1, 21, 0, tzinfo=utc)),
+        (1, datetime(2024, 3, 2, 0, 0, tzinfo=utc)),
+        (1, datetime(2024, 3, 4, 5, 0, tzinfo=utc)),
         # user 2: month boundary is still consecutive
-        (2, datetime(2024, 3, 31, 12, 0)), (2, datetime(2024, 4, 1, 12, 0)),
+        (2, datetime(2024, 3, 31, 12, 0, tzinfo=utc)),
+        (2, datetime(2024, 4, 1, 12, 0, tzinfo=utc)),
         # user 3: 1 us before midnight belongs to the earlier day
-        (3, datetime(2024, 3, 1, 23, 59, 59) + timedelta(microseconds=999999)),
-        (3, datetime(2024, 3, 2, 0, 0)),
+        (3, datetime(2024, 3, 1, 23, 59, 59, tzinfo=utc)
+            + timedelta(microseconds=999999)),
+        (3, datetime(2024, 3, 2, 0, 0, tzinfo=utc)),
     ]
     spark.createDataFrame(
         [(i, u, "view", t) for i, (u, t) in enumerate(rows)],
@@ -896,8 +906,10 @@ def test_scd2_history_matches_pure_python_mirror(spark, events):
 
     from xgboost_ray_spark.operators.cdc import scd2_history
 
-    t0 = datetime(2024, 3, 1, 12, 0, 0)
-    t0_us = int(t0.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    # tz-aware so the fixture is host-timezone-independent (PySpark
+    # converts NAIVE datetimes through the OS tz, not the session conf)
+    t0 = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+    t0_us = int(t0.timestamp() * 1_000_000)
     df = spark.createDataFrame(
         [
             (u, ty, t0 + timedelta(seconds=s), eid)
