@@ -961,3 +961,44 @@ def test_scd2_history_matches_pure_python_mirror(spark, events):
                 )
             )
     assert got == sorted(expected, key=key)
+
+
+def test_point_in_time_boundary_is_new_state_at_t(spark, tmp_path):
+    """s14d's interval predicate pinned at its exact edges: a state
+    change AT the as-of instant T wins (valid_from <= T inclusive, the
+    closed interval's valid_to > T exclusive), a change 1 us after T
+    does not; a user whose whole history starts after T has no state;
+    an untouched open interval from long before T survives. Timestamps
+    tz-aware UTC (host-timezone-independent fixture)."""
+    from datetime import datetime, timedelta, timezone
+
+    from xgboost_ray_spark.operators.cdc import AS_OF
+    from xgboost_ray_spark.registry import all_queries
+
+    t = datetime.strptime(AS_OF, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=timezone.utc
+    )
+    us = timedelta(microseconds=1)
+    day = timedelta(days=1)
+    rows = [
+        # user 1: view long before T, click exactly AT T -> click at T
+        (1, "view", t - day), (1, "click", t),
+        # user 2: view before T, click 1 us AFTER T -> still view at T
+        (2, "view", t - day), (2, "click", t + us),
+        # user 3: first event after T -> no state at T
+        (3, "view", t + day),
+        # user 4: single open interval opened before T -> view
+        (4, "view", t - day),
+    ]
+    spark.createDataFrame(
+        [(i, u, e, ts) for i, (u, e, ts) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["user_id"]: r["state_at_t"]
+        for r in all_queries()["s14d_point_in_time"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: "click", 2: "view", 4: "view"}, got
