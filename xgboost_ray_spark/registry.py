@@ -364,33 +364,65 @@ def sql_davg(expr: str, alias: str) -> str:
 #   0.76, s11d 0.68, s11e 0.29, s06b 0.67, s09b 0.74, s09c 0.50, s10b
 #   0.32, s14b 0.45, s08b 0.78, s26d 2.54, s08c 2.03, s29b 0.82, s29d
 #   0.68, s27j 2.60 (new farthest-point trajectory), s26g 3.48.
+#   CORRECTNESS_r10 came back 50/50 green (49 hash + s10b rows-only by
+#   design), including s27j under the farthest-point trajectory.
+#   r11 window (this one): all 17 rotating slots are RE-verification,
+#   stalest-driver-row-first (VERDICT r10 #1): the COMPLETE r3-era tail
+#   (12: s15b s22b s23b s28b s28c s28d s28f s29c s29e s30b s31b s31c —
+#   s30b is rows-only by design, MLlib LTR ranker isn't SQL-portable;
+#   its golden pin lives in tests/test_registry.py) plus 5 of the 16
+#   r4-era rows. All 16 r4 rows are equally stale (rotate_window.py and
+#   VERDICT r10 name different fives — a tie, not a disagreement); the
+#   reviewed decision adopts the verdict's named set verbatim: s04c s21b
+#   s26e s31f s33b. No changed-plans-first override applies — no query
+#   plan changed in r10→r11 before this rotation. After r11, no entry's
+#   driver row predates r4 and the remaining 11 r4-era rows (s07b s09e
+#   s12b s14e s22c s24c s25 s25d s27b s28g s29g) are the scheduled r12
+#   refill, finishing the staleness sweep exactly as VERDICT r10 #1
+#   contracted. Rotated out to 51+ (all driver-green r10): s06b s08b
+#   s08c s09b s09c s10b s10c s11 s11b s11d s11e s14b s26d s26g s27j
+#   s29b s29d. Pre-verification (2026-08-15, start of r11, bare-session
+#   /tmp sweep at sf0.01 immediately after this rotation landed):
+#   157/157 clean (153 hash + 4 rows-only by design), 150.8 s query
+#   wall. Rotating-slot timings: s15b 0.60, s22b 0.66, s21b 1.64, s33b
+#   0.60, s31b 0.31, s31c 0.53, s31f 0.36, s23b 0.51, s28b 0.49, s28c
+#   0.40, s28d 0.23, s28f 0.30, s04c 0.36, s29c 0.51, s29e 0.49, s30b
+#   5.65 (MLlib LTR, rows-only), s26e 1.88 — ~16 s combined.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r10 set: -----
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r11 set: -----
     # -- all re-verification, stalest driver row first — the complete
-    # -- r2-era tier + the six oldest r3-era rows + s27j under its new
-    # -- farthest-point seed trajectory), roughly cost-ordered; the heavy
-    # -- iterative re-verifies (s27j ~2.1 s standalone, s26g ~4 s) close
-    # -- the window; s03 leads so the cheapest query absorbs JVM warmup ----
+    # -- r3-era tail (12) + the verdict's five r4-era rows), roughly
+    # -- cost-ordered; the heavier re-verifies (s30b MLlib LTR, s26e
+    # -- hamming multi-index) close the window; s03 leads so the
+    # -- cheapest query absorbs JVM warmup --------------------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
-    "s22_array_funcs", "s21_conditional", "s20_math_funcs",
-    "s19_date_funcs", "s33_sequence_pack", "s12_having", "s31_hash_split",
-    "s16_topk_per_group", "s23_json", "s18_string_funcs",
+    "s15b_sort_nulls", "s22_array_funcs", "s22b_array_hof",
+    "s21_conditional", "s21b_promo_revenue", "s20_math_funcs",
+    "s19_date_funcs", "s33_sequence_pack", "s33b_chunk_overlap",
+    "s12_having", "s31_hash_split", "s31b_stratified_sample",
+    "s31c_group_sample", "s31f_weighted_sample", "s16_topk_per_group",
+    "s23_json", "s23b_from_json", "s18_string_funcs", "s28b_lang_id",
+    "s28c_quality_score", "s28d_fingerprint", "s28f_regex_tokens",
+    "s04_filter", "s04c_tpch_q6", "s11c_grouping_sets",
+    "s24_tumbling_window", "s01_parquet_scan", "s09d_argmax",
+    "s10_count_distinct", "s13_window_rank", "s14_window_analytic",
+    "s17_setops", "s02_csv_scan", "s08_broadcast_join",
+    "s07_semi_anti_join", "s26f_canonical_dedup", "s27c_embedding_neardup",
+    "s06_outer_join", "s29_pandas_udf", "s29c_grouped_map",
+    "s29e_frame_sample", "s25e_stream_dedup", "s32_profile",
+    "s05b_salted_join", "s30c_linear_model_train", "s30b_ltr_rank",
+    "s26e_hamming_pairs",
+    # -- slots 51+: driver-green entries rotated out in r11 -----------------
     "s10c_distinct_rows", "s11_rollup", "s11b_cube", "s11d_pivot",
-    "s11e_unpivot", "s11c_grouping_sets", "s24_tumbling_window",
-    "s01_parquet_scan", "s09d_argmax", "s06b_full_outer_join",
-    "s09b_stats_agg", "s09c_salted_agg", "s10b_approx_count_distinct",
-    "s14b_range_frame", "s08b_asof_join", "s30c_linear_model_train",
-    "s14_window_analytic", "s07_semi_anti_join", "s26f_canonical_dedup",
-    "s26d_ngram_jaccard", "s10_count_distinct", "s13_window_rank",
-    "s17_setops", "s02_csv_scan", "s08_broadcast_join", "s08c_range_join",
-    "s04_filter", "s27c_embedding_neardup", "s06_outer_join",
-    "s29_pandas_udf", "s29b_multimodal_decode", "s29d_multimodal_resize",
-    "s25e_stream_dedup", "s32_profile", "s05b_salted_join",
-    "s27j_kmeans", "s26g_dup_clusters",
-    # -- slots 51+: driver-green entries rotated out in r10 -----------------
+    "s11e_unpivot", "s06b_full_outer_join", "s09b_stats_agg",
+    "s09c_salted_agg", "s10b_approx_count_distinct", "s14b_range_frame",
+    "s08b_asof_join", "s26d_ngram_jaccard", "s08c_range_join",
+    "s29b_multimodal_decode", "s29d_multimodal_resize", "s27j_kmeans",
+    "s26g_dup_clusters",
+    # -- driver-green entries rotated out in r10 ------------------
     "s31e_temporal_split", "s31g_negative_pairs", "s31d_domain_mixture",
     "s28k_class_entropy", "s32c_drift_report", "s26_dedup_exact",
     "s05_inner_join", "s26c_simhash", "s24b_sessionization",
@@ -429,20 +461,12 @@ _DRIVER_ORDER = [
     "s09f_scalar_subquery", "s30e_cv_ols", "s25i_stream_cdc_upsert",
     "s25g_stream_stream_join",
     "s24g_pagerank",
-    # -- driver-green entries rotated out in r5 ------------------------------
-    "s31f_weighted_sample", "s09e_quantile_filter", "s04c_tpch_q6",
-    "s14e_gaps_islands", "s33b_chunk_overlap", "s07b_exists_subquery",
-    "s21b_promo_revenue", "s22c_map_funcs", "s29g_udtf_token_runs",
-    "s12b_having_join", "s25_stream_tumbling", "s24c_funnel",
-    "s28g_repetition_score", "s25d_stateful_sessions",
-    "s27b_lsh_topk", "s26e_hamming_pairs",
-    # -- driver-green variants rotated out in earlier rounds ----------------
-    "s30b_ltr_rank",
-    "s15b_sort_nulls", "s28d_fingerprint", "s22b_array_hof",
-    "s31b_stratified_sample", "s28f_regex_tokens",
-    "s28c_quality_score", "s28b_lang_id", "s23b_from_json",
-    "s29e_frame_sample", "s29c_grouped_map",
-    "s31c_group_sample",
+    # -- driver-green entries rotated out in r5 (the 11 r4-era rows ---------
+    # -- remaining after the r11 refill — the scheduled r12 set) ------------
+    "s09e_quantile_filter", "s14e_gaps_islands", "s07b_exists_subquery",
+    "s22c_map_funcs", "s29g_udtf_token_runs", "s12b_having_join",
+    "s25_stream_tumbling", "s24c_funnel", "s28g_repetition_score",
+    "s25d_stateful_sessions", "s27b_lsh_topk",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
