@@ -6,6 +6,7 @@ symmetric fixed points, dangling-free invariants).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from xgboost_ray_spark.operators.graph import (
@@ -74,6 +75,19 @@ def test_kmeans_starved_cluster_keeps_seed_centroid(spark):
     # never crashes the update and never wins a tie against cluster 0
     assert all(r["dist"] == 0 for r in out)
     assert {r["cluster"] for r in out} == {0, 1}
+
+
+def test_kmeans_empty_input_raises_named_error(spark):
+    """An empty vectors frame (e.g. fully filtered upstream) must fail
+    with an error naming the problem, not an opaque IndexError from the
+    first-seed collect."""
+    vecs = (
+        spark.createDataFrame([(0, [0.1, 0.1])], ["vec_id", "embedding"])
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+        .filter(F.col("vec_id") < 0)
+    )
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_assign(vecs, k=2, iters=1)
 
 
 def test_kmeans_farthest_point_seeding_recovers_adversarial_blobs(spark):

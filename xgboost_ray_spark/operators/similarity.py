@@ -1091,8 +1091,14 @@ def kmeans_assign(
     """
     pts = vectors.select("vec_id", _km_quantize_expr().alias("q")).persist()
     pts.count()
-    first = pts.orderBy("vec_id").limit(1).collect()[0]
-    seed_qs: list[list[int]] = [list(first["q"])]
+    first_rows = pts.orderBy("vec_id").limit(1).collect()
+    if not first_rows:
+        pts.unpersist()
+        raise ValueError(
+            "kmeans_assign: empty input — the vectors frame has no rows "
+            "to seed from (was it fully filtered upstream?)"
+        )
+    seed_qs: list[list[int]] = [list(first_rows[0]["q"])]
     for _ in range(1, k):
         # One SQL-text literal per pass (array of the seeds chosen so
         # far) — the same single-parse rationale as cent_literal below.
