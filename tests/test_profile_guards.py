@@ -147,5 +147,25 @@ def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
         with caplog.at_level(logging.WARNING, logger=logger):
             profile(joined, (("k", True),))
         assert not caplog.records, [r.getMessage() for r in caplog.records]
+
+        # sanctioned shape 3 (round-11): a frame DERIVED from the
+        # persisted parent — cache substitution puts the Join below an
+        # InMemoryRelation boundary in withCachedData, and both profile
+        # branches hit the cache, so no warning (this was the docstring's
+        # known over-warn; the cached subtree's embedded physical plan
+        # must not count either)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger=logger):
+            profile(joined.select("k").filter(F.col("k") >= 0), (("k", True),))
+        assert not caplog.records, [r.getMessage() for r in caplog.records]
+
+        # ...but expensive work ABOVE the cache boundary genuinely runs
+        # twice and must still warn
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger=logger):
+            profile(joined.dropDuplicates(["k"]), (("k", True),))
+        assert any(
+            "Deduplicate" in r.getMessage() for r in caplog.records
+        ), "no warning for expensive work above a cached parent"
     finally:
         joined.unpersist()

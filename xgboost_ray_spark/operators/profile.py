@@ -56,24 +56,57 @@ _EXPENSIVE_NODE_RE = re.compile(
 )
 
 
+def _strip_cached_subtrees(plan: str) -> str:
+    """Drop every subtree rooted at an InMemoryRelation from a plan-tree
+    string render. InMemoryRelation embeds its cached PHYSICAL plan in
+    the render, and a physical Sort/Window line outside a codegen span
+    sits at the node-anchored position the expensive-node regex scans —
+    but anything below the cache boundary is exactly the work a second
+    pass does NOT redo, so it must not count. Depth = length of the
+    tree-drawing prefix (spaces and ``:+-|``)."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        body = line.lstrip(" :+-|")
+        depth = len(line) - len(body)
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if body.startswith("InMemoryRelation"):
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def _warn_if_recompute_expensive(df: DataFrame) -> None:
     """Warn when ``profile``'s documented double-execution contract is
-    about to bite: the input's ANALYZED logical plan (one py4j string
-    render — no optimization, no job) contains a join/aggregate/shuffle
-    node AND the frame is not persisted. Persisted inputs are exempt —
-    their second pass hits the cache, which is exactly the documented
+    about to bite: the input's logical plan (one py4j string render —
+    no optimization, no job) contains a join/aggregate/shuffle node AND
+    the frame is not persisted. Persisted inputs are exempt — their
+    second pass hits the cache, which is exactly the documented
     mitigation. Advisory only: never fails the call (the check is
     best-effort and a deliberate unpersisted double-pass stays legal).
-    Known over-warn: a frame DERIVED from a persisted parent (e.g.
-    ``profile(cached.select(...))``) still shows the parent's Join in
-    its analyzed plan — cache substitution happens later, in
-    withCachedData — so it warns even though both branches would hit
-    the cache. Cheap to silence by persisting the profiled frame
-    itself; erring loud beats missing the real double-pass."""
+
+    The scan reads ``withCachedData`` — the analyzed plan AFTER cache
+    substitution — so a frame DERIVED from a persisted parent (e.g.
+    ``profile(cached.select(...))``) or reading a catalog-cached view
+    (``spark.catalog.cacheTable``) stays silent: the parent's Join sits
+    below an InMemoryRelation boundary and both profile branches would
+    hit the cache. Expensive work ABOVE the cache boundary (say
+    ``profile(cached.dropDuplicates(...))``) still warns — that part
+    genuinely runs twice. Falls back to the pre-substitution ANALYZED
+    plan if the withCachedData render fails (erring loud beats missing
+    the real double-pass)."""
     try:
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
             return
-        plan = df._jdf.queryExecution().analyzed().toString()
+        qe = df._jdf.queryExecution()
+        try:
+            plan = _strip_cached_subtrees(qe.withCachedData().toString())
+        except Exception:
+            plan = qe.analyzed().toString()
     except Exception:  # plan render is diagnostics, never a failure path
         return
     hits = sorted(set(_EXPENSIVE_NODE_RE.findall(plan)))
