@@ -1002,3 +1002,152 @@ def test_point_in_time_boundary_is_new_state_at_t(spark, tmp_path):
         .collect()
     }
     assert got == {1: "click", 2: "view", 4: "view"}, got
+
+
+# ---------------------------------------------------------------------------
+# Round-11 mirrors: the shared-hash-arithmetic class. The md5-bucket idiom,
+# the MinHash signature/band pipeline, and the fingerprint digest are each
+# spelled twice (Spark expression + DuckDB oracle SQL) from the SAME
+# formula, so the oracle cannot catch a misreading of that formula. These
+# mirrors recompute each from first principles with hashlib + Python ints.
+# ---------------------------------------------------------------------------
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=25,
+    ),
+    mod=st.sampled_from([100, 7, 1000]),
+)
+@settings(**_SETTINGS)
+def test_md5_bucket_matches_hashlib_mirror(spark, keys, mod):
+    """The md5-bucket idiom (splits, stratified/weighted sampling, CV
+    folds) vs hashlib: bucket(k) must be exactly
+    int(md5(str(k))[:15 hex], 16) % mod. Both the Spark spelling
+    (conv/substring/md5 with a bigint cast) and the DuckDB oracle
+    ('0x'||substring cast) derive from this formula, so only an
+    engine-independent mirror pins what it MEANS — including negative
+    keys, whose decimal string render must match Python's str()."""
+    import hashlib
+
+    from xgboost_ray_spark.operators.sampling import spark_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", spark_bucket(F.col("k"), mod).alias("b"))
+        .collect()
+    }
+    for k in keys:
+        expect = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % mod
+        assert got[k] == expect, (k, got[k], expect)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "cat", "dog", "x y"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_signature_and_bands_match_hashlib_mirror(spark, docs):
+    """MinHash signatures + LSH band digests vs a from-first-principles
+    hashlib mirror: distinct word-3-gram shingles (with the short-doc
+    fallback gram), x = md5(shingle) folded to 60 bits mod P, h_i =
+    min((a_i*x + b_i) mod P), band digest = md5 of the '_'-joined
+    4-hash slice. The Spark expression and the DuckDB oracle embed the
+    same (a_i, b_i) literals and the same fold, so they could share a
+    misreading of any of those steps; the mirror cannot. Includes the
+    's y' token so split-on-space shingles cross word boundaries the
+    generator didn't intend — exactly what real text does."""
+    import hashlib
+
+    from xgboost_ray_spark.operators.dedup import (
+        BAND_SIZE,
+        MERSENNE_P,
+        MINHASH_WORDS,
+        N_BANDS,
+        N_HASHES,
+        _hash_family_constants,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df)
+    got_sigs = {r["doc_id"]: [r[f"h{i}"] for i in range(N_HASHES)]
+                for r in sigs.collect()}
+    got_bands = {
+        (r["doc_id"], r["band_id"]): r["bv"]
+        for r in lsh_bands(minhash_signatures(df)).collect()
+    }
+
+    fams = _hash_family_constants(N_HASHES)
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        m = max(len(words) - (MINHASH_WORDS - 1), 1)
+        shingles = {
+            " ".join(words[i : i + MINHASH_WORDS]) for i in range(m)
+        }
+        xs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MERSENNE_P
+            for s in shingles
+        ]
+        sig = [min((x * a + b) % MERSENNE_P for x in xs) for a, b in fams]
+        assert got_sigs[doc_id] == sig, (doc_id, text)
+        for band in range(N_BANDS):
+            joined = "_".join(
+                str(sig[band * BAND_SIZE + j]) for j in range(BAND_SIZE)
+            )
+            bv = hashlib.md5(joined.encode()).hexdigest()
+            assert got_bands[(doc_id, band)] == bv, (doc_id, band)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_fingerprint_matches_hashlib_mirror(spark, texts):
+    """The order-insensitive document fingerprint vs hashlib: md5 of the
+    space-joined SORTED DISTINCT lowercased tokens. Pins that Spark's
+    split-on-space keeps empty tokens, array_sort is codepoint order
+    (Python sorted), and lower() agrees with str.lower() on ASCII —
+    the exact steps the DuckDB oracle re-spells rather than checks."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from xgboost_ray_spark.registry import all_queries
+
+    # Drive the REGISTERED builder (its expression is what ships), not a
+    # re-spelled copy of it — a fresh parquet dir per example.
+    tmp = tempfile.mkdtemp(prefix="fingerprint_mirror_")
+    try:
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: r["fingerprint"]
+            for r in all_queries()["s28d_fingerprint"].build(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for doc_id, text in enumerate(texts):
+        norm = " ".join(sorted(set(text.lower().split(" "))))
+        expect = hashlib.md5(norm.encode()).hexdigest()
+        assert got[doc_id] == expect, (doc_id, text)
