@@ -34,7 +34,9 @@ unpersist sites and is leak-free). What each audited group guarantees:
     handback of the final ranks.
   * operators/similarity.py/kmeans_assign — the quantized points
     persist across seeding passes + Lloyd rounds, released before
-    returning the (literal-centroid, cache-independent) assignment.
+    returning the (literal-centroid, cache-independent) assignment;
+    a second unpersist sits on the empty-input raise path (round 11),
+    so the guard releases the cache before erroring out.
 
 The handback pattern is the repo rule for RETURNED frames: never return
 a frame whose plan still reads a cache the function just released —
@@ -70,7 +72,7 @@ ALLOWED: dict[tuple[str, str, str], int] = {
     ("operators/graph.py", "pagerank", "persist"): 2,
     ("operators/graph.py", "pagerank", "unpersist"): 2,
     ("operators/similarity.py", "kmeans_assign", "persist"): 1,
-    ("operators/similarity.py", "kmeans_assign", "unpersist"): 1,
+    ("operators/similarity.py", "kmeans_assign", "unpersist"): 2,
 }
 
 
