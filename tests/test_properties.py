@@ -1151,3 +1151,44 @@ def test_fingerprint_matches_hashlib_mirror(spark, texts):
         norm = " ".join(sorted(set(text.lower().split(" "))))
         expect = hashlib.md5(norm.encode()).hexdigest()
         assert got[doc_id] == expect, (doc_id, text)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "cat", "dog", ""]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_matches_hashlib_mirror(spark, docs):
+    """The 16-bit SimHash vs a from-first-principles mirror: per token
+    (WITH multiplicity — votes are not set-based), bit_j = bit (3-j%4)
+    of hex digit j//4 of md5(token)[:4]; vote_j = sum(2*bit_j - 1);
+    fingerprint sets 2^j where vote_j > 0 (a zero vote is a 0 bit).
+    The Spark spelling (instr-on-hex shiftright sums) and the DuckDB
+    oracle (strpos >> sums) share this arithmetic; the mirror does not."""
+    import hashlib
+
+    from xgboost_ray_spark.operators.dedup import SIMHASH_BITS, simhash
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+
+    for doc_id, text in enumerate(texts):
+        tokens = text.split(" ")
+        votes = [0] * SIMHASH_BITS
+        for w in tokens:
+            h4 = hashlib.md5(w.encode()).hexdigest()[: SIMHASH_BITS // 4]
+            for j in range(SIMHASH_BITS):
+                bit = (int(h4[j // 4], 16) >> (3 - j % 4)) & 1
+                votes[j] += 2 * bit - 1
+        expect = sum(2**j for j in range(SIMHASH_BITS) if votes[j] > 0)
+        assert got[doc_id] == expect, (doc_id, text, votes)
