@@ -1192,3 +1192,144 @@ def test_simhash_matches_hashlib_mirror(spark, docs):
                 votes[j] += 2 * bit - 1
         expect = sum(2**j for j in range(SIMHASH_BITS) if votes[j] > 0)
         assert got[doc_id] == expect, (doc_id, text, votes)
+
+
+def _mirror_docs_dir(spark, texts):
+    """Write a minimal documents table (doc_id, lang, text) to a fresh
+    parquet dir so a mirror can drive the REGISTERED builder — the
+    expression that ships — instead of a re-spelled copy of it."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="text_mirror_")
+    spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string",
+    ).coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+    return tmp
+
+
+_MIRROR_WORDS = st.lists(
+    st.sampled_from(
+        ["the", "a", "select", "join", "table", "row", "cat", "dog", "in", ""]
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(docs=st.lists(_MIRROR_WORDS, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_lang_id_matches_pure_python_mirror(spark, docs):
+    """The marker-hit argmax vs first principles: hits count words WITH
+    multiplicity, and the preference order on ties is en > sql > data
+    (>= comparisons in that fixed order). The Spark when-chain and the
+    DuckDB CASE share that reading; the mirror derives it independently.
+    The generator's alphabet overlaps all three marker lists so ties
+    and zero-hit docs (which fall through to en via 0 >= 0) occur."""
+    import shutil
+
+    from xgboost_ray_spark.operators.text import LANG_MARKERS
+    from xgboost_ray_spark.registry import all_queries
+
+    texts = [" ".join(words) for words in docs]
+    tmp = _mirror_docs_dir(spark, texts)
+    try:
+        got = {
+            r["doc_id"]: (
+                r["predicted_lang"], r["hits_en"], r["hits_sql"], r["hits_data"]
+            )
+            for r in all_queries()["s28b_lang_id"].build(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        hits = {
+            lang: sum(w in markers for w in words)
+            for lang, markers in LANG_MARKERS.items()
+        }
+        if hits["en"] >= hits["sql"] and hits["en"] >= hits["data"]:
+            pred = "en"
+        elif hits["sql"] >= hits["data"]:
+            pred = "sql"
+        else:
+            pred = "data"
+        assert got[doc_id] == (pred, hits["en"], hits["sql"], hits["data"]), (
+            doc_id, text, got[doc_id]
+        )
+
+
+@given(docs=st.lists(_MIRROR_WORDS, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_quality_score_matches_pure_python_mirror(spark, docs):
+    """The C4/Gopher-style quality blend vs first principles: stopword
+    hits WITH multiplicity over token count (split keeps empty tokens,
+    so n_tokens >= 1 always), distinct over tokens, length capped at
+    n_chars/400, blend 0.4*length + 0.3*distinct + 0.3*(1-stop). The
+    engines only round the final 6dp — the mirror checks the UNROUNDED
+    formula within the 5e-7 rounding radius, so a misread weight or
+    denominator (>= 1e-2 scale) cannot hide in rounding."""
+    import shutil
+
+    from xgboost_ray_spark.operators.text import STOPWORDS
+    from xgboost_ray_spark.registry import all_queries
+
+    texts = [" ".join(words) for words in docs]
+    tmp = _mirror_docs_dir(spark, texts)
+    try:
+        got = {
+            r["doc_id"]: r
+            for r in all_queries()["s28c_quality_score"].build(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        n_tokens = len(words)
+        stop_ratio = sum(w in STOPWORDS for w in words) / n_tokens
+        distinct_ratio = len(set(words)) / n_tokens
+        length_score = min(len(text) / 400, 1.0)
+        quality = 0.4 * length_score + 0.3 * distinct_ratio + 0.3 * (1 - stop_ratio)
+        r = got[doc_id]
+        for col, expect in (
+            ("stopword_ratio", stop_ratio),
+            ("distinct_ratio", distinct_ratio),
+            ("length_score", length_score),
+            ("quality", quality),
+        ):
+            assert abs(r[col] - expect) <= 6e-7, (doc_id, col, r[col], expect)
+
+
+@given(docs=st.lists(_MIRROR_WORDS, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_repetition_score_matches_pure_python_mirror(spark, docs):
+    """The Gopher repetition signals vs first principles: top token
+    counted WITH multiplicity, duplicate 2-grams = len(grams) -
+    len(set(grams)) where a doc shorter than 2 words contributes its
+    single fallback gram (greatest(n-1, 1) sequence bound), and both
+    ppm values are exact integer floor-division. The Spark div spelling
+    and the DuckDB // spelling share all three readings."""
+    import shutil
+
+    from xgboost_ray_spark.registry import all_queries
+
+    texts = [" ".join(words) for words in docs]
+    tmp = _mirror_docs_dir(spark, texts)
+    try:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["top_token_ppm"], r["dup_2gram_ppm"])
+            for r in all_queries()["s28g_repetition_score"]
+            .build(spark, tmp)
+            .collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        n = len(words)
+        top_cnt = max(words.count(w) for w in set(words))
+        m = max(n - 1, 1)
+        grams = [" ".join(words[i : i + 2]) for i in range(m)]
+        dup = len(grams) - len(set(grams))
+        expect = (n, (top_cnt * 1_000_000) // n, (dup * 1_000_000) // m)
+        assert got[doc_id] == expect, (doc_id, text, got[doc_id], expect)
