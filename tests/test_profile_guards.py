@@ -169,3 +169,27 @@ def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
         ), "no warning for expensive work above a cached parent"
     finally:
         joined.unpersist()
+
+    # sanctioned shape 4 (round-11, the ADVICE r10 catalog-cache class):
+    # a frame DERIVED from a CATALOG-cached view (cacheTable, not
+    # DataFrame.persist). A direct spark.table() of the cached view
+    # already reports the cache through df.storageLevel (the fast
+    # path), so the over-warn class is the derived frame — its own
+    # storageLevel is NONE, but withCachedData substitutes the view's
+    # InMemoryRelation below it, so no warning
+    joined.createOrReplaceTempView("profile_guard_cached_v")
+    spark.catalog.cacheTable("profile_guard_cached_v")
+    try:
+        derived = spark.table("profile_guard_cached_v").filter(
+            F.col("k") >= 0
+        )
+        assert not (
+            derived.storageLevel.useMemory or derived.storageLevel.useDisk
+        ), "precondition: the DERIVED frame must not be the fast-path case"
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger=logger):
+            profile(derived, (("k", True),))
+        assert not caplog.records, [r.getMessage() for r in caplog.records]
+    finally:
+        spark.catalog.uncacheTable("profile_guard_cached_v")
+        spark.catalog.dropTempView("profile_guard_cached_v")
