@@ -178,8 +178,8 @@ def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
     # storageLevel is NONE, but withCachedData substitutes the view's
     # InMemoryRelation below it, so no warning
     joined.createOrReplaceTempView("profile_guard_cached_v")
-    spark.catalog.cacheTable("profile_guard_cached_v")
     try:
+        spark.catalog.cacheTable("profile_guard_cached_v")
         derived = spark.table("profile_guard_cached_v").filter(
             F.col("k") >= 0
         )
@@ -191,5 +191,10 @@ def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
             profile(derived, (("k", True),))
         assert not caplog.records, [r.getMessage() for r in caplog.records]
     finally:
-        spark.catalog.uncacheTable("profile_guard_cached_v")
+        # uncache may legitimately have nothing to release if cacheTable
+        # itself failed; the view drop must still run either way
+        try:
+            spark.catalog.uncacheTable("profile_guard_cached_v")
+        except Exception:
+            pass
         spark.catalog.dropTempView("profile_guard_cached_v")

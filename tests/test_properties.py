@@ -1063,7 +1063,7 @@ def test_minhash_signature_and_bands_match_hashlib_mirror(spark, docs):
     4-hash slice. The Spark expression and the DuckDB oracle embed the
     same (a_i, b_i) literals and the same fold, so they could share a
     misreading of any of those steps; the mirror cannot. Includes the
-    's y' token so split-on-space shingles cross word boundaries the
+    'x y' token so split-on-space shingles cross word boundaries the
     generator didn't intend — exactly what real text does."""
     import hashlib
 
@@ -1087,7 +1087,7 @@ def test_minhash_signature_and_bands_match_hashlib_mirror(spark, docs):
                 for r in sigs.collect()}
     got_bands = {
         (r["doc_id"], r["band_id"]): r["bv"]
-        for r in lsh_bands(minhash_signatures(df)).collect()
+        for r in lsh_bands(sigs).collect()
     }
 
     fams = _hash_family_constants(N_HASHES)
@@ -1130,17 +1130,13 @@ def test_fingerprint_matches_hashlib_mirror(spark, texts):
     the exact steps the DuckDB oracle re-spells rather than checks."""
     import hashlib
     import shutil
-    import tempfile
 
     from xgboost_ray_spark.registry import all_queries
 
     # Drive the REGISTERED builder (its expression is what ships), not a
-    # re-spelled copy of it — a fresh parquet dir per example.
-    tmp = tempfile.mkdtemp(prefix="fingerprint_mirror_")
+    # re-spelled copy of it — same fresh-dir helper as the text mirrors.
+    tmp = _mirror_docs_dir(spark, texts)
     try:
-        spark.createDataFrame(
-            list(enumerate(texts)), "doc_id long, text string"
-        ).coalesce(1).write.parquet(f"{tmp}/documents.parquet")
         got = {
             r["doc_id"]: r["fingerprint"]
             for r in all_queries()["s28d_fingerprint"].build(spark, tmp).collect()
