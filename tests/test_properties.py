@@ -1329,3 +1329,47 @@ def test_repetition_score_matches_pure_python_mirror(spark, docs):
         dup = len(grams) - len(set(grams))
         expect = (n, (top_cnt * 1_000_000) // n, (dup * 1_000_000) // m)
         assert got[doc_id] == expect, (doc_id, text, got[doc_id], expect)
+
+
+@given(docs=st.lists(_MIRROR_WORDS, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_unigram_logprob_matches_pure_python_mirror(spark, docs):
+    """The CCNet-style unigram perplexity proxy vs first principles:
+    empty-text docs are excluded from BOTH the output and the corpus
+    statistics; token frequencies and the total count come from the
+    remaining docs (empty-string tokens from runs of spaces included,
+    with multiplicity); the score is -sum(ln(c_tok / T)) over the doc's
+    tokens divided by its token count. The Spark window-SUM spelling and
+    the DuckDB freq-join oracle share every one of those readings. The
+    engines round to 8dp to absorb accumulation order; the mirror
+    checks the unrounded formula within 1e-7, far below any misread
+    term (wrong denominator, set-vs-multiset, missing exclusion)."""
+    import math
+    import shutil
+
+    from xgboost_ray_spark.registry import all_queries
+
+    texts = [" ".join(words) for words in docs]
+    tmp = _mirror_docs_dir(spark, texts)
+    try:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+            for r in all_queries()["s28l_unigram_logprob"]
+            .build(spark, tmp)
+            .collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    corpus = {i: t.split(" ") for i, t in enumerate(texts) if len(t) > 0}
+    assert set(got) == set(corpus)
+    freq: dict[str, int] = {}
+    for toks in corpus.values():
+        for w in toks:
+            freq[w] = freq.get(w, 0) + 1
+    total = sum(freq.values())
+    for doc_id, toks in corpus.items():
+        neg = -sum(math.log(freq[w] / total) for w in toks) / len(toks)
+        n, score = got[doc_id]
+        assert n == len(toks), (doc_id, n, toks)
+        assert abs(score - neg) <= 1e-7, (doc_id, score, neg)
