@@ -198,3 +198,69 @@ def test_profile_warns_on_unpersisted_expensive_input(spark, caplog):
         except Exception:
             pass
         spark.catalog.dropTempView("profile_guard_cached_v")
+
+
+def test_strip_cached_subtrees_sibling_and_degenerate_lines():
+    """String-level pins for the ``_strip_cached_subtrees`` depth
+    heuristic (VERDICT r11 #7 + ADVICE r11): (a) a sibling node at the
+    SAME depth as a cached subtree's root — including a second
+    InMemoryRelation — ends the skip and is processed itself; (b) a
+    degenerate render line (blank, or prefix-set characters only)
+    inside a cached subtree must not prematurely end the skip and
+    re-expose the cached plan's expensive nodes to the warn regex."""
+    from xgboost_ray_spark.operators.profile import (
+        _EXPENSIVE_NODE_RE,
+        _strip_cached_subtrees,
+    )
+
+    # (a) multi-child plan: cached left child, expensive right SIBLING at
+    # equal depth. The sibling's Aggregate sits above any cache boundary
+    # -> must survive the strip; the cached subtree's Sort/Exchange must
+    # not.
+    plan = "\n".join([
+        "Project [k]",
+        "+- Join Inner, (k = k)",
+        "   :- InMemoryRelation [k], StorageLevel(disk, memory)",
+        "   :     +- Sort [k ASC], false",
+        "   :        +- Exchange hashpartitioning(k, 32)",
+        "   +- Aggregate [k], [k, count(1) AS c]",
+        "      +- Range (0, 10)",
+    ])
+    stripped = _strip_cached_subtrees(plan)
+    assert "Aggregate" in stripped, "sibling after the boundary was lost"
+    assert "Join" in stripped
+    assert "Sort" not in stripped and "Exchange" not in stripped
+    assert "InMemoryRelation" not in stripped
+    hits = set(_EXPENSIVE_NODE_RE.findall(stripped))
+    assert hits == {"Join", "Aggregate"}, hits
+
+    # (a') two InMemoryRelation siblings at equal depth: the second must
+    # start its OWN skip, not be emitted as a resumed line.
+    plan = "\n".join([
+        "Join Inner, (a = b)",
+        ":- InMemoryRelation [a], StorageLevel(memory)",
+        ":     +- Sort [a ASC], false",
+        "+- InMemoryRelation [b], StorageLevel(memory)",
+        "      +- Window [row_number()], [b]",
+    ])
+    stripped = _strip_cached_subtrees(plan)
+    assert stripped == "Join Inner, (a = b)", stripped
+
+    # (b) degenerate lines inside the cached subtree: a bare ':'
+    # continuation and a fully blank line both lstrip to an empty body,
+    # so their prefix length carries no depth signal. Before the r12 fix
+    # they ended the skip and re-exposed the Exchange below them.
+    plan = "\n".join([
+        "Project [k]",
+        "+- InMemoryRelation [k], StorageLevel(memory)",
+        "   :     +- Sort [k ASC], false",
+        "   :",
+        "",
+        "   :        +- Exchange hashpartitioning(k, 32)",
+        "+- Range (0, 10)",
+    ])
+    stripped = _strip_cached_subtrees(plan)
+    assert "Exchange" not in stripped, stripped
+    assert "Sort" not in stripped
+    assert "Range" in stripped, "equal-depth resume after degenerate lines"
+    assert not _EXPENSIVE_NODE_RE.findall(stripped)

@@ -1263,8 +1263,9 @@ def test_quality_score_matches_pure_python_mirror(spark, docs):
     so n_tokens >= 1 always), distinct over tokens, length capped at
     n_chars/400, blend 0.4*length + 0.3*distinct + 0.3*(1-stop). The
     engines only round the final 6dp — the mirror checks the UNROUNDED
-    formula within the 5e-7 rounding radius, so a misread weight or
-    denominator (>= 1e-2 scale) cannot hide in rounding."""
+    formula within 6e-7 (the 6dp rounding half-width 5e-7 plus float
+    slack), so a misread weight or denominator (>= 1e-2 scale) cannot
+    hide in rounding."""
     import shutil
 
     from xgboost_ray_spark.operators.text import STOPWORDS

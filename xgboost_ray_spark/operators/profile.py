@@ -63,11 +63,16 @@ def _strip_cached_subtrees(plan: str) -> str:
     sits at the node-anchored position the expensive-node regex scans —
     but anything below the cache boundary is exactly the work a second
     pass does NOT redo, so it must not count. Depth = length of the
-    tree-drawing prefix (spaces and ``:+-|``)."""
+    tree-drawing prefix (spaces and ``:+-|``). Degenerate render lines
+    (blank, or entirely made of prefix-set characters) carry no depth
+    signal, so while a skip is active they stay inside the skipped
+    subtree instead of prematurely ending it."""
     out: list[str] = []
     skip_depth: int | None = None
     for line in plan.splitlines():
         body = line.lstrip(" :+-|")
+        if skip_depth is not None and not body.strip():
+            continue
         depth = len(line) - len(body)
         if skip_depth is not None:
             if depth > skip_depth:

@@ -1090,14 +1090,15 @@ def kmeans_assign(
     pure-SQL oracle expressibility (round-9 adjudication, SCALE.md).
     """
     pts = vectors.select("vec_id", _km_quantize_expr().alias("q")).persist()
-    pts.count()
-    first_rows = pts.orderBy("vec_id").limit(1).collect()
-    if not first_rows:
+    # The materializing count doubles as the emptiness probe: raising here
+    # saves the orderBy/limit seed job a fully-filtered input would waste.
+    if pts.count() == 0:
         pts.unpersist()
         raise ValueError(
             "kmeans_assign: empty input — the vectors frame has no rows "
             "to seed from (was it fully filtered upstream?)"
         )
+    first_rows = pts.orderBy("vec_id").limit(1).collect()
     seed_qs: list[list[int]] = [list(first_rows[0]["q"])]
     for _ in range(1, k):
         # One SQL-text literal per pass (array of the seeds chosen so

@@ -388,34 +388,71 @@ def sql_davg(expr: str, alias: str) -> str:
 #   0.60, s31b 0.31, s31c 0.53, s31f 0.36, s23b 0.51, s28b 0.49, s28c
 #   0.40, s28d 0.23, s28f 0.30, s04c 0.36, s29c 0.51, s29e 0.49, s30b
 #   5.65 (MLlib LTR, rows-only), s26e 1.88 — ~16 s combined.
+#   CORRECTNESS_r11 came back 50/50 green (49 hash + s30b rows-only by
+#   design) — after r11 no entry's driver row predates r4.
+#   r12 window (this one): the FINAL leg of the two-round staleness
+#   sweep contracted in VERDICT r10 #1 and re-confirmed in VERDICT r11
+#   #1: all 17 rotating slots are RE-verification, stalest driver row
+#   first per rotate_window.py's refill — the complete remaining r4-era
+#   set (11: s07b s09e s12b s14e s22c s24c s25 s25d s27b s28g s29g) plus
+#   the 6 stalest r5-era rows by the tool's deterministic tie-break
+#   (s05d s05e s09f s09g s16b s21c; all 15 r5-era rows are equally stale
+#   — the tool's name-order tie-break is adopted verbatim, no judgment
+#   override). No changed-plans-first override applies — the only r12
+#   product edits before this rotation were the kmeans empty-input
+#   raise-before-seed-job (ADVICE r11; pre-job guard, no plan change)
+#   and the profile() stripper degenerate-line fix (advisory warning
+#   path, no query plan). After r12 the sweep is complete: no entry's
+#   latest driver row predates r5, and the stalest tier is the 8
+#   remaining r5-era rows (s24g s25g s25i s30d s30e s30f s31h s32d) —
+#   the natural r13 refill seed. Rotated out to 51+ (all
+#   driver-green r11): s04c s15b s21b s22b s23b s26e s28b s28c s28d
+#   s28f s29c s29e s30b s31b s31c s31f s33b.
+#   Pre-verification (2026-08-16, start of r12, bare-session /tmp sweeps
+#   at sf0.01 immediately after this rotation landed — TWO back-to-back
+#   full-catalog runs): both 157/157 clean (153 hash + 4 rows-only by
+#   design), 169.9 s then 136.3 s query wall (loadavg 0.89 / 1.48 at
+#   start — a warm, mildly contended host; the r11-era 119-151 s band
+#   brackets the second run). Rotating-slot timings (second run): s22c
+#   1.54, s12b 0.94, s16b 0.91, s28g 1.68, s29g 2.21, s07b 1.25, s09e
+#   0.61, s09f 1.58, s09g 0.64, s14e 0.77, s24c 0.62, s21c 0.59, s05d
+#   1.14, s05e 0.77, s27b 1.15, s25_stream_tumbling 1.12, s25d 4.19 —
+#   ~22 s combined.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r11 set: -----
-    # -- all re-verification, stalest driver row first — the complete
-    # -- r3-era tail (12) + the verdict's five r4-era rows), roughly
-    # -- cost-ordered; the heavier re-verifies (s30b MLlib LTR, s26e
-    # -- hamming multi-index) close the window; s03 leads so the
-    # -- cheapest query absorbs JVM warmup --------------------------------
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r12 set: -----
+    # -- all re-verification, stalest driver row first — the 11 remaining
+    # -- r4-era rows + the 6 stalest r5-era rows, finishing the staleness
+    # -- sweep), roughly cost-ordered; the heavier re-verifies (s25/s25d
+    # -- streaming, s27b LSH) sit late; s03 leads so the cheapest query
+    # -- absorbs JVM warmup ------------------------------------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
-    "s15b_sort_nulls", "s22_array_funcs", "s22b_array_hof",
-    "s21_conditional", "s21b_promo_revenue", "s20_math_funcs",
-    "s19_date_funcs", "s33_sequence_pack", "s33b_chunk_overlap",
-    "s12_having", "s31_hash_split", "s31b_stratified_sample",
-    "s31c_group_sample", "s31f_weighted_sample", "s16_topk_per_group",
-    "s23_json", "s23b_from_json", "s18_string_funcs", "s28b_lang_id",
+    "s22_array_funcs", "s22c_map_funcs", "s21_conditional",
+    "s20_math_funcs", "s19_date_funcs", "s18_string_funcs",
+    "s33_sequence_pack", "s12_having", "s12b_having_join",
+    "s31_hash_split", "s16_topk_per_group", "s16b_tpch_q15",
+    "s23_json", "s28g_repetition_score", "s29g_udtf_token_runs",
+    "s07_semi_anti_join", "s07b_exists_subquery", "s04_filter",
+    "s09d_argmax", "s09e_quantile_filter", "s09f_scalar_subquery",
+    "s09g_incremental_agg", "s11c_grouping_sets", "s14_window_analytic",
+    "s14e_gaps_islands", "s13_window_rank", "s10_count_distinct",
+    "s17_setops", "s24_tumbling_window", "s24c_funnel",
+    "s01_parquet_scan", "s02_csv_scan", "s21c_tpch_q12",
+    "s05b_salted_join", "s05d_tpch_q5", "s05e_tpch_q10",
+    "s06_outer_join", "s08_broadcast_join", "s26f_canonical_dedup",
+    "s27c_embedding_neardup", "s27b_lsh_topk", "s29_pandas_udf",
+    "s32_profile", "s25e_stream_dedup", "s25_stream_tumbling",
+    "s25d_stateful_sessions", "s30c_linear_model_train",
+    # -- slots 51+: driver-green entries rotated out in r12 -----------------
+    "s15b_sort_nulls", "s22b_array_hof", "s21b_promo_revenue",
+    "s33b_chunk_overlap", "s31b_stratified_sample", "s31c_group_sample",
+    "s31f_weighted_sample", "s23b_from_json", "s28b_lang_id",
     "s28c_quality_score", "s28d_fingerprint", "s28f_regex_tokens",
-    "s04_filter", "s04c_tpch_q6", "s11c_grouping_sets",
-    "s24_tumbling_window", "s01_parquet_scan", "s09d_argmax",
-    "s10_count_distinct", "s13_window_rank", "s14_window_analytic",
-    "s17_setops", "s02_csv_scan", "s08_broadcast_join",
-    "s07_semi_anti_join", "s26f_canonical_dedup", "s27c_embedding_neardup",
-    "s06_outer_join", "s29_pandas_udf", "s29c_grouped_map",
-    "s29e_frame_sample", "s25e_stream_dedup", "s32_profile",
-    "s05b_salted_join", "s30c_linear_model_train", "s30b_ltr_rank",
-    "s26e_hamming_pairs",
-    # -- slots 51+: driver-green entries rotated out in r11 -----------------
+    "s04c_tpch_q6", "s29c_grouped_map", "s29e_frame_sample",
+    "s30b_ltr_rank", "s26e_hamming_pairs",
+    # -- driver-green entries rotated out in r11 ------------------
     "s10c_distinct_rows", "s11_rollup", "s11b_cube", "s11d_pivot",
     "s11e_unpivot", "s06b_full_outer_join", "s09b_stats_agg",
     "s09c_salted_agg", "s10b_approx_count_distinct", "s14b_range_frame",
@@ -454,19 +491,13 @@ _DRIVER_ORDER = [
     "s25h_file_sink_etl", "s28e_tfidf_top_terms",
     "s26k_incremental_neardup", "s30_gbt_train_predict",
     "s13b_distribution_ranks",
-    # -- driver-green entries rotated out in r6 ------------------
-    "s09g_incremental_agg", "s21c_tpch_q12", "s31h_quantile_bins",
-    "s16b_tpch_q15", "s32d_outlier_flags", "s05e_tpch_q10",
-    "s30d_linear_model_score", "s05d_tpch_q5", "s30f_learning_curve",
-    "s09f_scalar_subquery", "s30e_cv_ols", "s25i_stream_cdc_upsert",
+    # -- driver-green entries rotated out in r6 (the 8 r5-era rows ----------
+    # -- remaining after the r12 refill — the natural r13 seed) -------------
+    "s31h_quantile_bins", "s32d_outlier_flags",
+    "s30d_linear_model_score", "s30f_learning_curve",
+    "s30e_cv_ols", "s25i_stream_cdc_upsert",
     "s25g_stream_stream_join",
     "s24g_pagerank",
-    # -- driver-green entries rotated out in r5 (the 11 r4-era rows ---------
-    # -- remaining after the r11 refill — the scheduled r12 set) ------------
-    "s09e_quantile_filter", "s14e_gaps_islands", "s07b_exists_subquery",
-    "s22c_map_funcs", "s29g_udtf_token_runs", "s12b_having_join",
-    "s25_stream_tumbling", "s24c_funnel", "s28g_repetition_score",
-    "s25d_stateful_sessions", "s27b_lsh_topk",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
