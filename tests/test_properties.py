@@ -1374,3 +1374,127 @@ def test_unigram_logprob_matches_pure_python_mirror(spark, docs):
         n, score = got[doc_id]
         assert n == len(toks), (doc_id, n, toks)
         assert abs(score - neg) <= 1e-7, (doc_id, score, neg)
+
+
+@given(docs=st.lists(_MIRROR_WORDS, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_feature_hash_matches_hashlib_mirror(spark, docs):
+    """The s28j hashing-trick bucketing vs hashlib (VERDICT r11 #4
+    audit: the md5 bucket idiom here is externally meaningful — it IS
+    the vocabulary-free featurization a downstream model trains on, so
+    a shared misreading between the Spark conv() spelling and the
+    DuckDB '0x'-cast oracle would silently redefine the feature space).
+    Mirror: bucket(tok) = int(md5(tok) first 15 hex digits, 16) % 1024;
+    per bucket, token count WITH multiplicity across the corpus and the
+    distinct-term (collision) count. split-on-space keeps empty tokens,
+    so the md5('') bucket is exercised via the '' sample word."""
+    import hashlib
+    import shutil
+    from collections import Counter
+
+    from xgboost_ray_spark.operators.text import HASH_DIM
+    from xgboost_ray_spark.registry import all_queries
+
+    texts = [" ".join(words) for words in docs]
+    tmp = _mirror_docs_dir(spark, texts)
+    try:
+        got = {
+            r["bucket"]: (r["n_tokens"], r["n_distinct_terms"])
+            for r in all_queries()["s28j_feature_hash"]
+            .build(spark, tmp)
+            .collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    n_tokens: Counter[int] = Counter()
+    terms: dict[int, set[str]] = {}
+    for text in texts:
+        for tok in text.split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % HASH_DIM
+            n_tokens[b] += 1
+            terms.setdefault(b, set()).add(tok)
+    want = {b: (n, len(terms[b])) for b, n in n_tokens.items()}
+    assert got == want, (got, want)
+
+
+@given(
+    vecs=st.integers(min_value=1, max_value=4).flatmap(
+        lambda d: st.lists(
+            st.lists(
+                st.one_of(
+                    st.floats(
+                        min_value=-100.0,
+                        max_value=100.0,
+                        allow_nan=False,
+                        allow_infinity=False,
+                    ),
+                    # A small pool makes per-dimension mx == mn (the
+                    # constant-dimension q=0 branch) actually reachable.
+                    st.sampled_from([0.0, 1.0, -1.5]),
+                ),
+                min_size=d,
+                max_size=d,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+)
+@settings(**_SETTINGS)
+def test_embedding_quantize_matches_pure_python_mirror(spark, vecs):
+    """The s27h affine int8 quantizer vs first principles (VERDICT r11
+    #4 audit: the formula is externally meaningful — uint8 min/max
+    quantization with midpoint dequantization is the standard vector-
+    index storage layout, and the Spark transform() and DuckDB CASE/
+    FLOOR/LEAST oracle spell the SAME arithmetic, so the oracle
+    re-spells rather than checks). Mirror, per dimension d over the
+    corpus: mn/mx = min/max; q = 0 when mx == mn else
+    min(floor((x - mn) / (mx - mn) * 255), 255); err = |x - mn| when
+    degenerate else |mn + (q + 0.5) * (mx - mn) / 255 - x|. Integer
+    digests (q_sum/q_min/q_max) must match EXACTLY; mae is checked
+    unrounded within 6e-7 (6dp rounding half-width plus float slack).
+    Feeding array<double> directly keeps the operand bit patterns
+    identical in both engines, and the Python expression trees below
+    reproduce the Spark SQL association order, so the doubles agree."""
+    import math
+
+    from xgboost_ray_spark.operators.similarity import (
+        Q_LEVELS,
+        quantize_embeddings,
+    )
+
+    dim = len(vecs[0])
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["q_sum"], r["q_min"], r["q_max"], r["mae"])
+        for r in quantize_embeddings(emb, dim=dim).collect()
+    }
+
+    mn = [min(v[d] for v in vecs) for d in range(dim)]
+    mx = [max(v[d] for v in vecs) for d in range(dim)]
+    for i, v in enumerate(vecs):
+        qs: list[int] = []
+        errs: list[float] = []
+        for d in range(dim):
+            if mx[d] == mn[d]:
+                q = 0
+                err = abs(v[d] - mn[d])
+            else:
+                q = min(
+                    math.floor((v[d] - mn[d]) / (mx[d] - mn[d]) * Q_LEVELS),
+                    Q_LEVELS,
+                )
+                err = abs(mn[d] + (q + 0.5) * (mx[d] - mn[d]) / Q_LEVELS - v[d])
+            qs.append(q)
+            errs.append(err)
+        acc = 0.0
+        for e in errs:
+            acc += e
+        mae = acc / dim
+        q_sum, q_min, q_max, got_mae = got[i]
+        assert (q_sum, q_min, q_max) == (sum(qs), min(qs), max(qs)), (i, qs)
+        assert abs(got_mae - mae) <= 6e-7, (i, got_mae, mae)
