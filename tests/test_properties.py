@@ -1491,10 +1491,9 @@ def test_embedding_quantize_matches_pure_python_mirror(spark, vecs):
                 err = abs(mn[d] + (q + 0.5) * (mx[d] - mn[d]) / Q_LEVELS - v[d])
             qs.append(q)
             errs.append(err)
-        acc = 0.0
-        for e in errs:
-            acc += e
-        mae = acc / dim
+        # builtin sum is the same left-to-right fold from an exact 0
+        # start that the Spark aggregate() spells, so the doubles agree
+        mae = sum(errs) / dim
         q_sum, q_min, q_max, got_mae = got[i]
         assert (q_sum, q_min, q_max) == (sum(qs), min(qs), max(qs)), (i, qs)
         assert abs(got_mae - mae) <= 6e-7, (i, got_mae, mae)
