@@ -233,20 +233,37 @@ def test_compaction_reduces_file_count_without_shuffle(spark):
     import os
 
     from tests.conftest import SF_SMOKE
+    from xgboost_ray_spark.operators.dedup import scratch_once
+    from xgboost_ray_spark.operators.relational import (
+        COMPACT_SMALL_FILES,
+        COMPACT_TARGET_FILES,
+    )
     from xgboost_ray_spark.registry import all_queries
 
     all_queries()["s01e_compaction"].build(spark, SF_SMOKE).collect()
-    scratch = "/root/repo/.scratch"
-    frag = glob.glob(os.path.join(scratch, "docs_fragmented", "part-*.parquet"))
-    comp = glob.glob(os.path.join(scratch, "docs_compacted", "part-*.parquet"))
-    assert len(frag) == 32
-    assert len(comp) <= 2
+    # The builder's scratch dirs live under the keyed write-once contract
+    # (spill_<tag>_<md5(key)[:12]>), so the test derives the SAME paths
+    # via scratch_once with the builder's exact layout key — a stale
+    # unkeyed glob here passed for months on a leftover pre-r7 artifact
+    # and broke the day that dir was swept.
+    layout_key = (
+        f"{os.path.abspath(SF_SMOKE)}"
+        f"|files={COMPACT_SMALL_FILES}->{COMPACT_TARGET_FILES}"
+    )
+    frag_dir, frag_fresh = scratch_once("docs_fragmented", layout_key)
+    comp_dir, comp_fresh = scratch_once("docs_compacted", layout_key)
+    assert not frag_fresh and not comp_fresh, (
+        "the build above must have written these exact keyed paths"
+    )
+    frag = glob.glob(os.path.join(frag_dir, "part-*.parquet"))
+    comp = glob.glob(os.path.join(comp_dir, "part-*.parquet"))
+    assert len(frag) == COMPACT_SMALL_FILES
+    assert len(comp) <= COMPACT_TARGET_FILES
 
-    from pyspark.sql import functions as F  # noqa: F401
     from xgboost_ray_spark.plans.explain import simple_plan
 
     plan = simple_plan(
-        spark.read.parquet(os.path.join(scratch, "docs_fragmented")).coalesce(2)
+        spark.read.parquet(frag_dir).coalesce(COMPACT_TARGET_FILES)
     )
     assert "Exchange" not in plan, "coalesce must stay a narrow dependency"
 
