@@ -65,6 +65,49 @@ REPORT_SAMPLES = (
 WARMUP_QUERY = "s09_groupby_agg"
 
 
+def contention_verdict(load_points: list, samples: dict) -> dict:
+    """Self-annotating contention adjudication (VERDICT r12 #3): a reader
+    of the JSON alone should see whether the run was contended without
+    cross-referencing BASELINE.md's controls. Two prongs, calibrated on
+    the r10-r12 artifacts:
+
+      * load prong — peak 1-min loadavg > 2x the run's starting loadavg.
+        The denominator is floored at cpu_count/8 (~= the bench's OWN
+        steady-state load signature on local[N]: r11's quiet run held
+        3.3-4.0 throughout on 32 cpus), so an idle-start quiet run
+        (start 0.2, bench-driven peak ~4) is NOT a false positive while
+        r12's 3.19 -> 10.64 neighbor burst is flagged.
+      * spread prong — any published heavy-query sample list (the
+        REPORT_SAMPLES iterative/ML plans) with max > 3x min. Quiet
+        rounds top out ~2.6x (s08c's characteristic warm first sample);
+        contended rounds read 5-6.5x (r10 s26g 6.5x, r12 s26l 5.1x).
+
+    Returns the flag plus the evidence that produced it, for the JSON.
+    """
+    peaks = [p["loadavg"][0] for p in load_points]
+    start = peaks[0] if peaks else 0.0
+    floor = (os.cpu_count() or 32) / 8.0
+    load_flag = bool(peaks) and max(peaks) > 2.0 * max(start, floor)
+    worst_q, worst_ratio = None, 0.0
+    for name, vals in samples.items():
+        if vals and min(vals) > 0:
+            ratio = max(vals) / min(vals)
+            if ratio > worst_ratio:
+                worst_q, worst_ratio = name, ratio
+    spread_flag = worst_ratio > 3.0
+    return {
+        "contended": load_flag or spread_flag,
+        "contention": {
+            "load_start": round(start, 2),
+            "load_peak": round(max(peaks), 2) if peaks else None,
+            "load_flag": load_flag,
+            "worst_spread_query": worst_q,
+            "worst_spread_ratio": round(worst_ratio, 2),
+            "spread_flag": spread_flag,
+        },
+    }
+
+
 def timed_build(spark, specs, name: str, sf_dir: str) -> float:
     """ONE full-plan timed execution — the single timing core shared by
     bench.py (in-session numbers) and scripts/pin_standalone.py
@@ -149,6 +192,11 @@ def main() -> None:
     timings = {name: round(min(samples[name]), 3) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
+    published_samples = {
+        name: [round(s, 3) for s in samples[name]]
+        for name in REPORT_SAMPLES
+        if name in samples
+    }
     print(
         json.dumps(
             {
@@ -156,12 +204,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "samples": {
-                    name: [round(s, 3) for s in samples[name]]
-                    for name in REPORT_SAMPLES
-                    if name in samples
-                },
+                "samples": published_samples,
                 "load": load_points,
+                **contention_verdict(load_points, published_samples),
                 "cpus": os.cpu_count(),
                 "sf": sf,
             }

@@ -356,3 +356,34 @@ def test_sort_aggregate_only_where_audited(catalog_plans):
         "round-8 fix), or audit and allowlist it with a measurement."
         .format(got=offenders)
     )
+
+
+def test_contention_verdict_backtest():
+    """bench.py's self-annotating contention flag (VERDICT r12 #3),
+    backtested against the three historical artifacts the judges
+    adjudicated with out-of-band controls: r10 (burst outliers, spread
+    6.5x) and r12 (loadavg 3.19 -> 10.64 AND spreads >5x) must flag;
+    r11 (quiet: load flat 3.3-4.0, max spread 2.6x) must not. Also pins
+    the false-positive guard: a bench-driven load rise on an idle-start
+    host (0.2 -> ~4 on 32 cpus, no sample spread) stays clean."""
+    import json
+    import os
+
+    from bench import contention_verdict
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    expect = {"10": True, "11": False, "12": True}
+    for rnum, flagged in expect.items():
+        with open(os.path.join(repo, f"BENCH_r{rnum}.json")) as fh:
+            parsed = json.load(fh)["parsed"]
+        verdict = contention_verdict(parsed["load"], parsed["samples"])
+        assert verdict["contended"] is flagged, (
+            f"r{rnum}: expected contended={flagged}, got {verdict}"
+        )
+
+    idle_quiet = contention_verdict(
+        [{"at": "start", "t": 0, "loadavg": [0.2, 0.5, 1.0]},
+         {"at": "end", "t": 100, "loadavg": [4.1, 2.0, 1.5]}],
+        {"s26g_dup_clusters": [5.8, 4.4, 4.0]},
+    )
+    assert idle_quiet["contended"] is False, idle_quiet

@@ -157,13 +157,27 @@ def test_every_entry_has_a_driver_row_or_sits_in_the_window():
     entry would never be oracle-verified by the driver again. Also pins
     that no historical window ever checked a name the registry no
     longer carries (a rename silently orphaning its verification
-    history)."""
+    history).
+
+    Only GIT-TRACKED history files count (ADVICE r12): the driver drops
+    each round's CORRECTNESS_r*.json untracked at round end, and a
+    rotation validated against an uncommitted row would pass locally
+    yet fail on a fresh clone. Falls back to the glob when git is
+    unavailable (e.g. an exported tarball)."""
     import glob
     import json
     import os
+    import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+        files = sorted(os.path.join(repo, f) for f in tracked)
+    except (OSError, subprocess.SubprocessError):
+        files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     assert files, "driver correctness history missing"
     checked: set[str] = set()
     for f in files:

@@ -418,34 +418,57 @@ def sql_davg(expr: str, alias: str) -> str:
 #   0.61, s09f 1.58, s09g 0.64, s14e 0.77, s24c 0.62, s21c 0.59, s05d
 #   1.14, s05e 0.77, s27b 1.15, s25_stream_tumbling 1.12, s25d 4.19 —
 #   ~22 s combined.
+#   r13 window (this one): the FIRST leg of the SECOND staleness pass
+#   (VERDICT r12 #1): all 17 rotating slots are RE-verification, stalest
+#   driver row first per rotate_window.py's refill — the complete
+#   remaining r5-era set (8: s24g s25g s25i s30d s30e s30f s31h s32d,
+#   exactly the refill seed named in the r12 rotation note) plus the 9
+#   stalest r6-era rows by the tool's deterministic tie-break (s13b s23c
+#   s25h s25l s26h s26i s26k s27 s27d). No changed-plans-first override
+#   applies — r12's only product edits were the kmeans pre-job guard
+#   (s27j, not in the refill) and the profile() stripper fix (advisory
+#   warning path, no query plan); nothing in the refill set was touched.
+#   After r13 no entry's latest driver row predates r6. Rotated out to
+#   51+ (all driver-green r12): s05d s05e s07b s09e s09f s09g s12b s14e
+#   s16b s21c s22c s24c s25 s25d s27b s28g s29g.
+#   Pre-verification (2026-08-16, start of r13, bare-session /tmp sweep
+#   at sf0.01 immediately after this rotation landed): see the dated
+#   note in SCALE.md §driver-window rotations.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r12 set: -----
-    # -- all re-verification, stalest driver row first — the 11 remaining
-    # -- r4-era rows + the 6 stalest r5-era rows, finishing the staleness
-    # -- sweep), roughly cost-ordered; the heavier re-verifies (s25/s25d
-    # -- streaming, s27b LSH) sit late; s03 leads so the cheapest query
-    # -- absorbs JVM warmup ------------------------------------------------
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r13 set: -----
+    # -- all re-verification, stalest driver row first — the 8 remaining
+    # -- r5-era rows + the 9 stalest r6-era rows, opening the second
+    # -- staleness pass), roughly cost-ordered; the heavy re-verifies
+    # -- (streaming sims, PageRank) sit late; s03 leads so the cheapest
+    # -- query absorbs JVM warmup -------------------------------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
-    "s22_array_funcs", "s22c_map_funcs", "s21_conditional",
-    "s20_math_funcs", "s19_date_funcs", "s18_string_funcs",
-    "s33_sequence_pack", "s12_having", "s12b_having_join",
-    "s31_hash_split", "s16_topk_per_group", "s16b_tpch_q15",
-    "s23_json", "s28g_repetition_score", "s29g_udtf_token_runs",
-    "s07_semi_anti_join", "s07b_exists_subquery", "s04_filter",
-    "s09d_argmax", "s09e_quantile_filter", "s09f_scalar_subquery",
-    "s09g_incremental_agg", "s11c_grouping_sets", "s14_window_analytic",
-    "s14e_gaps_islands", "s13_window_rank", "s10_count_distinct",
-    "s17_setops", "s24_tumbling_window", "s24c_funnel",
-    "s01_parquet_scan", "s02_csv_scan", "s21c_tpch_q12",
-    "s05b_salted_join", "s05d_tpch_q5", "s05e_tpch_q10",
-    "s06_outer_join", "s08_broadcast_join", "s26f_canonical_dedup",
-    "s27c_embedding_neardup", "s27b_lsh_topk", "s29_pandas_udf",
-    "s32_profile", "s25e_stream_dedup", "s25_stream_tumbling",
-    "s25d_stateful_sessions", "s30c_linear_model_train",
-    # -- slots 51+: driver-green entries rotated out in r12 -----------------
+    "s22_array_funcs", "s21_conditional", "s20_math_funcs",
+    "s19_date_funcs", "s18_string_funcs", "s33_sequence_pack",
+    "s12_having", "s31_hash_split", "s16_topk_per_group",
+    "s23_json", "s23c_variant", "s13b_distribution_ranks",
+    "s31h_quantile_bins", "s32d_outlier_flags", "s07_semi_anti_join",
+    "s04_filter", "s09d_argmax", "s11c_grouping_sets",
+    "s14_window_analytic", "s13_window_rank", "s10_count_distinct",
+    "s17_setops", "s24_tumbling_window", "s01_parquet_scan",
+    "s02_csv_scan", "s05b_salted_join", "s06_outer_join",
+    "s08_broadcast_join", "s26f_canonical_dedup", "s26h_boilerplate_phrases",
+    "s26i_decontaminate", "s27_cosine_topk", "s27c_embedding_neardup",
+    "s27d_ivf_topk", "s29_pandas_udf", "s32_profile",
+    "s30c_linear_model_train", "s30d_linear_model_score", "s30e_cv_ols",
+    "s30f_learning_curve", "s26k_incremental_neardup", "s25e_stream_dedup",
+    "s25h_file_sink_etl", "s25l_stream_outlier_guard",
+    "s25g_stream_stream_join", "s25i_stream_cdc_upsert", "s24g_pagerank",
+    # -- slots 51+: driver-green entries rotated out in r13 -----------------
+    "s22c_map_funcs", "s12b_having_join", "s16b_tpch_q15",
+    "s28g_repetition_score", "s29g_udtf_token_runs", "s07b_exists_subquery",
+    "s09e_quantile_filter", "s09f_scalar_subquery", "s09g_incremental_agg",
+    "s14e_gaps_islands", "s24c_funnel", "s21c_tpch_q12",
+    "s05d_tpch_q5", "s05e_tpch_q10", "s27b_lsh_topk",
+    "s25_stream_tumbling", "s25d_stateful_sessions",
+    # -- driver-green entries rotated out in r12 -----------------
     "s15b_sort_nulls", "s22b_array_hof", "s21b_promo_revenue",
     "s33b_chunk_overlap", "s31b_stratified_sample", "s31c_group_sample",
     "s31f_weighted_sample", "s23b_from_json", "s28b_lang_id",
@@ -483,21 +506,11 @@ _DRIVER_ORDER = [
     "s26j_fuzzy_snm", "s27e_knn_classify", "s27f_label_centroids",
     "s29f_audio_window_rms", "s29h_grouped_agg_udaf",
     "s29i_map_in_arrow", "s29j_unicode_normalize",
-    # -- driver-green entries rotated out in r7 ------------------
-    "s28h_pii_redact", "s27_cosine_topk", "s28l_unigram_logprob",
-    "s23c_variant", "s26h_boilerplate_phrases", "s26i_decontaminate",
-    "s32b_data_quality", "s27d_ivf_topk",
-    "s25l_stream_outlier_guard", "s27g_lsh_neardup_pairs",
-    "s25h_file_sink_etl", "s28e_tfidf_top_terms",
-    "s26k_incremental_neardup", "s30_gbt_train_predict",
-    "s13b_distribution_ranks",
-    # -- driver-green entries rotated out in r6 (the 8 r5-era rows ----------
-    # -- remaining after the r12 refill — the natural r13 seed) -------------
-    "s31h_quantile_bins", "s32d_outlier_flags",
-    "s30d_linear_model_score", "s30f_learning_curve",
-    "s30e_cv_ols", "s25i_stream_cdc_upsert",
-    "s25g_stream_stream_join",
-    "s24g_pagerank",
+    # -- driver-green entries rotated out in r7 (the r6/r5-era rows of ------
+    # -- this group now sit in the r13 re-verify window above) --------------
+    "s28h_pii_redact", "s28l_unigram_logprob", "s32b_data_quality",
+    "s27g_lsh_neardup_pairs", "s28e_tfidf_top_terms",
+    "s30_gbt_train_predict",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
