@@ -64,9 +64,22 @@ def main() -> None:
 
     # One pass over the round files builds both views: `seen` (any driver
     # row ever) and `last_round` (staleness for the re-verify refill).
+    # Only GIT-TRACKED history counts, matching the reachability test
+    # (tests/test_registry.py, ADVICE r12): a rotation computed from an
+    # uncommitted driver row would validate locally but not on a fresh
+    # clone. Glob fallback when git is unavailable.
     seen: set[str] = set()
     last_round: dict[str, int] = {}
-    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    try:
+        import subprocess
+
+        tracked = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+        rounds = sorted(os.path.join(REPO, f) for f in tracked)
+    except Exception:
+        rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
         m = re.search(r"_r(\d+)\.json$", path)
         if m is None:
