@@ -52,7 +52,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
+# Source scale dir; tests point this at sf0.001 for a fast 2-replica tile.
+SRC = os.environ.get("GEN_SCALE_PROBE_SRC", "/root/testdata/sf0.1")
 
 # table -> columns to offset by r * (max(col over the SOURCE key domain
 # owner) + 1); every foreign key uses its OWNER table's domain size so
@@ -80,7 +81,16 @@ COPIED = ["region", "nation"]
 
 
 def salt_text(text: str, r: int) -> str:
-    tag = f"q{r}"
+    """Injective per-replica token rename: ``w -> w + '\\x01' + r``.
+
+    The \\x01 separator cannot appear in natural text tokens, so a salted
+    token can never collide with an original one and (w, r) -> salted is
+    injective — cross-replica Jaccard is 0 BY CONSTRUCTION, not just
+    empirically. (The round-13 probe corpora used a plain ``q<r>`` suffix;
+    their linearity was verified by counts instead — shingle/prefix/
+    candidate rows all exactly 10.000x per decade, SCALE.md.)
+    """
+    tag = f"\x01{r}"
     return " ".join(w + tag for w in text.split(" "))
 
 
