@@ -64,20 +64,29 @@ def main() -> None:
 
     # One pass over the round files builds both views: `seen` (any driver
     # row ever) and `last_round` (staleness for the re-verify refill).
-    # Only GIT-TRACKED history counts, matching the reachability test
+    # Only COMMITTED history counts, matching the reachability test
     # (tests/test_registry.py, ADVICE r12): a rotation computed from an
     # uncommitted driver row would validate locally but not on a fresh
-    # clone. Glob fallback when git is unavailable.
+    # clone. `git ls-tree HEAD` (not ls-files — the index would count a
+    # staged-but-uncommitted file, ADVICE r13) plus an existence filter
+    # (a committed file deleted from the working tree must fall through
+    # to the glob, not crash the later open). Glob fallback when git is
+    # unavailable.
     seen: set[str] = set()
     last_round: dict[str, int] = {}
     try:
+        import fnmatch
         import subprocess
 
-        tracked = subprocess.run(
-            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
+        tree = subprocess.run(
+            ["git", "-C", REPO, "ls-tree", "--name-only", "HEAD"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.split()
-        rounds = sorted(os.path.join(REPO, f) for f in tracked)
+        rounds = sorted(
+            p
+            for f in fnmatch.filter(tree, "CORRECTNESS_r*.json")
+            if os.path.exists(p := os.path.join(REPO, f))
+        )
     except Exception:
         rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:

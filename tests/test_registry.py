@@ -159,11 +159,16 @@ def test_every_entry_has_a_driver_row_or_sits_in_the_window():
     longer carries (a rename silently orphaning its verification
     history).
 
-    Only GIT-TRACKED history files count (ADVICE r12): the driver drops
+    Only COMMITTED history files count (ADVICE r12): the driver drops
     each round's CORRECTNESS_r*.json untracked at round end, and a
     rotation validated against an uncommitted row would pass locally
-    yet fail on a fresh clone. Falls back to the glob when git is
+    yet fail on a fresh clone. `git ls-tree HEAD`, not ls-files — the
+    index counts a staged-but-uncommitted file, defeating the
+    fresh-clone rationale (ADVICE r13) — plus an existence filter so a
+    committed file deleted from the working tree falls through rather
+    than crashing the open below. Falls back to the glob when git is
     unavailable (e.g. an exported tarball)."""
+    import fnmatch
     import glob
     import json
     import os
@@ -171,11 +176,15 @@ def test_every_entry_has_a_driver_row_or_sits_in_the_window():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        tracked = subprocess.run(
-            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+        tree = subprocess.run(
+            ["git", "-C", repo, "ls-tree", "--name-only", "HEAD"],
             capture_output=True, text=True, timeout=30, check=True,
         ).stdout.split()
-        files = sorted(os.path.join(repo, f) for f in tracked)
+        files = sorted(
+            p
+            for f in fnmatch.filter(tree, "CORRECTNESS_r*.json")
+            if os.path.exists(p := os.path.join(repo, f))
+        )
     except (OSError, subprocess.SubprocessError):
         files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     assert files, "driver correctness history missing"

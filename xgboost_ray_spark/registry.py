@@ -434,34 +434,59 @@ def sql_davg(expr: str, alias: str) -> str:
 #   Pre-verification (2026-08-16, start of r13, bare-session /tmp sweep
 #   at sf0.01 immediately after this rotation landed): see the dated
 #   note in SCALE.md §driver-window rotations.
+#   r14 window (this one): the SECOND leg of the second staleness pass
+#   (VERDICT r13 #2): rotate_window.py's deterministic refill is the 6
+#   remaining r6-era rows (s27g s28e s28h s28l s30 s32b) plus the 11
+#   stalest r7-era rows — but the changed-plans-first override applies
+#   this round: s26l_prefix_filter_join's verify stage adopts the
+#   dictionary-encoded scale path (VERDICT r13 #1, the SCALE.md r14
+#   contract seed), so s26l takes a rotating slot ahead of the refill,
+#   displacing the tool's last-ranked pick (s26j_fuzzy_snm, deferred to
+#   r15 where it becomes the stalest row). Window = 33 canonicals +
+#   s26l + 6 r6-era + 10 r7-era (s04b s06c s06d s07c s07d s25b s25c
+#   s25f s25j s25k). After r14 no entry's latest driver row predates r7
+#   except s26j (r7, deferred). Rotated out to 51+ (all driver-green
+#   r13): s13b s23c s24g s25g s25h s25i s25l s26h s26i s26k s27 s27d
+#   s30d s30e s30f s31h s32d.
+#   Pre-verification: dated note in SCALE.md §driver-window rotations.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r13 set: -----
-    # -- all re-verification, stalest driver row first — the 8 remaining
-    # -- r5-era rows + the 9 stalest r6-era rows, opening the second
-    # -- staleness pass), roughly cost-ordered; the heavy re-verifies
-    # -- (streaming sims, PageRank) sit late; s03 leads so the cheapest
-    # -- query absorbs JVM warmup -------------------------------------------
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r14 set: -----
+    # -- s26l first by the changed-plans-first override — its verify
+    # -- stage was re-planned this round — then the 6 remaining r6-era
+    # -- rows + the 10 stalest r7-era rows of the second staleness
+    # -- pass), roughly cost-ordered; the heavy re-verifies (streaming
+    # -- sims, GBT) sit late; s03 leads so the cheapest query absorbs
+    # -- JVM warmup ----------------------------------------------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s18_string_funcs", "s33_sequence_pack",
     "s12_having", "s31_hash_split", "s16_topk_per_group",
-    "s23_json", "s23c_variant", "s13b_distribution_ranks",
-    "s31h_quantile_bins", "s32d_outlier_flags", "s07_semi_anti_join",
+    "s23_json", "s04b_disjunctive_pushdown", "s07c_inactive_customers",
+    "s07d_sole_fault_supplier", "s06d_outerjoin_histogram",
+    "s06c_cdc_upsert", "s07_semi_anti_join",
     "s04_filter", "s09d_argmax", "s11c_grouping_sets",
     "s14_window_analytic", "s13_window_rank", "s10_count_distinct",
     "s17_setops", "s24_tumbling_window", "s01_parquet_scan",
     "s02_csv_scan", "s05b_salted_join", "s06_outer_join",
-    "s08_broadcast_join", "s26f_canonical_dedup", "s26h_boilerplate_phrases",
-    "s26i_decontaminate", "s27_cosine_topk", "s27c_embedding_neardup",
-    "s27d_ivf_topk", "s29_pandas_udf", "s32_profile",
-    "s30c_linear_model_train", "s30d_linear_model_score", "s30e_cv_ols",
-    "s30f_learning_curve", "s26k_incremental_neardup", "s25e_stream_dedup",
+    "s08_broadcast_join", "s26f_canonical_dedup", "s27c_embedding_neardup",
+    "s28e_tfidf_top_terms", "s28h_pii_redact", "s28l_unigram_logprob",
+    "s27g_lsh_neardup_pairs", "s32b_data_quality", "s29_pandas_udf",
+    "s32_profile", "s30c_linear_model_train", "s26l_prefix_filter_join",
+    "s25e_stream_dedup", "s25b_stream_sliding",
+    "s25c_stream_watermark_append", "s25f_stream_static_join",
+    "s25j_stream_trending", "s25k_stream_session_window",
+    "s30_gbt_train_predict",
+    # -- slots 51+: driver-green entries rotated out in r14 -----------------
+    "s23c_variant", "s13b_distribution_ranks", "s31h_quantile_bins",
+    "s32d_outlier_flags", "s26h_boilerplate_phrases", "s26i_decontaminate",
+    "s27_cosine_topk", "s27d_ivf_topk", "s30d_linear_model_score",
+    "s30e_cv_ols", "s30f_learning_curve", "s26k_incremental_neardup",
     "s25h_file_sink_etl", "s25l_stream_outlier_guard",
     "s25g_stream_stream_join", "s25i_stream_cdc_upsert", "s24g_pagerank",
-    # -- slots 51+: driver-green entries rotated out in r13 -----------------
+    # -- driver-green entries rotated out in r13 -----------------
     "s22c_map_funcs", "s12b_having_join", "s16b_tpch_q15",
     "s28g_repetition_score", "s29g_udtf_token_runs", "s07b_exists_subquery",
     "s09e_quantile_filter", "s09f_scalar_subquery", "s09g_incremental_agg",
@@ -488,7 +513,6 @@ _DRIVER_ORDER = [
     "s05_inner_join", "s26c_simhash", "s24b_sessionization",
     "s27h_embedding_quantize", "s27i_quantized_topk", "s26b_minhash_lsh",
     "s05c_tpch_q3", "s09_groupby_agg", "s05h_tpch_q9",
-    "s26l_prefix_filter_join",
     # -- driver-green entries rotated out in r9 ------------------
     "s01b_orc_scan", "s01c_partition_pruning", "s01d_schema_evolution",
     "s01e_compaction", "s01f_binaryfile_scan", "s01g_jsonl_scan",
@@ -497,20 +521,12 @@ _DRIVER_ORDER = [
     "s14d_point_in_time", "s24d_transition_counts",
     "s24e_retention_cohorts", "s24f_user_sequences",
     "s28i_bigram_counts", "s28j_feature_hash",
-    # -- driver-green entries rotated out in r8 ------------------
-    "s04b_disjunctive_pushdown", "s06c_cdc_upsert",
-    "s06d_outerjoin_histogram", "s07c_inactive_customers",
-    "s07d_sole_fault_supplier", "s25b_stream_sliding",
-    "s25c_stream_watermark_append", "s25f_stream_static_join",
-    "s25j_stream_trending", "s25k_stream_session_window",
+    # -- driver-green entries rotated out in r8 (the r7-era rows of this ----
+    # -- group now sit in the r14 re-verify window above; s26j is the one
+    # -- r7-era row the s26l override displaced — r15's stalest seed) --------
     "s26j_fuzzy_snm", "s27e_knn_classify", "s27f_label_centroids",
     "s29f_audio_window_rms", "s29h_grouped_agg_udaf",
     "s29i_map_in_arrow", "s29j_unicode_normalize",
-    # -- driver-green entries rotated out in r7 (the r6/r5-era rows of ------
-    # -- this group now sit in the r13 re-verify window above) --------------
-    "s28h_pii_redact", "s28l_unigram_logprob", "s32b_data_quality",
-    "s27g_lsh_neardup_pairs", "s28e_tfidf_top_terms",
-    "s30_gbt_train_predict",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
