@@ -508,6 +508,73 @@ def test_prefix_filter_lossless_on_adversarial_corpora(spark):
             assert (1, 2) in tie_pairs, "exact-tie pair must survive"
 
 
+def test_prefix_filter_encoded_verify_matches_string_verify(spark):
+    """The r14 scale adoption (SCALE.md r14 contract): the verify arrays
+    carry audited xxhash64 shingle ids instead of strings. Intersection
+    and size arithmetic are invariant under any injective relabeling, so
+    the encoded output must equal the r9–r13 string-array output — every
+    pair, every rounded jaccard value — on a corpus with threshold ties,
+    identical docs, sub-shingle-width docs and hot shingles. (The
+    adversarial-losslessness test above already proves the DEFAULT
+    encoded path against the naive kernel; this pins the two verify
+    spellings against each other so a future encoding change that
+    perturbed rounded values, not just membership, is caught by name.)"""
+    from xgboost_ray_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),
+            (2, "w1 w2 w3 w5"),
+            (3, "w1 w2 w9 w10"),
+            (4, "w1 w2 w3 w4"),
+            (5, "zz"),
+            (6, "zz"),
+            (7, "hot " * 3 + "only hot words here"),
+            (8, "hot w9 w10 only"),
+        ],
+        "doc_id long, text string",
+    )
+    for n, t in ((1, 0.6), (2, 0.5), (1, 1.0)):
+        enc = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in prefix_filtered_jaccard_pairs(
+                docs, n=n, threshold=t, encode_verify=True
+            ).collect()
+        )
+        raw = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in prefix_filtered_jaccard_pairs(
+                docs, n=n, threshold=t, encode_verify=False
+            ).collect()
+        )
+        assert enc == raw, f"encoded verify diverged at n={n} t={t}"
+        if t == 0.6:
+            assert (1, 2, 0.6) in enc, "threshold tie must survive encoding"
+
+
+def test_gid_injectivity_audit_raises_on_collision(spark):
+    """The collision audit is the exactness guarantee behind the encoded
+    verify: a non-injective id expression must HARD-FAIL the build (a
+    silent collision would under-count intersections or merge shingles),
+    and the real xxhash64 must pass on a real shingle frame. The forced
+    collision uses the injectable id_expr seam — Spark's xxhash64 seed is
+    fixed, so a true 64-bit collision can't be staged with test-sized
+    data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xgboost_ray_spark.operators.dedup import _audit_gid_injective
+
+    dfreq = spark.createDataFrame(
+        [("aa bb",), ("bb cc",), ("cc dd",)], "g string"
+    )
+    _audit_gid_injective(dfreq)  # real hash: injective on 3 shingles
+    with pytest.raises(RuntimeError, match="not injective"):
+        _audit_gid_injective(dfreq, id_expr=F.lit(1))
+    # boundary: an empty shingle frame (empty corpus) audits clean
+    _audit_gid_injective(dfreq.filter(F.lit(False)))
+
+
 def test_hamming_multi_index_lossless_vs_brute_force(spark):
     """The multi-index pigeonhole claim, pinned against brute force: with
     the bucket cap out of the way, every pair within max_dist bits must

@@ -29,6 +29,11 @@ Every allowlisted site is O(1) or K-sized w.r.t. the corpus:
   * plans/explain.py/executed_plan: test/audit helper, not a hot path.
   * dedup.py/dup_clusters: the per-round convergence SCALAR of
     connected components (one long).
+  * dedup.py/_audit_gid_injective: the PPJoin verify-encoding collision
+    audit — ONE 2-int row (count distinct shingles vs count distinct
+    xxhash64 ids) proving the dictionary encoding injective before any
+    candidate verifies against it; hard failure on mismatch, so a hash
+    collision can never silently corrupt the exact-Jaccard output.
   * relational.py/s01f_binaryfile_scan: bounded fixture write (the demo
     corpus slice materialized once into the scratch layout).
   * similarity.py/kmeans_assign (x3): the 1-row min-vec_id seed, the
@@ -65,6 +70,7 @@ ALLOWED: dict[tuple[str, str, str], int] = {
     ("matrix.py", "_with_contiguous_index", "collect"): 1,
     ("plans/explain.py", "executed_plan", "collect"): 1,
     ("operators/dedup.py", "dup_clusters", "collect"): 1,
+    ("operators/dedup.py", "_audit_gid_injective", "collect"): 1,
     ("operators/relational.py", "s01f_binaryfile_scan", "collect"): 1,
     # 1-row first-seed select + 1-row farthest-point argmax per pass +
     # K*dim centroid pullback — three audited calls

@@ -1388,11 +1388,46 @@ def s26j_fuzzy_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Prefix-filtered set-similarity join (AllPairs/PPJoin candidate pruning)
 # ---------------------------------------------------------------------------
+def _audit_gid_injective(dfreq: DataFrame, id_expr: Column | None = None) -> None:
+    """Collision audit fronting the dictionary-encoded verify stage.
+
+    The PPJoin verify arrays carry ``xxhash64(g)`` ids instead of shingle
+    strings (~8 B/token instead of ~25 B — measured 3.9× faster end-to-end
+    at the sf10 probe scale, SCALE.md round-13 adjudication), but the
+    operator's contract is EXACT Jaccard against the naive all-pairs
+    oracle, and a 64-bit hash has a ~1.8e-5 birthday chance of one
+    collision over the ~26M distinct shingles of that probe. The encoding
+    is therefore proven injective PER EVALUATION before any candidate is
+    verified: one aggregate over the already-materialized shingle spill —
+    ``count(*)`` rows of the distinct-shingle frame vs
+    ``count(distinct xxhash64(g))`` — and a hard failure on mismatch
+    (never a silent wrong answer; the caller can re-run with a salted
+    order or fall back to string arrays, both of which are corpus-level
+    incident responses, not engine defaults). The collected result is one
+    2-int row — audited in tests/test_driver_surface.py.
+    """
+    row = dfreq.agg(
+        F.count("*").alias("n_g"),
+        F.count_distinct(
+            id_expr if id_expr is not None else F.xxhash64("g")
+        ).alias("n_gid"),
+    ).collect()[0]
+    if row["n_g"] != row["n_gid"]:
+        raise RuntimeError(
+            "PPJoin verify encoding is not injective on this corpus: "
+            f"{row['n_g']} distinct shingles -> {row['n_gid']} distinct "
+            "ids. Exact-Jaccard output cannot be guaranteed; re-run with "
+            "string verify arrays (prefix_filtered_jaccard_pairs(..., "
+            "encode_verify=False))."
+        )
+
+
 def prefix_filtered_jaccard_pairs(
     docs: DataFrame,
     n: int = JACCARD_NGRAM,
     threshold: float = JACCARD_THRESHOLD,
     spill_key: str | None = None,
+    encode_verify: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering.
 
@@ -1415,6 +1450,21 @@ def prefix_filtered_jaccard_pairs(
     choice when exact-threshold output is required; s26b (MinHash-LSH)
     remains the approximate prefilter when a small false-negative rate is
     acceptable.
+
+    The verify arrays are DICTIONARY-ENCODED (``encode_verify=True``, the
+    default since round 14): each shingle string is replaced by its
+    ``xxhash64`` id before ``collect_set``, so the verify shuffle — which
+    ships each doc's array once per candidate it appears in — moves ~8 B
+    ints instead of ~25 B strings.  The sf10 decade probe (SCALE.md) found
+    the string arrays crossing the single-host shuffle-memory ceiling
+    (200.2 s wall for 10.000×-linear measured work); the encoded variant
+    measured 51.4 s on identical output.  Exactness is preserved by
+    construction plus audit: the intersection/size arithmetic is invariant
+    under any INJECTIVE relabeling of shingles, and injectivity on the
+    actual corpus is proven per evaluation by :func:`_audit_gid_injective`
+    (count-distinct audit over the already-spilled shingle frame; hard
+    failure, never a silent collision).  ``encode_verify=False`` restores
+    the r9–r13 string-array verify.
     """
     from pyspark.sql import Window as W
 
@@ -1454,7 +1504,12 @@ def prefix_filtered_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = sh.groupBy("doc_id").agg(F.collect_set("g").alias("ts"))
+    if encode_verify:
+        _audit_gid_injective(dfreq)
+        verify_src = sh.select("doc_id", F.xxhash64("g").alias("g"))
+    else:
+        verify_src = sh
+    toks = verify_src.groupBy("doc_id").agg(F.collect_set("g").alias("ts"))
     return (
         cand.join(
             toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")),
@@ -1491,9 +1546,11 @@ def prefix_filtered_jaccard_pairs(
     doc="PPJoin-style prefix-filtered exact Jaccard join: docs join only "
         "on their rarest-(sz - ceil(t*sz) + 1) shingles under a global "
         "document-frequency order, then candidates verify via one "
-        "array_intersect per pair. Hash-checked against the NAIVE "
-        "all-pairs oracle — the pruning is provably lossless, and the "
-        "driver hash proves it row-for-row.",
+        "array_intersect per pair over DICTIONARY-ENCODED (audited "
+        "collision-free xxhash64) shingle ids. Hash-checked against the "
+        "NAIVE all-pairs oracle — the pruning is provably lossless, the "
+        "encoding provably injective per run, and the driver hash proves "
+        "both row-for-row.",
     tags=("dedup", "scale"),
 )
 def s26l_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
