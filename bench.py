@@ -65,18 +65,26 @@ REPORT_SAMPLES = (
 WARMUP_QUERY = "s09_groupby_agg"
 
 
-def contention_verdict(load_points: list, samples: dict) -> dict:
+def contention_verdict(
+    load_points: list, samples: dict, cpus: int | None = None
+) -> dict:
     """Self-annotating contention adjudication (VERDICT r12 #3): a reader
     of the JSON alone should see whether the run was contended without
-    cross-referencing BASELINE.md's controls. Two prongs, calibrated on
-    the r10-r12 artifacts:
+    cross-referencing BASELINE.md's controls. Three prongs, calibrated on
+    the r10-r12 artifacts (``cpus`` is injectable so the backtest pins
+    behavior independent of the host — ADVICE r13):
 
       * load prong — peak 1-min loadavg > 2x the run's starting loadavg.
-        The denominator is floored at cpu_count/8 (~= the bench's OWN
+        The denominator is floored at cpus/8 (~= the bench's OWN
         steady-state load signature on local[N]: r11's quiet run held
         3.3-4.0 throughout on 32 cpus), so an idle-start quiet run
         (start 0.2, bench-driven peak ~4) is NOT a false positive while
         r12's 3.19 -> 10.64 neighbor burst is flagged.
+      * busy-start prong — the starting loadavg itself > 2x the cpus/8
+        floor (ADVICE r13: a run that BEGINS on an already-contended
+        host with stable load, e.g. 10 -> 11, never trips the relative
+        load prong — steady pre-existing contention must flag on the
+        absolute level, not the delta).
       * spread prong — any published heavy-query sample list (the
         REPORT_SAMPLES iterative/ML plans) with max > 3x min. Quiet
         rounds top out ~2.6x (s08c's characteristic warm first sample);
@@ -86,8 +94,9 @@ def contention_verdict(load_points: list, samples: dict) -> dict:
     """
     peaks = [p["loadavg"][0] for p in load_points]
     start = peaks[0] if peaks else 0.0
-    floor = (os.cpu_count() or 32) / 8.0
+    floor = (cpus or os.cpu_count() or 32) / 8.0
     load_flag = bool(peaks) and max(peaks) > 2.0 * max(start, floor)
+    busy_start_flag = start > 2.0 * floor
     worst_q, worst_ratio = None, 0.0
     for name, vals in samples.items():
         if vals and min(vals) > 0:
@@ -96,11 +105,12 @@ def contention_verdict(load_points: list, samples: dict) -> dict:
                 worst_q, worst_ratio = name, ratio
     spread_flag = worst_ratio > 3.0
     return {
-        "contended": load_flag or spread_flag,
+        "contended": load_flag or busy_start_flag or spread_flag,
         "contention": {
             "load_start": round(start, 2),
             "load_peak": round(max(peaks), 2) if peaks else None,
             "load_flag": load_flag,
+            "busy_start_flag": busy_start_flag,
             "worst_spread_query": worst_q,
             "worst_spread_ratio": round(worst_ratio, 2),
             "spread_flag": spread_flag,

@@ -365,7 +365,15 @@ def test_contention_verdict_backtest():
     6.5x) and r12 (loadavg 3.19 -> 10.64 AND spreads >5x) must flag;
     r11 (quiet: load flat 3.3-4.0, max spread 2.6x) must not. Also pins
     the false-positive guard: a bench-driven load rise on an idle-start
-    host (0.2 -> ~4 on 32 cpus, no sample spread) stays clean."""
+    host (0.2 -> ~4 on 32 cpus, no sample spread) stays clean. Every
+    call passes cpus=32 — the artifacts came from a 32-cpu host, and
+    the load prong's floor is cpus/8, so on a smaller host the
+    idle-start case would trip the load prong and the backtest would
+    fail for host reasons (ADVICE r13; cpus is injectable for exactly
+    this). The busy-start prong (also ADVICE r13) gets its own case: a
+    run that BEGINS at loadavg 10 and stays flat never trips the
+    relative load prong, but steady pre-existing contention of that
+    size must still flag on the absolute level."""
     import json
     import os
 
@@ -376,7 +384,7 @@ def test_contention_verdict_backtest():
     for rnum, flagged in expect.items():
         with open(os.path.join(repo, f"BENCH_r{rnum}.json")) as fh:
             parsed = json.load(fh)["parsed"]
-        verdict = contention_verdict(parsed["load"], parsed["samples"])
+        verdict = contention_verdict(parsed["load"], parsed["samples"], cpus=32)
         assert verdict["contended"] is flagged, (
             f"r{rnum}: expected contended={flagged}, got {verdict}"
         )
@@ -385,5 +393,16 @@ def test_contention_verdict_backtest():
         [{"at": "start", "t": 0, "loadavg": [0.2, 0.5, 1.0]},
          {"at": "end", "t": 100, "loadavg": [4.1, 2.0, 1.5]}],
         {"s26g_dup_clusters": [5.8, 4.4, 4.0]},
+        cpus=32,
     )
     assert idle_quiet["contended"] is False, idle_quiet
+
+    steady_busy = contention_verdict(
+        [{"at": "start", "t": 0, "loadavg": [10.2, 10.0, 9.8]},
+         {"at": "end", "t": 100, "loadavg": [11.0, 10.5, 10.0]}],
+        {"s26g_dup_clusters": [5.8, 4.4, 4.0]},  # spread quiet: 1.45x
+        cpus=32,
+    )
+    assert steady_busy["contended"] is True, steady_busy
+    assert steady_busy["contention"]["busy_start_flag"] is True
+    assert steady_busy["contention"]["load_flag"] is False
