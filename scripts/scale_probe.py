@@ -9,7 +9,13 @@ scripts/gen_scale_probe.py, which tiles sf0.1 into a 10x corpus whose
 per-operator workload is measured to scale exactly linearly (near-dup
 pairs and cluster counts 10.000x — see SCALE.md round-13 note).
 
-Usage: python scripts/scale_probe.py [base_sf_dir] [big_sf_dir]
+Usage: python scripts/scale_probe.py [base_sf_dir] [big_sf_dir] [ops]
+
+``ops`` (optional, comma-separated registry names) overrides the default
+iterative six — round 14 uses it to point the same protocol at the
+heavy shuffle-bound RELATIONAL entries (VERDICT r13 #4: s05d six-table
+join, s28e TF-IDF, s11c grouping sets, s09 Q1) so the relational scale
+story is measured, not inferred from the sf0.01->sf0.1 band.
 """
 
 from __future__ import annotations
@@ -28,6 +34,8 @@ PROBE = [
     "s27j_kmeans",
     "s25d_stateful_sessions",
 ]
+if len(sys.argv) > 3:
+    PROBE = [n for n in sys.argv[3].split(",") if n]
 
 
 def run_scale(sf_dir: str) -> dict[str, float]:
