@@ -1443,6 +1443,16 @@ def prefix_filtered_jaccard_pairs(
     are driven by RARE features, the frequency skew works for us instead
     of against us.
 
+    Two further PPJoin prunes run between the prefix join and the verify
+    (since round 14; lossless proofs + sizing in SCALE.md): the LENGTH
+    filter (``den*|a| >= num*|b|`` both ways — a qualifying pair's sizes
+    must be within the threshold ratio) and the POSITIONAL filter (the
+    rarest shared-prefix token's ranks bound the achievable intersection
+    at ``1 + min(|a|-ra, |b|-rb)``).  Together they cut the candidate set
+    3.27x at the sf1.0 probe scale, which is 3.27x fewer verify arrays
+    shuffled, at the cost of four extra ints per candidate row on the
+    pair shuffle the old ``.distinct()`` already paid.
+
     Verification is per-candidate and bounded: each doc's distinct-shingle
     set rides along as an array (memory proportional to the text itself),
     and the exact intersection is one JVM ``array_intersect`` — no second
@@ -1497,12 +1507,59 @@ def prefix_filtered_jaccard_pairs(
         F.col("r")
         <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
     )
+    # Candidate pruning beyond the prefix theorem (both classic PPJoin
+    # filters, both lossless, both exact-integer — proofs + sf1.0 sizing
+    # in SCALE.md's r14 contract; at sf1.0 they cut the candidate set
+    # 3.27x, which is 3.27x fewer arrays into the verify shuffle):
+    #   * length: J >= num/den forces den*|a| >= num*|b| and vice versa
+    #     (inter <= |a|, union >= |b|), applied per matching token row;
+    #   * positional: the pair's rarest shared-prefix token w* (== the
+    #     min-ra candidate row, because rank is monotone in the global
+    #     order) bounds inter <= 1 + min(|a|-ra, |b|-rb) — any shared
+    #     token rarer than w* would sit in both prefixes and contradict
+    #     w*'s minimality — so pairs failing the verify inequality with
+    #     that bound substituted for inter cannot qualify. The min-row
+    #     aggregate rides the exact shuffle the old .distinct() paid.
     cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "g")
-        .join(pref.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        pref.select(
+            F.col("doc_id").alias("doc_a"), "g",
+            F.col("r").alias("ra"), F.col("sz").alias("sza"),
+        )
+        .join(
+            pref.select(
+                F.col("doc_id").alias("doc_b"), "g",
+                F.col("r").alias("rb"), F.col("sz").alias("szb"),
+            ),
+            "g",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (den * F.col("sza") >= num * F.col("szb"))
+            & (den * F.col("szb") >= num * F.col("sza"))
+        )
+        # min-(ra) row via ONE packed-bigint min — NOT min(struct(...)),
+        # whose non-hashable buffer degrades the whole pair aggregate to
+        # SortAggregate (the plan-hygiene gate catches exactly that). ra
+        # is a per-doc row_number (< 2^31 by construction), so
+        # (ra << 31) | rb orders by ra with rb riding along; sza/szb are
+        # pair constants, any hash-friendly aggregate recovers them.
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min(
+                F.shiftleft(F.col("ra").cast("long"), 31)
+                + F.col("rb").cast("long")
+            ).alias("code"),
+            F.min("sza").alias("sza"),
+            F.min("szb").alias("szb"),
+        )
+        .withColumn("ra", F.shiftright(F.col("code"), 31))
+        .withColumn("rb", F.col("code") - F.shiftleft(F.col("ra"), 31))
+        .filter(
+            (den + num)
+            * (1 + F.least(F.col("sza") - F.col("ra"), F.col("szb") - F.col("rb")))
+            >= num * (F.col("sza") + F.col("szb"))
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     if encode_verify:
         _audit_gid_injective(dfreq)
@@ -1545,12 +1602,13 @@ def prefix_filtered_jaccard_pairs(
     oracle=_JACCARD_PAIRS_SQL,
     doc="PPJoin-style prefix-filtered exact Jaccard join: docs join only "
         "on their rarest-(sz - ceil(t*sz) + 1) shingles under a global "
-        "document-frequency order, then candidates verify via one "
-        "array_intersect per pair over DICTIONARY-ENCODED (audited "
-        "collision-free xxhash64) shingle ids. Hash-checked against the "
-        "NAIVE all-pairs oracle — the pruning is provably lossless, the "
-        "encoding provably injective per run, and the driver hash proves "
-        "both row-for-row.",
+        "document-frequency order, candidates pass exact-integer LENGTH "
+        "and POSITIONAL filters (rarest-shared-token rank bounds the "
+        "achievable intersection), then verify via one array_intersect "
+        "per pair over DICTIONARY-ENCODED (audited collision-free "
+        "xxhash64) shingle ids. Hash-checked against the NAIVE all-pairs "
+        "oracle — pruning, filters and encoding are each provably "
+        "lossless, and the driver hash proves it row-for-row.",
     tags=("dedup", "scale"),
 )
 def s26l_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
