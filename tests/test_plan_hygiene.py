@@ -380,7 +380,11 @@ def test_contention_verdict_backtest():
     from bench import contention_verdict
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    expect = {"10": True, "11": False, "12": True}
+    # r13 joined the backtest in r14: the first official run that carried
+    # the flag live (contended: false, judged quiet by its own telemetry
+    # and the pre-registered band) — it must stay clean under any future
+    # prong change.
+    expect = {"10": True, "11": False, "12": True, "13": False}
     for rnum, flagged in expect.items():
         with open(os.path.join(repo, f"BENCH_r{rnum}.json")) as fh:
             parsed = json.load(fh)["parsed"]
