@@ -87,8 +87,16 @@ def main() -> None:
             for f in fnmatch.filter(tree, "CORRECTNESS_r*.json")
             if os.path.exists(p := os.path.join(REPO, f))
         )
+        # ls-tree --name-only HEAD is NON-recursive: if the round files
+        # ever move into a subdirectory it succeeds with zero matches and
+        # the rotation would silently treat every entry as never-verified
+        # (ADVICE r14). An empty committed view is never a real state of
+        # this repo — fall through to the glob instead of trusting it.
+        if not rounds:
+            raise LookupError("no CORRECTNESS_r*.json in committed view")
     except Exception:
         rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    assert rounds, "no CORRECTNESS_r*.json history found at all — refusing to rotate from empty history"
     for path in rounds:
         m = re.search(r"_r(\d+)\.json$", path)
         if m is None:

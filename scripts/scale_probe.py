@@ -36,6 +36,17 @@ PROBE = [
 ]
 if len(sys.argv) > 3:
     PROBE = [n for n in sys.argv[3].split(",") if n]
+    # Validate the override at parse time (ADVICE r14): a typo'd name
+    # otherwise surfaces as a raw KeyError mid-probe, after the base
+    # scale has already burned minutes of Spark time.
+    from xgboost_ray_spark.registry import all_queries as _aq
+
+    _unknown = [n for n in PROBE if n not in _aq()]
+    if _unknown:
+        sys.exit(
+            f"unknown registry names in ops override: {_unknown} "
+            "(see xgboost_ray_spark.registry.all_queries())"
+        )
 
 
 def run_scale(sf_dir: str) -> dict[str, float]:

@@ -410,3 +410,28 @@ def test_contention_verdict_backtest():
     assert steady_busy["contended"] is True, steady_busy
     assert steady_busy["contention"]["busy_start_flag"] is True
     assert steady_busy["contention"]["load_flag"] is False
+
+    # ADVICE r14: the busy-start prong keys off the explicit pre-warmup
+    # "pre" point when present, not load_points[0]'s position. An idle
+    # host (pre 0.3) whose first post-warmup point already carries the
+    # bench's own load (8.5 on 32 cpus — above the 2x floor=8 trip level
+    # that the old positional read would have self-tripped on) must not
+    # trip the busy-start prong (the relative load prong adjudicates the
+    # rise separately, against the same pre-point start)...
+    pre_point_quiet = contention_verdict(
+        [{"at": "pre", "t": 0, "loadavg": [0.3, 0.5, 1.0]},
+         {"at": "start", "t": 45, "loadavg": [8.5, 3.0, 1.5]},
+         {"at": "end", "t": 150, "loadavg": [4.1, 3.5, 2.0]}],
+        {"s26g_dup_clusters": [5.8, 4.4, 4.0]},
+        cpus=32,
+    )
+    assert pre_point_quiet["contention"]["busy_start_flag"] is False, pre_point_quiet
+    # ...while genuine pre-existing contention in the "pre" point still
+    # flags on the absolute level.
+    pre_point_busy = contention_verdict(
+        [{"at": "pre", "t": 0, "loadavg": [10.2, 10.0, 9.8]},
+         {"at": "start", "t": 45, "loadavg": [11.0, 10.5, 10.0]}],
+        {"s26g_dup_clusters": [5.8, 4.4, 4.0]},
+        cpus=32,
+    )
+    assert pre_point_busy["contention"]["busy_start_flag"] is True, pre_point_busy

@@ -1397,14 +1397,26 @@ def _audit_gid_injective(dfreq: DataFrame, id_expr: Column | None = None) -> Non
     operator's contract is EXACT Jaccard against the naive all-pairs
     oracle, and a 64-bit hash has a ~1.8e-5 birthday chance of one
     collision over the ~26M distinct shingles of that probe. The encoding
-    is therefore proven injective PER EVALUATION before any candidate is
-    verified: one aggregate over the already-materialized shingle spill —
-    ``count(*)`` rows of the distinct-shingle frame vs
-    ``count(distinct xxhash64(g))`` — and a hard failure on mismatch
-    (never a silent wrong answer; the caller can re-run with a salted
-    order or fall back to string arrays, both of which are corpus-level
-    incident responses, not engine defaults). The collected result is one
-    2-int row — audited in tests/test_driver_surface.py.
+    is therefore proven injective ONCE PER BUILDER CALL, EAGERLY at
+    plan-construction time (ADVICE r14: this is an eager Spark job —
+    one full scan of the shingle spill plus an exact ``count_distinct``,
+    O(distinct shingles) work — that runs when
+    :func:`prefix_filtered_jaccard_pairs` is CALLED, before and whether
+    or not the returned DataFrame is ever evaluated): ``count(*)`` rows
+    of the distinct-shingle frame vs ``count(distinct xxhash64(g))``,
+    and a hard failure on mismatch (never a silent wrong answer; the
+    caller can re-run with a salted order or fall back to string arrays,
+    both of which are corpus-level incident responses, not engine
+    defaults). Eager-at-build is SOUND here, not just convenient: the
+    audited frame is the ``spill()``-materialized shingle scratch, which
+    is frozen parquet by the time the audit reads it, so every later
+    evaluation of the returned plan reads exactly the audited bytes — a
+    re-evaluation cannot see shingles the audit did not. The trade-off is
+    the converse: a builder call whose plan is never executed still pays
+    the audit job. Callers that construct the plan speculatively should
+    pass ``encode_verify=False`` (string arrays need no audit) or delay
+    the builder call until evaluation is certain. The collected result is
+    one 2-int row — audited in tests/test_driver_surface.py.
     """
     row = dfreq.agg(
         F.count("*").alias("n_g"),
@@ -1471,10 +1483,12 @@ def prefix_filtered_jaccard_pairs(
     measured 51.4 s on identical output.  Exactness is preserved by
     construction plus audit: the intersection/size arithmetic is invariant
     under any INJECTIVE relabeling of shingles, and injectivity on the
-    actual corpus is proven per evaluation by :func:`_audit_gid_injective`
-    (count-distinct audit over the already-spilled shingle frame; hard
-    failure, never a silent collision).  ``encode_verify=False`` restores
-    the r9–r13 string-array verify.
+    actual corpus is proven once per builder call — eagerly, at
+    plan-construction time, against the frozen shingle spill every later
+    evaluation re-reads — by :func:`_audit_gid_injective` (count-distinct
+    audit; hard failure, never a silent collision; see its docstring for
+    the cost/timing contract).  ``encode_verify=False`` restores the
+    r9–r13 string-array verify and skips the audit.
     """
     from pyspark.sql import Window as W
 

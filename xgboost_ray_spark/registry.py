@@ -449,37 +449,59 @@ def sql_davg(expr: str, alias: str) -> str:
 #   r13): s13b s23c s24g s25g s25h s25i s25l s26h s26i s26k s27 s27d
 #   s30d s30e s30f s31h s32d.
 #   Pre-verification: dated note in SCALE.md §driver-window rotations.
+#   r15 window (this one, rotated 2026-08-16): the THIRD leg of the second
+#   staleness pass (VERDICT r14 #1): rotate_window.py's deterministic
+#   refill, adopted verbatim — s26j_fuzzy_snm leads the staleness list
+#   (the r7-era row the r14 s26l override deferred), then the 6 remaining
+#   r7-era rows (s27e s27f s29f s29h s29i s29j) and the 10 stalest r8-era
+#   rows by the tool's tie-break (s01b s01c s01d s01e s01f s01g s01h s01i
+#   s05f s05g). No changed-plans-first override applies at rotation time;
+#   if a plan changes later this round (e.g. the PPJoin suffix-filter
+#   sizing adopts), the changed entry swaps in per the r14 precedent and
+#   this note gains the override line. After r15 no entry's latest driver
+#   row predates r8 except the leftover r8-era tail (s14c s14d s24d s24e
+#   s24f s28i s28j — the r16 refill seed). Rotated out to 51+ (all
+#   driver-green r14): s26l s04b s06c s06d s07c s07d s25b s25c s25f s25j
+#   s25k s27g s28e s28h s28l s30 s32b.
+#   Pre-verification: dated note in SCALE.md §driver-window rotations.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r14 set: -----
-    # -- s26l first by the changed-plans-first override — its verify
-    # -- stage was re-planned this round — then the 6 remaining r6-era
-    # -- rows + the 10 stalest r7-era rows of the second staleness
-    # -- pass), roughly cost-ordered; the heavy re-verifies (streaming
-    # -- sims, GBT) sit late; s03 leads so the cheapest query absorbs
-    # -- JVM warmup ----------------------------------------------------------
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r15 set: -----
+    # -- the third staleness leg, rotate_window.py's refill verbatim —
+    # -- s26j + the 6 remaining r7-era rows + the 10 stalest r8-era
+    # -- rows), roughly cost-ordered; the heavy re-verifies (SNM dedup,
+    # -- pandas-UDF family, streaming sim, linear train) sit late; s03
+    # -- leads so the cheapest query absorbs JVM warmup ----------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s18_string_funcs", "s33_sequence_pack",
     "s12_having", "s31_hash_split", "s16_topk_per_group",
-    "s23_json", "s04b_disjunctive_pushdown", "s07c_inactive_customers",
-    "s07d_sole_fault_supplier", "s06d_outerjoin_histogram",
-    "s06c_cdc_upsert", "s07_semi_anti_join",
-    "s04_filter", "s09d_argmax", "s11c_grouping_sets",
+    "s23_json", "s04_filter", "s09d_argmax", "s11c_grouping_sets",
     "s14_window_analytic", "s13_window_rank", "s10_count_distinct",
     "s17_setops", "s24_tumbling_window", "s01_parquet_scan",
-    "s02_csv_scan", "s05b_salted_join", "s06_outer_join",
-    "s08_broadcast_join", "s26f_canonical_dedup", "s27c_embedding_neardup",
+    "s02_csv_scan", "s01g_jsonl_scan", "s01b_orc_scan",
+    "s01c_partition_pruning", "s01d_schema_evolution",
+    "s01h_zorder_layout", "s01f_binaryfile_scan", "s01e_compaction",
+    "s01i_dynamic_partition_pruning", "s05b_salted_join",
+    "s06_outer_join", "s07_semi_anti_join", "s08_broadcast_join",
+    "s05f_tpch_q7", "s05g_tpch_q8", "s26f_canonical_dedup",
+    "s26j_fuzzy_snm", "s27c_embedding_neardup", "s27e_knn_classify",
+    "s27f_label_centroids", "s29_pandas_udf", "s29j_unicode_normalize",
+    "s29i_map_in_arrow", "s29h_grouped_agg_udaf",
+    "s29f_audio_window_rms", "s32_profile", "s30c_linear_model_train",
+    "s25e_stream_dedup",
+    # -- slots 51+: driver-green entries rotated out in r15 -----------------
+    "s26l_prefix_filter_join", "s04b_disjunctive_pushdown",
+    "s07c_inactive_customers", "s07d_sole_fault_supplier",
+    "s06d_outerjoin_histogram", "s06c_cdc_upsert",
     "s28e_tfidf_top_terms", "s28h_pii_redact", "s28l_unigram_logprob",
-    "s27g_lsh_neardup_pairs", "s32b_data_quality", "s29_pandas_udf",
-    "s32_profile", "s30c_linear_model_train", "s26l_prefix_filter_join",
-    "s25e_stream_dedup", "s25b_stream_sliding",
-    "s25c_stream_watermark_append", "s25f_stream_static_join",
-    "s25j_stream_trending", "s25k_stream_session_window",
-    "s30_gbt_train_predict",
-    # -- slots 51+: driver-green entries rotated out in r14 -----------------
+    "s27g_lsh_neardup_pairs", "s32b_data_quality",
+    "s25b_stream_sliding", "s25c_stream_watermark_append",
+    "s25f_stream_static_join", "s25j_stream_trending",
+    "s25k_stream_session_window", "s30_gbt_train_predict",
+    # -- driver-green entries rotated out in r14 -----------------
     "s23c_variant", "s13b_distribution_ranks", "s31h_quantile_bins",
     "s32d_outlier_flags", "s26h_boilerplate_phrases", "s26i_decontaminate",
     "s27_cosine_topk", "s27d_ivf_topk", "s30d_linear_model_score",
@@ -513,20 +535,12 @@ _DRIVER_ORDER = [
     "s05_inner_join", "s26c_simhash", "s24b_sessionization",
     "s27h_embedding_quantize", "s27i_quantized_topk", "s26b_minhash_lsh",
     "s05c_tpch_q3", "s09_groupby_agg", "s05h_tpch_q9",
-    # -- driver-green entries rotated out in r9 ------------------
-    "s01b_orc_scan", "s01c_partition_pruning", "s01d_schema_evolution",
-    "s01e_compaction", "s01f_binaryfile_scan", "s01g_jsonl_scan",
-    "s01h_zorder_layout", "s01i_dynamic_partition_pruning",
-    "s05f_tpch_q7", "s05g_tpch_q8", "s14c_scd2_intervals",
-    "s14d_point_in_time", "s24d_transition_counts",
+    # -- driver-green entries rotated out in r9 (the r8-era scan/join rows --
+    # -- of this group now sit in the r15 re-verify window above; the seven
+    # -- left are the r8-era leftover tail — the r16 refill seed) ------------
+    "s14c_scd2_intervals", "s14d_point_in_time", "s24d_transition_counts",
     "s24e_retention_cohorts", "s24f_user_sequences",
     "s28i_bigram_counts", "s28j_feature_hash",
-    # -- driver-green entries rotated out in r8 (the r7-era rows of this ----
-    # -- group now sit in the r14 re-verify window above; s26j is the one
-    # -- r7-era row the s26l override displaced — r15's stalest seed) --------
-    "s26j_fuzzy_snm", "s27e_knn_classify", "s27f_label_centroids",
-    "s29f_audio_window_rms", "s29h_grouped_agg_udaf",
-    "s29i_map_in_arrow", "s29j_unicode_normalize",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
