@@ -1455,15 +1455,22 @@ def prefix_filtered_jaccard_pairs(
     are driven by RARE features, the frequency skew works for us instead
     of against us.
 
-    Two further PPJoin prunes run between the prefix join and the verify
-    (since round 14; lossless proofs + sizing in SCALE.md): the LENGTH
-    filter (``den*|a| >= num*|b|`` both ways — a qualifying pair's sizes
-    must be within the threshold ratio) and the POSITIONAL filter (the
-    rarest shared-prefix token's ranks bound the achievable intersection
-    at ``1 + min(|a|-ra, |b|-rb)``).  Together they cut the candidate set
-    3.27x at the sf1.0 probe scale, which is 3.27x fewer verify arrays
-    shuffled, at the cost of four extra ints per candidate row on the
-    pair shuffle the old ``.distinct()`` already paid.
+    Three further PPJoin prunes run between the prefix join and the
+    verify (length + positional since round 14, suffix-family since
+    round 15; lossless proofs + sizing in SCALE.md): the LENGTH filter
+    (``den*|a| >= num*|b|`` both ways — a qualifying pair's sizes must be
+    within the threshold ratio), the POSITIONAL filter (the rarest
+    shared-prefix token's ranks bound the achievable intersection at
+    ``1 + min(|a|-ra, |b|-rb)``), and the SUFFIX-FAMILY filter (the LAST
+    shared-prefix token's ranks plus the exact shared-prefix count bound
+    it at ``c + min(|a|-rax, |b|-rbx)`` — the array-free counterpart of
+    the classic PPJoin+ suffix filter, which would need suffix tokens at
+    candidate time and hence the very array shipment these prunes
+    avoid).  Length+positional cut the candidate set 3.27x at the sf1.0
+    probe scale; the suffix-family bound removes a further 4.06%
+    (measured at sf1.0 and sf10) — each surviving reduction is one fewer
+    verify-array transfer, bought with a few extra ints per candidate
+    row on the pair shuffle the old ``.distinct()`` already paid.
 
     Verification is per-candidate and bounded: each doc's distinct-shingle
     set rides along as an array (memory proportional to the text itself),
@@ -1563,6 +1570,11 @@ def prefix_filtered_jaccard_pairs(
                 F.shiftleft(F.col("ra").cast("long"), 31)
                 + F.col("rb").cast("long")
             ).alias("code"),
+            F.max(
+                F.shiftleft(F.col("ra").cast("long"), 31)
+                + F.col("rb").cast("long")
+            ).alias("mcode"),
+            F.count("*").alias("c"),
             F.min("sza").alias("sza"),
             F.min("szb").alias("szb"),
         )
@@ -1571,6 +1583,32 @@ def prefix_filtered_jaccard_pairs(
         .filter(
             (den + num)
             * (1 + F.least(F.col("sza") - F.col("ra"), F.col("szb") - F.col("rb")))
+            >= num * (F.col("sza") + F.col("szb"))
+        )
+        # Suffix-family filter (since r15; contract + sf1.0/sf10 sizing in
+        # SCALE.md): the classic PPJoin+ suffix filter needs suffix TOKENS
+        # at candidate time — in a shuffle plan that means shipping arrays
+        # one stage early, the very transfer these filters avoid. The
+        # array-free member of the same bound family uses the pair's LAST
+        # shared-prefix token w° at ranks (rax, rbx) plus the EXACT count
+        # c of shared-prefix rows: prefixes are rank-intervals of the
+        # global order, so every common token before w° lies in both
+        # prefixes (common tokens <= w° == the c counted rows, exactly),
+        # and common tokens after w° number at most
+        # min(sza-rax, szb-rbx); hence inter <= c + min(sza-rax, szb-rbx).
+        # Lossless, exact-integer, and free of new stages: max-code and
+        # count ride the same pair aggregate (two extra longs per
+        # candidate row on the small int shuffle buys 4.06% fewer array
+        # transfers on the big verify shuffle — measured at sf1.0 AND
+        # sf10, identical by replica-tiling construction).
+        .withColumn("rax", F.shiftright(F.col("mcode"), 31))
+        .withColumn("rbx", F.col("mcode") - F.shiftleft(F.col("rax"), 31))
+        .filter(
+            (den + num)
+            * (
+                F.col("c")
+                + F.least(F.col("sza") - F.col("rax"), F.col("szb") - F.col("rbx"))
+            )
             >= num * (F.col("sza") + F.col("szb"))
         )
         .select("doc_a", "doc_b")
