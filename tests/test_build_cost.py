@@ -32,10 +32,11 @@ BOUNDS = [
     ("s26b_minhash_lsh", 415, 900),
     ("s26e_hamming_pairs", 1422, 2800),
     # s27j executes its Lloyd iterations AT build (2 update collects +
-    # the K-1 farthest-point seeding passes + first-seed collect ride
-    # the count; re-measured 2026-08-15 after the round-10 seeding
-    # swap); the pin still catches the literal regression class —
-    # per-element centroid Columns measured 24,831.
+    # the one-pass seed-sample collect ride the count; the r15 one-pass
+    # seeding removed the K-1 per-pass argmax jobs, so the measured
+    # count can only have dropped below the r10-era 1067); the pin
+    # still catches the literal regression class — per-element centroid
+    # Columns measured 24,831.
     ("s27j_kmeans", 1067, 2200),
     ("s27h_embedding_quantize", 166, 500),
     ("s32_profile", 101, 400),

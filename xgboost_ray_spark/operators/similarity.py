@@ -1013,6 +1013,14 @@ def quantized_topk(
 KM_K = 8  # clusters
 KM_ITERS = 2  # (assign, update) rounds before the final assignment
 KM_SCALE = 10_000  # fixed-point factor; [-0.5,0.5] floats -> [0,10000] ints
+# One-pass seeding (since r15; contract in SCALE.md): size of the
+# hash-ranked seed sample (8x oversampling per cluster), and the odd
+# multiplicative-hash constant (Knuth) whose BIGINT arithmetic is exact
+# in both Spark and DuckDB — injective mod 2^32 for distinct ids < 2^32,
+# vec_id tie-break covers the rest.
+KM_SEED_SAMPLE = 8 * KM_K
+KM_SEED_HASH_MULT = 2654435761
+KM_SEED_HASH_MOD = 4294967296
 
 
 def _km_quantize_expr() -> Column:
@@ -1057,7 +1065,10 @@ def _km_int_array_sql(vals) -> str:
 
 
 def kmeans_assign(
-    vectors: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+    vectors: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    seed_sample: int | None = KM_SEED_SAMPLE,
 ) -> DataFrame:
     """Exact fixed-point Lloyd's k-means: (vec_id, cluster, dist).
 
@@ -1074,20 +1085,33 @@ def kmeans_assign(
     bit-reproducible — hash-checked against a CTE-unrolled oracle, which
     floating-point k-means could never be.
 
-    Seeds: deterministic farthest-point (greedy max-min distance from
-    the min-vec_id point). Fixed-first-K seeding is ordering-fragile: on
-    an 8-blob control with blob-sorted ids all K seeds land in one blob
-    and Lloyd converges at ~97x the best-of-random inertia, while
-    farthest-point reads 1.00x (measured round 9; contract in SCALE.md).
-    Each of the K-1 passes stays in the Lloyd loop's bounded-driver-state
-    class: a ZERO-SHUFFLE JVM distance map over the persisted points
-    (current seed coords pushed as one SQL-text literal, parsed once) +
-    one global argmax via TakeOrderedAndProject (per-partition top-1, no
-    Exchange). The (min_dist DESC, vec_id ASC) tie-break is
-    integer-exact, so the seed trajectory is CTE-unrollable in the
-    oracle. k-means|| remains the large-K production path; at small K it
-    saves no passes and its weighted driver-side reduction would break
-    pure-SQL oracle expressibility (round-9 adjudication, SCALE.md).
+    Seeds: deterministic farthest-point (greedy max-min distance).
+    Fixed-first-K seeding is ordering-fragile: on an 8-blob control with
+    blob-sorted ids all K seeds land in one blob and Lloyd converges at
+    ~97x the best-of-random inertia, while farthest-point reads 1.00x
+    (measured round 9; contract in SCALE.md). Since round 15 the greedy
+    runs ONE-PASS by default (``seed_sample`` = 64): a single
+    TakeOrderedAndProject scan collects the top-M points by the
+    multiplicative hash ``(vec_id * 2654435761) % 2^32`` (exact BIGINT
+    arithmetic in both Spark and DuckDB, vec_id tie-break), then the
+    greedy refines driver-side over the M-point sample in exact integer
+    Python — seed 1 = the sample's min-vec_id point, each next seed the
+    sample point with max min-squared-distance to the chosen seeds,
+    ties (dist DESC, vec_id ASC), chosen points NOT excluded (an
+    all-zero pass re-picks the lowest id — the starved-cluster
+    semantics the tests pin). That replaces the previous K-1 sequential
+    full-corpus scans with one scan regardless of K — at 100 TB, 7
+    fewer linear passes before Lloyd's begins — while the trajectory
+    stays CTE-unrollable (the oracle samples with the same hash and
+    unrolls the same greedy over 64 rows). ``seed_sample=None`` keeps
+    the r10-r14 exact-on-corpus multi-pass greedy (each of the K-1
+    passes a zero-shuffle distance map + TakeOrderedAndProject argmax),
+    retained for the A/B and for corpora where a sub-1/K-mass cluster
+    must never be missed (a 1/K-mass blob misses the 8K sample with
+    probability ~e^-8; SCALE.md quality gate). k-means|| remains the
+    large-K production path; at small K it saves no passes and its
+    weighted driver-side reduction would break pure-SQL oracle
+    expressibility (round-9 adjudication, SCALE.md).
     """
     pts = vectors.select("vec_id", _km_quantize_expr().alias("q")).persist()
     # The materializing count doubles as the emptiness probe: raising here
@@ -1098,22 +1122,59 @@ def kmeans_assign(
             "kmeans_assign: empty input — the vectors frame has no rows "
             "to seed from (was it fully filtered upstream?)"
         )
-    first_rows = pts.orderBy("vec_id").limit(1).collect()
-    seed_qs: list[list[int]] = [list(first_rows[0]["q"])]
-    for _ in range(1, k):
-        # One SQL-text literal per pass (array of the seeds chosen so
-        # far) — the same single-parse rationale as cent_literal below.
-        arr = ", ".join(_km_int_array_sql(s) for s in seed_qs)
-        min_dist = F.expr(
-            f"array_min(transform(array({arr}), s -> {_km_sqdist_sql('s')}))"
+    if seed_sample is not None:
+        # ONE-PASS seeding (default since r15; contract + A/B in
+        # SCALE.md): one TakeOrderedAndProject scan pulls the top-M
+        # hash-ranked points (M*dim ints of driver state — the same
+        # bounded class as the Lloyd centroid pullback), then the exact
+        # greedy runs over the sample in integer Python.
+        sample_rows = (
+            pts.select(
+                "vec_id",
+                "q",
+                (
+                    (F.col("vec_id").cast("long") * F.lit(KM_SEED_HASH_MULT))
+                    % F.lit(KM_SEED_HASH_MOD)
+                ).alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(seed_sample)
+            .collect()
         )
-        farthest = (
-            pts.select("vec_id", "q", min_dist.alias("min_dist"))
-            .orderBy(F.col("min_dist").desc(), "vec_id")
-            .limit(1)
-            .collect()[0]
-        )
-        seed_qs.append(list(farthest["q"]))
+        # Ascending vec_id so Python max() (which keeps the FIRST
+        # maximal element) realizes the (dist DESC, vec_id ASC)
+        # tie-break for free.
+        samp = sorted((r["vec_id"], list(r["q"])) for r in sample_rows)
+
+        def _sq(qa: list[int], qb: list[int]) -> int:
+            return sum((a - b) * (a - b) for a, b in zip(qa, qb))
+
+        seed_qs: list[list[int]] = [samp[0][1]]
+        mind = [_sq(q, seed_qs[0]) for _, q in samp]
+        for _ in range(1, k):
+            best_i = max(range(len(samp)), key=lambda i: mind[i])
+            best_q = samp[best_i][1]
+            seed_qs.append(best_q)
+            mind = [min(m, _sq(q, best_q)) for m, (_, q) in zip(mind, samp)]
+    else:
+        # Legacy exact-on-corpus greedy (r10-r14): K-1 sequential
+        # zero-shuffle distance maps, one global argmax each.
+        first_rows = pts.orderBy("vec_id").limit(1).collect()
+        seed_qs = [list(first_rows[0]["q"])]
+        for _ in range(1, k):
+            # One SQL-text literal per pass (array of the seeds chosen so
+            # far) — the same single-parse rationale as cent_literal below.
+            arr = ", ".join(_km_int_array_sql(s) for s in seed_qs)
+            min_dist = F.expr(
+                f"array_min(transform(array({arr}), s -> {_km_sqdist_sql('s')}))"
+            )
+            farthest = (
+                pts.select("vec_id", "q", min_dist.alias("min_dist"))
+                .orderBy(F.col("min_dist").desc(), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            seed_qs.append(list(farthest["q"]))
     cents: list[tuple[int, list[int]]] = list(enumerate(seed_qs))
 
     def cent_literal() -> Column:
@@ -1203,13 +1264,25 @@ def _kmeans_oracle_sql() -> str:
             FROM embeddings
           )
         )""",
-        # Farthest-point seeding, unrolled: s0 = the min-vec_id point;
-        # each f{j} is the global argmax of min-distance-to-chosen-seeds
-        # with the (dist DESC, vec_id ASC) tie-break — same integer
-        # arithmetic as the Spark passes, so the seed trajectory hashes.
+        # One-pass seeding sample (since r15, SCALE.md contract): the
+        # top-M points by the same exact-BIGINT multiplicative hash the
+        # Spark scan ranks by, vec_id tie-break.
+        f"""smp AS MATERIALIZED (
+          SELECT p.vec_id, p.d, p.q FROM pts p JOIN (
+            SELECT vec_id FROM (SELECT DISTINCT vec_id FROM pts)
+            ORDER BY (vec_id * {KM_SEED_HASH_MULT}) % {KM_SEED_HASH_MOD},
+                     vec_id
+            LIMIT {KM_SEED_SAMPLE}
+          ) s USING (vec_id)
+        )""",
+        # Farthest-point seeding, unrolled OVER THE SAMPLE: s0 = the
+        # sample's min-vec_id point; each f{j} is the sample argmax of
+        # min-distance-to-chosen-seeds with the (dist DESC, vec_id ASC)
+        # tie-break — same integer arithmetic as the Spark driver-side
+        # greedy, so the seed trajectory hashes.
         """s0 AS MATERIALIZED (
-          SELECT 0 AS k, p.d, p.q FROM pts p
-          WHERE p.vec_id = (SELECT MIN(vec_id) FROM pts)
+          SELECT 0 AS k, p.d, p.q FROM smp p
+          WHERE p.vec_id = (SELECT MIN(vec_id) FROM smp)
         )""",
     ]
     for j in range(1, KM_K):
@@ -1217,7 +1290,7 @@ def _kmeans_oracle_sql() -> str:
           SELECT vec_id FROM (
             SELECT vec_id, MIN(sd) AS mind FROM (
               SELECT p.vec_id, c.k, SUM((p.q - c.q) * (p.q - c.q)) AS sd
-              FROM pts p JOIN s{j - 1} c ON p.d = c.d
+              FROM smp p JOIN s{j - 1} c ON p.d = c.d
               GROUP BY 1, 2
             ) GROUP BY vec_id
           ) ORDER BY mind DESC, vec_id LIMIT 1
@@ -1225,7 +1298,7 @@ def _kmeans_oracle_sql() -> str:
         ctes.append(f"""s{j} AS MATERIALIZED (
           SELECT * FROM s{j - 1}
           UNION ALL
-          SELECT {j} AS k, p.d, p.q FROM pts p JOIN f{j} USING (vec_id)
+          SELECT {j} AS k, p.d, p.q FROM smp p JOIN f{j} USING (vec_id)
         )""")
     ctes.append(f"c0 AS MATERIALIZED (SELECT * FROM s{KM_K - 1})")
     prev = 0

@@ -455,16 +455,17 @@ def sql_davg(expr: str, alias: str) -> str:
 #   (the r7-era row the r14 s26l override deferred), then the 6 remaining
 #   r7-era rows (s27e s27f s29f s29h s29i s29j) and the 10 stalest r8-era
 #   rows by the tool's tie-break (s01b s01c s01d s01e s01f s01g s01h s01i
-#   s05f s05g). CHANGED-PLANS-FIRST OVERRIDE (applied later the same
-#   round, per the r14 precedent): the s26l suffix-family filter adopted
-#   under the r15 SCALE.md contract, so s26l swaps into a rotating slot
-#   and the refill's last-ranked pick (s05g_tpch_q8) is displaced — it
-#   stays r8-era and joins the r16 refill seed. After r15 no entry's
-#   latest driver row predates r8 except the leftover r8-era tail (s05g
-#   s14c s14d s24d s24e s24f s28i s28j — the r16 refill seed). Rotated
-#   out to 51+ (all driver-green r14): s04b s06c s06d s07c s07d s25b
-#   s25c s25f s25j s25k s27g s28e s28h s28l s30 s32b (s26l re-entered by
-#   the override).
+#   s05f s05g). CHANGED-PLANS-FIRST OVERRIDES (applied later the same
+#   round, per the r14 precedent): the s26l suffix-family filter and the
+#   s27j one-pass seeding both adopted under their r15 SCALE.md
+#   contracts, so s26l and s27j swap into rotating slots and the
+#   refill's two last-ranked picks (s05g_tpch_q8, then s05f_tpch_q7)
+#   are displaced — they stay r8-era and join the r16 refill seed.
+#   After r15 no entry's latest driver row predates r8 except the
+#   leftover r8-era tail (s05f s05g s14c s14d s24d s24e s24f s28i s28j
+#   — the r16 refill seed). Rotated out to 51+ (all driver-green r14):
+#   s04b s06c s06d s07c s07d s25b s25c s25f s25j s25k s27g s28e s28h
+#   s28l s30 s32b (s26l and s27j re-entered by the overrides).
 #   Pre-verification: dated note in SCALE.md §driver-window rotations.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
@@ -472,12 +473,13 @@ def sql_davg(expr: str, alias: str) -> str:
 _DRIVER_ORDER = [
     # -- slots 1-50: 33 family canonicals + 17 rotating slots (r15 set: -----
     # -- the third staleness leg — s26j + the 6 remaining r7-era rows +
-    # -- 9 of the 10 stalest r8-era rows, plus s26l by the
-    # -- changed-plans-first override (suffix-family filter adopted this
-    # -- round; displaced the refill's last-ranked pick s05g), roughly
-    # -- cost-ordered; the heavy re-verifies (SNM dedup, pandas-UDF
-    # -- family, streaming sim, linear train) sit late; s03 leads so the
-    # -- cheapest query absorbs JVM warmup -----------------------------------
+    # -- 8 of the 10 stalest r8-era rows, plus s26l and s27j by the
+    # -- changed-plans-first overrides (suffix-family filter and one-pass
+    # -- seeding adopted this round; displaced the refill's last-ranked
+    # -- picks s05g and s05f), roughly cost-ordered; the heavy
+    # -- re-verifies (SNM dedup, pandas-UDF family, streaming sim,
+    # -- linear train) sit late; s03 leads so the cheapest query absorbs
+    # -- JVM warmup -----------------------------------------------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s18_string_funcs", "s33_sequence_pack",
@@ -490,16 +492,16 @@ _DRIVER_ORDER = [
     "s01h_zorder_layout", "s01f_binaryfile_scan", "s01e_compaction",
     "s01i_dynamic_partition_pruning", "s05b_salted_join",
     "s06_outer_join", "s07_semi_anti_join", "s08_broadcast_join",
-    "s05f_tpch_q7", "s26l_prefix_filter_join", "s26f_canonical_dedup",
+    "s27j_kmeans", "s26l_prefix_filter_join", "s26f_canonical_dedup",
     "s26j_fuzzy_snm", "s27c_embedding_neardup", "s27e_knn_classify",
     "s27f_label_centroids", "s29_pandas_udf", "s29j_unicode_normalize",
     "s29i_map_in_arrow", "s29h_grouped_agg_udaf",
     "s29f_audio_window_rms", "s32_profile", "s30c_linear_model_train",
     "s25e_stream_dedup",
-    # -- slots 51+: driver-green entries rotated out in r15 (s05g is the ----
-    # -- refill's last-ranked pick, displaced by the s26l changed-plans ------
-    # -- override — it stays r8-era and joins the r16 refill seed) -----------
-    "s05g_tpch_q8", "s04b_disjunctive_pushdown",
+    # -- slots 51+: driver-green entries rotated out in r15 (s05f/s05g are --
+    # -- the refill's two last-ranked picks, displaced by the s26l and s27j --
+    # -- changed-plans overrides — they stay r8-era, joining the r16 seed) ---
+    "s05f_tpch_q7", "s05g_tpch_q8", "s04b_disjunctive_pushdown",
     "s07c_inactive_customers", "s07d_sole_fault_supplier",
     "s06d_outerjoin_histogram", "s06c_cdc_upsert",
     "s28e_tfidf_top_terms", "s28h_pii_redact", "s28l_unigram_logprob",
@@ -533,8 +535,9 @@ _DRIVER_ORDER = [
     "s11e_unpivot", "s06b_full_outer_join", "s09b_stats_agg",
     "s09c_salted_agg", "s10b_approx_count_distinct", "s14b_range_frame",
     "s08b_asof_join", "s26d_ngram_jaccard", "s08c_range_join",
-    "s29b_multimodal_decode", "s29d_multimodal_resize", "s27j_kmeans",
-    "s26g_dup_clusters",
+    "s29b_multimodal_decode", "s29d_multimodal_resize",
+    "s26g_dup_clusters",  # (s27j moved up into the r15 window by the
+    # changed-plans-first override)
     # -- driver-green entries rotated out in r10 ------------------
     "s31e_temporal_split", "s31g_negative_pairs", "s31d_domain_mixture",
     "s28k_class_entropy", "s32c_drift_report", "s26_dedup_exact",
