@@ -147,3 +147,31 @@ def test_kmeans_assigns_each_point_to_nearest_centroid(spark):
     blob_a = {r["cluster"] for r in out if r["vec_id"] < 10}
     blob_b = {r["cluster"] for r in out if r["vec_id"] >= 10}
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_onepass_seeding_equals_legacy_when_sample_covers_corpus(spark):
+    """The r15 one-pass seeding's exactness envelope (SCALE.md contract):
+    whenever the hash-ranked sample covers the whole corpus (N <= M), the
+    driver-side greedy sees the same point set as the legacy K-1-pass
+    greedy, seed 1 is the same min-vec_id point, and the tie-break and
+    non-exclusion semantics match — so the ENTIRE output (clusters,
+    distances) must be bit-identical between the two modes. Pinned on an
+    irregular 40-point corpus (clustered + stragglers + a duplicate
+    coordinate pair) where any semantic drift in the greedy would move a
+    seed and the trajectory with it."""
+    rows = (
+        [(i, [0.31 + 0.003 * (i % 5), 0.29 - 0.002 * i]) for i in range(12)]
+        + [(20 + i, [-0.35 + 0.004 * i, -0.3]) for i in range(12)]
+        + [(40 + i, [0.4 - 0.05 * i, -0.45 + 0.03 * i]) for i in range(14)]
+        + [(60, [0.11, 0.17]), (61, [0.11, 0.17])]  # exact duplicate coords
+    )
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    one_pass = sorted(
+        map(tuple, kmeans_assign(vecs, k=5, iters=2, seed_sample=64).collect())
+    )
+    legacy = sorted(
+        map(tuple, kmeans_assign(vecs, k=5, iters=2, seed_sample=None).collect())
+    )
+    assert one_pass == legacy

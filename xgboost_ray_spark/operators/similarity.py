@@ -1321,7 +1321,8 @@ def _kmeans_oracle_sql() -> str:
     "s27j_kmeans",
     oracle=_kmeans_oracle_sql(),
     doc=f"Exact fixed-point k-means (K={KM_K}, {KM_ITERS} Lloyd rounds, "
-        "deterministic farthest-point seeding) over quantized embeddings "
+        "deterministic one-pass hash-sampled farthest-point seeding) "
+        "over quantized embeddings "
         "— centroids broadcast as plan literals "
         "(the MLlib shape: driver holds K*dim ints, assignment is a "
         "zero-shuffle JVM HOF map, update shuffles only K*dim partials "
