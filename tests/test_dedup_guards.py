@@ -508,6 +508,42 @@ def test_prefix_filter_lossless_on_adversarial_corpora(spark):
             assert (1, 2) in tie_pairs, "exact-tie pair must survive"
 
 
+def test_suffix_family_filter_boundary_pair_survives(spark):
+    """The r15 suffix-family bound (SCALE.md contract) at exact equality:
+    docs a = {a1 a2 p1 p2 t1 t2}, b = {b1 b2 p1 p2 t1 t2} at n=1,
+    t=0.5. In the 2-doc corpus the unique tokens (df=1) rank first, so
+    each prefix (p = 6-3+1 = 4) is {unique1, unique2, p1, p2}: the
+    shared-prefix count is c=2 and the LAST shared prefix token p2 sits
+    at rank rax=rbx=4 in both docs. The bound reads
+    (den+num)*(c + min(sza-rax, szb-rbx)) = 3*(2+2) = 12 against
+    num*(sza+szb) = 12 — EXACT equality — and the pair's true Jaccard
+    is 4/8 = 0.5, an exact tie at the threshold. The pair must survive
+    the filter AND the verify: an off-by-one in the shared-prefix count,
+    a swapped max-code unpacking (rax/rbx), or a strict > in place of >=
+    each over-prunes exactly this pair while leaving typical corpora
+    untouched — the adversarial corpus test alone would not isolate it."""
+    from xgboost_ray_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a1 a2 p1 p2 t1 t2"), (2, "b1 b2 p1 p2 t1 t2")],
+        "doc_id long, text string",
+    )
+    pruned = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in prefix_filtered_jaccard_pairs(docs, n=1, threshold=0.5).collect()
+    )
+    naive = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()
+    )
+    assert pruned == naive == [(1, 2, 0.5)], (
+        f"boundary pair lost or distorted: pruned={pruned} naive={naive}"
+    )
+
+
 def test_prefix_filter_encoded_verify_matches_string_verify(spark):
     """The r14 scale adoption (SCALE.md r14 contract): the verify arrays
     carry audited xxhash64 shingle ids instead of strings. Intersection
