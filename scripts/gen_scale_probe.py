@@ -119,20 +119,29 @@ def main() -> None:
         src = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
         schema = src.schema
         df0 = src.to_pandas()
-        parts = []
-        for r in range(replicas):
-            df = df0.copy(deep=False)
-            for col in df.columns:
-                if col in KEY_DOMAINS:
-                    df[col] = df0[col] + r * domain_size[col]
-            if t == "documents" and r > 0:
-                df = df.copy()
-                df["text"] = [salt_text(s, r) for s in df0["text"]]
-                df["n_chars"] = df["text"].str.len().astype("int64")
-            parts.append(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
-        tiled = pa.concat_tables(parts)
-        pq.write_table(tiled, os.path.join(out, f"{t}.parquet"))
-        print(f"{t}: {len(src)} -> {len(tiled)} rows")
+        # Stream one replica per row group instead of concatenating all
+        # replicas in memory: output bytes and row order (replica-major)
+        # are identical to the old concat+write, but peak memory is one
+        # replica, which is what makes a 1000-replica sf100 tile from
+        # sf0.1 feasible (the r15 third-decade probe).
+        dest = os.path.join(out, f"{t}.parquet")
+        n_written = 0
+        with pq.ParquetWriter(dest, schema) as writer:
+            for r in range(replicas):
+                df = df0.copy(deep=False)
+                for col in df.columns:
+                    if col in KEY_DOMAINS:
+                        df[col] = df0[col] + r * domain_size[col]
+                if t == "documents" and r > 0:
+                    df = df.copy()
+                    df["text"] = [salt_text(s, r) for s in df0["text"]]
+                    df["n_chars"] = df["text"].str.len().astype("int64")
+                part = pa.Table.from_pandas(
+                    df, schema=schema, preserve_index=False
+                )
+                writer.write_table(part)
+                n_written += len(part)
+        print(f"{t}: {len(src)} -> {n_written} rows")
 
 
 if __name__ == "__main__":
