@@ -101,7 +101,13 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "s27c_embedding_neardup": 0, "s06_outer_join": 1, "s05c_tpch_q3": 1,
     "s09_groupby_agg": 1, "s29_pandas_udf": 0, "s32_profile": 3,
     "s05b_salted_join": 1, "s27j_kmeans": 0, "s05h_tpch_q9": 1,
-    "s26l_prefix_filter_join": 6, "s01b_orc_scan": 0,
+    # s26l re-pinned 6 -> 1 in r15: the prefix ranking and token-array
+    # tables are spilled once and self-joined as plain scans, so the only
+    # shuffle left in the returned plan is the pair aggregate (the five
+    # removed exchanges moved into the three build-time producer jobs,
+    # each of which now runs ONCE instead of per self-join side —
+    # OPTIMIZATION_r15.md, plans/r15/s26l_prefix_filter_join_{before,after}.txt).
+    "s26l_prefix_filter_join": 1, "s01b_orc_scan": 0,
     "s01c_partition_pruning": 0,
     "s01d_schema_evolution": 0, "s01e_compaction": 0,
     "s01f_binaryfile_scan": 0,

@@ -968,6 +968,33 @@ def test_prefix_filter_doc_size_rides_ranking_window(spark):
     )
 
 
+def test_prefix_filter_join_reads_materialized_pref_and_toks(spark):
+    """r15 shape pin: the returned plan self-joins the ONCE-materialized
+    prefix ranking (ppjoin_pref spill) and joins the ONCE-materialized
+    token arrays (ppjoin_toks spill) — it must NOT re-derive either from
+    the shingle spill per side (the r14 plan ran the whole
+    scan->dfreq->window subtree and the collect_set aggregate twice,
+    once per self-join side). Expected scans in the returned plan:
+    pref x2 (candidate sides), toks x2 (verify sides), shingles x0;
+    the single shuffle Exchange left is the pair aggregate
+    (test_plan_hygiene pins the count)."""
+    import re
+
+    df = _build(spark, "s26l_prefix_filter_join")
+    plan = formatted_plan(df)
+    scans = {
+        tag: len(re.findall(rf"spill_ppjoin_{tag}_", plan))
+        for tag in ("shingles", "pref", "toks", "dfreq")
+    }
+    assert scans["shingles"] == 0, (
+        f"returned plan re-reads the shingle spill {scans['shingles']}x — "
+        "the per-side ranking/collect_set duplication is back"
+    )
+    assert scans["pref"] == 2, scans
+    assert scans["toks"] == 2, scans
+    assert scans["dfreq"] == 0, scans
+
+
 def test_kmeans_assignment_is_zero_shuffle(spark):
     """Centroids are plan literals, so the returned assignment plan is a
     cache read + JVM projection — no Exchange, no join."""

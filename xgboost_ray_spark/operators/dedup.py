@@ -1399,8 +1399,9 @@ def _audit_gid_injective(dfreq: DataFrame, id_expr: Column | None = None) -> Non
     collision over the ~26M distinct shingles of that probe. The encoding
     is therefore proven injective ONCE PER BUILDER CALL, EAGERLY at
     plan-construction time (ADVICE r14: this is an eager Spark job —
-    one full scan of the shingle spill plus an exact ``count_distinct``,
-    O(distinct shingles) work — that runs when
+    since r15 one scan of the already-spilled document-frequency table
+    plus an exact ``count_distinct``, O(distinct shingles) work with no
+    re-aggregation of the shingle frame — that runs when
     :func:`prefix_filtered_jaccard_pairs` is CALLED, before and whether
     or not the returned DataFrame is ever evaluated): ``count(*)`` rows
     of the distinct-shingle frame vs ``count(distinct xxhash64(g))``,
@@ -1408,9 +1409,10 @@ def _audit_gid_injective(dfreq: DataFrame, id_expr: Column | None = None) -> Non
     caller can re-run with a salted order or fall back to string arrays,
     both of which are corpus-level incident responses, not engine
     defaults). Eager-at-build is SOUND here, not just convenient: the
-    audited frame is the ``spill()``-materialized shingle scratch, which
-    is frozen parquet by the time the audit reads it, so every later
-    evaluation of the returned plan reads exactly the audited bytes — a
+    audited frame is the ``spill()``-materialized document-frequency
+    scratch, itself derived from the frozen shingle spill every later
+    evaluation of the returned plan re-reads, so the audited distinct-
+    shingle universe is exactly the one the verify arrays draw from — a
     re-evaluation cannot see shingles the audit did not. The trade-off is
     the converse: a builder call whose plan is never executed still pays
     the audit job. Callers that construct the plan speculatively should
@@ -1501,12 +1503,20 @@ def prefix_filtered_jaccard_pairs(
 
     grams = _gram_expr(n)
     num, den = _jaccard_rational(threshold)
+    key = spill_key and f"{spill_key}|n={n}|t={threshold}"
     sh = spill(
         fan_out(docs).select("doc_id", F.explode(grams).alias("g")).distinct(),
         "ppjoin_shingles",
-        key=spill_key and f"{spill_key}|n={n}|t={threshold}",
+        key=key,
     )
-    dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    # The document-frequency table is consumed THREE times per build (the
+    # injectivity audit plus both self-join sides' rankings); before r15 each
+    # consumer re-ran the groupBy over the shingle spill. Spilling it makes
+    # the aggregation run ONCE, gives the audit a plain scan instead of a
+    # full re-aggregation, and hands the planner the spilled parquet's REAL
+    # size for the ranked join's broadcast decision (an aggregate's size
+    # ESTIMATE is what usually breaks that choice — optimization guide §3.1).
+    dfreq = spill(sh.groupBy("g").agg(F.count("*").alias("df")), "ppjoin_dfreq", key=key)
     # df stays a separate partial-aggregate + join (NOT a count() window
     # over g): a window cannot split a partition key, so a mega-hot
     # shingle would serialize into one task, while the join keeps AQE's
@@ -1524,10 +1534,55 @@ def prefix_filtered_jaccard_pairs(
     )
     # p = sz - ceil(t*sz) + 1 in exact integer arithmetic:
     # ceil((num/den)*sz) = (sz*num + den - 1) div den.
-    pref = ranked.filter(
-        F.col("r")
-        <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
+    # The prefix frame is BOTH sides of the candidate self-join; left as a
+    # lazy plan, each side re-ran the whole scan -> dfreq-join -> sort ->
+    # double-window ranking subtree (the r14 plan shows the duplicated
+    # subtrees verbatim — plans/r15/s26l_prefix_filter_join_before.txt ops
+    # 1-17 vs 18-34). Spilling it computes the ranking ONCE and turns both
+    # join inputs into plain prefix-row scans (~half the shingle rows, four
+    # narrow columns) — guide §1.2: remove whole duplicate passes before
+    # tuning anything inside them.
+    pref_plan = ranked.filter(
+        F.col("r") <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
     )
+    if encode_verify:
+        verify_src = sh.select("doc_id", F.xxhash64("g").alias("g"))
+    else:
+        verify_src = sh
+    # Like pref, the token-array table feeds BOTH verify joins (doc_a and
+    # doc_b side); spilled once, the collect_set aggregation over the full
+    # shingle frame runs once instead of twice, and each join side is a
+    # plain scan of (doc_id, ts) rows.
+    toks_plan = verify_src.groupBy("doc_id").agg(F.collect_set("g").alias("ts"))
+    # The three producer legs — prefix ranking, token arrays, and the
+    # injectivity audit — are mutually independent once dfreq is frozen,
+    # so they run as CONCURRENT jobs (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially). Sequential
+    # spills cost one fixed job latency each; overlapped, the wall is
+    # max(legs), which is what makes the materialized-once layout cheaper
+    # than the r14 duplicated-subtree plan at bench scale too, not just
+    # at corpus scale. Failures propagate through result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_pref = pool.submit(spill, pref_plan, "ppjoin_pref", key)
+        fut_toks = pool.submit(
+            spill, toks_plan, "ppjoin_toks",
+            key and f"{key}|enc={bool(encode_verify)}",
+        )
+        fut_audit = (
+            pool.submit(_audit_gid_injective, dfreq) if encode_verify else None
+        )
+        pref = fut_pref.result()
+        toks = fut_toks.result()
+        if fut_audit is not None:
+            # dfreq is spilled parquet by now, so the audit's count/
+            # count_distinct pair reads the materialized distinct-shingle
+            # rows directly — no re-aggregation of the shingle frame (the
+            # ADVICE r14 cost note: the audit is still eager-at-build, but
+            # its price dropped from a full groupBy pass to one scan of
+            # the df table, overlapped with the other producer legs).
+            fut_audit.result()
     # Candidate pruning beyond the prefix theorem (both classic PPJoin
     # filters, both lossless, both exact-integer — proofs + sf1.0 sizing
     # in SCALE.md's r14 contract; at sf1.0 they cut the candidate set
@@ -1613,12 +1668,6 @@ def prefix_filtered_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
-    if encode_verify:
-        _audit_gid_injective(dfreq)
-        verify_src = sh.select("doc_id", F.xxhash64("g").alias("g"))
-    else:
-        verify_src = sh
-    toks = verify_src.groupBy("doc_id").agg(F.collect_set("g").alias("ts"))
     return (
         cand.join(
             toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")),
