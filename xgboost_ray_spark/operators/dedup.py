@@ -277,12 +277,24 @@ def fan_out(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores.
 
     A small parquet file arrives as ONE input split, so an explode + k-way
-    md5 pipeline would run single-task regardless of cluster size. At real
-    scale the input has many splits and this repartition coalesces away
-    under AQE; on small inputs it buys full parallelism for ~5k-row shuffle
-    cost.
+    md5 pipeline would run single-task regardless of cluster size; on
+    small inputs the repartition buys full parallelism for ~5k-row shuffle
+    cost. Since r15 the repartition is CONDITIONAL on the scan actually
+    being under-split: a user ``repartition(n)`` is NOT removed by AQE
+    (the earlier docstring claimed it coalesces away — it does not; AQE
+    only coalesces the shuffle's output partitions, the shuffle itself
+    still moves every row), so at corpus scale the unconditional spelling
+    round-robin-shuffled the full document payload — including the
+    sort-before-repartition pass Spark adds for retry determinism — for
+    zero parallelism gain. Inputs already split at least as wide as the
+    cluster's parallelism now pass through untouched (guide §2.4: remove
+    shuffles outright). The partition probe is plan-time only: these
+    callers sit directly on parquet scans, where ``rdd.getNumPartitions``
+    is the split count and runs no job.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 # 16 hashes in 4 bands of 4: per-band collision probability is J^4, which

@@ -52,10 +52,17 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """
     # Out-degrees ride along with the edges: computed once, persisted once,
     # so each iteration's join carries (src, dst, od) and never revisits
-    # the degree aggregate.
+    # the degree aggregate. The persist is LAZY (r15): an eager count()
+    # here would pay one extra full action over the edge-build subtree
+    # purely to warm the cache — the checkpoint job's first stage over
+    # esrc materializes the same blocks as a side effect (measured -0.5 s
+    # of the sf0.1 wall, one fewer full pass at any scale; same-session
+    # A/B in OPTIMIZATION_r15.md). Nothing unpersists before the loop's
+    # single eager action, so laziness cannot recompute the subtree
+    # across actions — at worst two concurrent first-use stages race to
+    # fill the same cache blocks within that one job.
     out = edges.groupBy("src").agg(F.count("*").alias("od"))
     esrc = edges.join(out, "src").persist()
-    esrc.count()
     nodes = esrc.select(F.col("src").alias("node")).distinct().persist()
 
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
