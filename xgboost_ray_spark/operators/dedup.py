@@ -291,10 +291,25 @@ def fan_out(df: DataFrame) -> DataFrame:
     shuffles outright). The partition probe is plan-time only: these
     callers sit directly on parquet scans, where ``rdd.getNumPartitions``
     is the split count and runs no job.
+
+    Under-split inputs spread by HASH of ``doc_id`` (every caller's
+    frame carries it; unique per row, so thousands of distinct values
+    per partition — no collision lumpiness), NOT round-robin: a keyless
+    ``repartition(n)`` first pays a local binary sort of its input so
+    retried tasks reproduce the same row placement
+    (``spark.sql.execution.sortBeforeRepartition``, guide §2.5), and on
+    a single-split corpus that sort runs the ENTIRE text payload through
+    ONE task before any parallelism exists. Hashing a real unique key is
+    deterministic under retries by construction, needs no sort, and the
+    same-session A/B won 4/5 interleaved pairs (min 2.99 s vs 25.77 s
+    for the shingle-spill producer under identical host contention —
+    OPTIMIZATION_r15.md).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if "doc_id" in df.columns:
+        return df.repartition(target, "doc_id")
     return df.repartition(target)
 
 # 16 hashes in 4 bands of 4: per-band collision probability is J^4, which
