@@ -93,11 +93,20 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "s09d_argmax": 1, "s26_dedup_exact": 1, "s05_inner_join": 1,
     "s30c_linear_model_train": 1, "s14_window_analytic": 1,
     "s07_semi_anti_join": 0,
-    "s26f_canonical_dedup": 1, "s10_count_distinct": 2, "s26c_simhash": 2,
+    "s26f_canonical_dedup": 1, "s10_count_distinct": 2, "s26c_simhash": 1,
     "s13_window_rank": 1, "s17_setops": 3, "s02_csv_scan": 0,
     "s24b_sessionization": 1, "s27h_embedding_quantize": 1,
     "s08_broadcast_join": 1,
-    "s04_filter": 0, "s27i_quantized_topk": 3, "s26b_minhash_lsh": 4,
+    "s04_filter": 0, "s27i_quantized_topk": 3,
+    # s26b/s26c/s26e/s28e/s28g re-pinned DOWN in r15: fan_out now
+    # hash-partitions on doc_id (not round-robin), so the first
+    # downstream doc_id-keyed aggregation/window satisfies its
+    # ClusteredDistribution from the fan-out exchange and elides its own
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange") — one fewer full-corpus shuffle per entry (two in s28g)
+    # on top of the sort-before-repartition removal the keyed spread
+    # already bought (OPTIMIZATION_r15.md).
+    "s26b_minhash_lsh": 3,
     "s27c_embedding_neardup": 0, "s06_outer_join": 1, "s05c_tpch_q3": 1,
     "s09_groupby_agg": 1, "s29_pandas_udf": 0, "s32_profile": 3,
     "s05b_salted_join": 1, "s27j_kmeans": 0, "s05h_tpch_q9": 1,
@@ -128,7 +137,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "s28h_pii_redact": 0, "s27_cosine_topk": 1, "s28l_unigram_logprob": 4,
     "s23c_variant": 1, "s26h_boilerplate_phrases": 2, "s26i_decontaminate": 4,
     "s32b_data_quality": 2, "s27d_ivf_topk": 3, "s27g_lsh_neardup_pairs": 4,
-    "s28e_tfidf_top_terms": 5, "s26k_incremental_neardup": 3,
+    "s28e_tfidf_top_terms": 4, "s26k_incremental_neardup": 3,
     "s30_gbt_train_predict": 1,
     "s13b_distribution_ranks": 1, "s09g_incremental_agg": 2,
     "s21c_tpch_q12": 1,
@@ -139,7 +148,7 @@ _SHUFFLE_BUDGET: dict[str, int] = {
     "s04c_tpch_q6": 1, "s14e_gaps_islands": 2, "s33b_chunk_overlap": 0,
     "s07b_exists_subquery": 1, "s21b_promo_revenue": 1, "s22c_map_funcs": 2,
     "s29g_udtf_token_runs": 0, "s12b_having_join": 1, "s24c_funnel": 2,
-    "s28g_repetition_score": 3, "s27b_lsh_topk": 1, "s26e_hamming_pairs": 4,
+    "s28g_repetition_score": 1, "s27b_lsh_topk": 1, "s26e_hamming_pairs": 3,
     "s30b_ltr_rank": 2, "s15b_sort_nulls": 0, "s28d_fingerprint": 0,
     "s22b_array_hof": 0, "s14b_range_frame": 1, "s31b_stratified_sample": 0,
     "s28f_regex_tokens": 0, "s28c_quality_score": 0, "s11e_unpivot": 0,
