@@ -16,17 +16,19 @@ see inside SQL).
 
 Counts are call SITES per (file, function, method), not runtime pairing
 (an in-loop persist legitimately carries several unpersist sites on the
-different loop-exit paths — dup_clusters has 3 persist sites against 6
+different loop-exit paths — dup_clusters has 2 persist sites against 5
 unpersist sites and is leak-free). What each audited group guarantees:
 
   * ml/train.py/train — the assembled training frame persists
     MEMORY_AND_DISK before the iterative fit, released in the finally.
   * ml/tuning.py/grid_search — train/val frames cached across the
     grid's fits, both released after the loop.
-  * operators/dedup.py/dup_clusters — shingle/pair frames persist
-    across the edge union's multiple reads; per-round label frames
-    persist inside the loop and EVERY exit path (converged,
-    round-cap, checkpoint rotation) releases the superseded frame;
+  * operators/dedup.py/dup_clusters — the exploded edge frame persists
+    across the loop's per-round reads (since r15 the pair frame needs
+    no cache of its own: one explode pass replaces the twice-reading
+    union); per-round label frames persist inside the loop and EVERY
+    exit path (converged, round-cap, checkpoint rotation) releases the
+    superseded frame;
     the returned frame is a localCheckpoint handback so lineage (and
     the persisted inputs) can be dropped while the result stays live.
   * operators/graph.py/pagerank — pre-keyed edge and node frames
@@ -66,8 +68,8 @@ ALLOWED: dict[tuple[str, str, str], int] = {
     ("ml/tuning.py", "grid_search", "cache"): 2,
     ("ml/tuning.py", "grid_search", "unpersist"): 2,
     ("operators/dedup.py", "dup_clusters", "localCheckpoint"): 2,
-    ("operators/dedup.py", "dup_clusters", "persist"): 3,
-    ("operators/dedup.py", "dup_clusters", "unpersist"): 6,
+    ("operators/dedup.py", "dup_clusters", "persist"): 2,
+    ("operators/dedup.py", "dup_clusters", "unpersist"): 5,
     ("operators/graph.py", "pagerank", "localCheckpoint"): 1,
     ("operators/graph.py", "pagerank", "persist"): 2,
     ("operators/graph.py", "pagerank", "unpersist"): 2,

@@ -504,3 +504,56 @@ def test_sessionizer_kernel_exact_gap_boundary():
     )
     assert len(out) == 1 and int(out[0]["n_events"].iloc[0]) == 2
     assert st.get[2] == 1, "carried session closed, new one open"
+
+
+def test_sessionizer_kernel_multichunk_unsorted_segments():
+    """The r15 numpy kernel (lexsort + flatnonzero + add.reduceat) must
+    reproduce the documented semantics when events arrive UNSORTED and
+    split across several iterator chunks — the two conditions the
+    vectorized segment math actually depends on: (1) chunks concatenate
+    then order stably by (ts, event_id); (2) reduceat segment sums equal
+    per-session groupby sums in exact int64 micros."""
+    import numpy as np
+    import pandas as pd
+
+    from xgboost_ray_spark.streaming.stateful import (
+        GAP_US,
+        close_user_sessions,
+    )
+
+    t0 = 1_700_000_000_000_000
+    # Three sessions: [t0, t0+10], [t0+gap*2, t0+gap*2+5], [t0+gap*5]
+    ts = [t0, t0 + 10, t0 + GAP_US * 2, t0 + GAP_US * 2 + 5, t0 + GAP_US * 5]
+    vals = [1.25, 2.5, 0.000001, 4.0, 8.0]
+    rows = pd.DataFrame(
+        {
+            "user_id": np.full(5, 9, dtype=np.int64),
+            "ts": pd.to_datetime(pd.Series(ts), unit="us"),
+            "event_id": np.arange(5, dtype=np.int64),
+            "value": vals,
+        }
+    )
+    # Arrive shuffled AND in two chunks.
+    shuffled = rows.iloc[[3, 0, 4, 1, 2]].reset_index(drop=True)
+    chunks = iter(
+        [shuffled.iloc[:2].reset_index(drop=True),
+         shuffled.iloc[2:].reset_index(drop=True)]
+    )
+    st = _FakeGroupState()
+    out = list(close_user_sessions((9,), chunks, st))
+    assert len(out) == 1
+    emitted = out[0]
+    # Two closed sessions, chronological; third stays open in state.
+    assert list(emitted["n_events"]) == [2, 2]
+    assert list(emitted["session_start"]) == [
+        pd.Timestamp(t0 * 1000),
+        pd.Timestamp((t0 + GAP_US * 2) * 1000),
+    ]
+    assert list(emitted["session_end"]) == [
+        pd.Timestamp((t0 + 10) * 1000),
+        pd.Timestamp((t0 + GAP_US * 2 + 5) * 1000),
+    ]
+    # Exact micros summation (1.25 + 2.5 == 3.75; 1e-6 + 4.0 == 4.000001).
+    assert list(emitted["sum_value"]) == [3.75, 4.000001]
+    # Open session carried: start == end == t0+5*gap, n == 1, 8.0 in micros.
+    assert st.get == (t0 + GAP_US * 5, t0 + GAP_US * 5, 1, 8_000_000)

@@ -1085,17 +1085,32 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     In production: persist edges, checkpoint labels every few rounds to
     truncate lineage, and pre-shrink with per-partition union-find.
     """
-    # The union reads `pairs` twice; persist so an expensive upstream pair
-    # generator (e.g. the Jaccard shingle join) executes once, and force
-    # edges immediately so the pair frame can release before the loop.
-    pairs = pairs.persist()
+    # ONE explode pass turns each pair into both directed edges. The old
+    # union spelling read `pairs` twice, which cost a persist of the pair
+    # frame (cache write + its unpersist bookkeeping) purely to keep the
+    # expensive upstream generator (e.g. the Jaccard shingle join) from
+    # executing twice; the explode reads it once and needs no pair cache
+    # (guide §1.2: remove whole passes before tuning inside them). The
+    # eager count() stays: the loop must read cached edge blocks, and the
+    # generator must run exactly once, before `labels`' two consumers below
+    # could race to fill the same blocks.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     edges.count()
-    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -1111,19 +1126,23 @@ def dup_clusters(pairs: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     prev_sum = None
     converged = False
     for it in range(max_iter):
-        nbr_min = (
+        # Each node's new label = min over {own label} ∪ {in-neighbors'
+        # labels}. Folding the own-label leg into the aggregate as a
+        # union (one |labels|-sized leg riding the same partial/final
+        # min) replaces the old second per-round join —
+        # least(own, coalesce(nbr_min, own)) over a labels⟕nbr_min join
+        # — with nothing: ONE join + ONE aggregate per round instead of
+        # join + aggregate + join (guide §2.4: two operations keyed the
+        # same way share one exchange; the second join's only purpose
+        # was re-attaching a value the aggregate can carry itself).
+        new_labels = (
             edges.join(
                 labels.select(F.col("doc_id").alias("src"), "label"), "src"
             )
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-            )
+            .select(F.col("dst").alias("doc_id"), "label")
+            .union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
             .persist()
         )
         # One action: materializes the persist AND returns the metric.

@@ -75,22 +75,29 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # per-round persist + convergence-metric + lineage-checkpoint idiom —
     # that pattern lives in s26g (dedup.dup_clusters).
     for _ in range(iters):
-        inc = (
+        # Contributions plus one zero row per node, summed in ONE
+        # aggregate: sum over the union equals coalesce(inc, 0) exactly
+        # (every node's zero leg keeps it in the result; bigint sum of
+        # contributions is unchanged), so the old nodes⟕inc re-attach
+        # join — whose only purpose was defaulting missing nodes to 0 —
+        # disappears from every round (guide §2.4: the aggregate can
+        # carry the default itself; one join + one aggregate per round).
+        contrib = (
             esrc.join(ranks, esrc["src"] == ranks["node"])
             # Integral share: each neighbor receives floor(rank / od).
-            .select(F.col("dst"), F.expr("rank div od").alias("c"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("inc"))
+            .select(F.col("dst").alias("node"), F.expr("rank div od").alias("c"))
+            .union(nodes.select("node", F.lit(0).cast("bigint").alias("c")))
         )
-        ranks = nodes.join(inc, "node", "left").select(
-            "node",
-            (
-                F.lit(PR_BASE)
-                + F.expr(
-                    f"({PR_DAMP_PCT} * coalesce(inc, cast(0 as bigint)))"
-                    " div 100"
-                )
-            ).alias("rank"),
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(f"({PR_DAMP_PCT} * inc) div 100")
+                ).alias("rank"),
+            )
         )
     # Hand back a localCheckpoint, NOT a persisted frame: consumers read
     # materialized blocks without re-running the loop, while nothing stays

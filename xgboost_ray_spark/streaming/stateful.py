@@ -84,14 +84,28 @@ def _value_micros(values: np.ndarray) -> np.ndarray:
     return out.astype(np.int64)
 
 
-def _emit_frame(user_id: int, sessions: pd.DataFrame) -> pd.DataFrame:
+def _emit_frame(user_id, start_us, end_us, n, mic) -> pd.DataFrame:
+    """Output frame straight from int64-microsecond arrays.
+
+    Called once per key per micro-batch on the hot applyInPandasWithState
+    path (~|users| invocations per batch), so construction cost is the
+    operator's per-key floor: int64→datetime64[ns] is one vectorized
+    multiply (the old ``pd.to_datetime(Series, unit="us")`` spelling paid
+    pandas' generic-inference entry twice per key), and the intermediate
+    sessions DataFrame the old signature required is gone. Bit-identical
+    output: us*1000 viewed as datetime64[ns] is exactly what
+    ``pd.to_datetime(unit="us")`` produced (fixture timestamps are far
+    below the year-2262 ns horizon).
+    """
+    start_us = np.asarray(start_us, dtype=np.int64)
+    end_us = np.asarray(end_us, dtype=np.int64)
     return pd.DataFrame(
         {
-            "user_id": np.full(len(sessions), user_id, dtype=np.int64),
-            "session_start": pd.to_datetime(sessions["start"], unit="us"),
-            "session_end": pd.to_datetime(sessions["end"], unit="us"),
-            "n_events": sessions["n"].to_numpy(),
-            "sum_value": sessions["mic"].to_numpy() / 1e6,
+            "user_id": np.full(len(start_us), user_id, dtype=np.int64),
+            "session_start": (start_us * 1000).view("datetime64[ns]"),
+            "session_end": (end_us * 1000).view("datetime64[ns]"),
+            "n_events": np.asarray(n, dtype=np.int64),
+            "sum_value": np.asarray(mic, dtype=np.int64) / 1e6,
         }
     )
 
@@ -99,64 +113,68 @@ def _emit_frame(user_id: int, sessions: pd.DataFrame) -> pd.DataFrame:
 def close_user_sessions(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
 ) -> Iterator[pd.DataFrame]:
-    """The applyInPandasWithState function for one user's batch of events."""
+    """The applyInPandasWithState function for one user's batch of events.
+
+    Pure-numpy kernel (optimization guide §4.2: per-key constant costs
+    multiply by |users|, so the per-key work is the operator's floor).
+    The segment split/aggregate runs on int64 arrays via flatnonzero +
+    add.reduceat; the previous pandas-groupby spelling paid DataFrame +
+    groupby machinery per key for the same integer arithmetic. Emitted
+    values are bit-identical: np.lexsort((event_id, ts)) is the same
+    stable (ts, event_id) order, and add.reduceat sums the same int64
+    micros the groupby summed.
+    """
     (user_id,) = key
 
     if state.hasTimedOut:
         start_us, last_us, n, sum_mic = state.get
         state.remove()
-        yield _emit_frame(
-            user_id,
-            pd.DataFrame(
-                {"start": [start_us], "end": [last_us], "n": [n], "mic": [sum_mic]}
-            ),
-        )
+        yield _emit_frame(user_id, [start_us], [last_us], [n], [sum_mic])
         return
 
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-    mic = _value_micros(pdf["value"].to_numpy(dtype=np.float64))
+    chunks = list(pdfs)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    ts_us = pdf["ts"].to_numpy().astype(np.int64, copy=False) // 1000
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
+    ts_us = ts_us[order]
+    mic = _value_micros(pdf["value"].to_numpy(dtype=np.float64)[order])
 
     # Vectorized session split: new session where the gap exceeds GAP_US.
-    is_new = np.concatenate([[True], np.diff(ts_us) > GAP_US])
+    is_new = np.empty(len(ts_us), dtype=bool)
+    is_new[0] = True
+    is_new[1:] = np.diff(ts_us) > GAP_US
     if state.exists:
-        start_us, last_us, n0, mic0 = state.get
+        start0, last0, n0, mic0 = state.get
         # The first incoming event continues the open session unless the gap
         # from its last event exceeds GAP_US.
-        is_new[0] = ts_us[0] - last_us > GAP_US
-    sid = np.cumsum(is_new)
+        is_new[0] = ts_us[0] - last0 > GAP_US
 
-    g = pd.DataFrame({"sid": sid, "ts": ts_us, "mic": mic}).groupby("sid")
-    sess = pd.DataFrame(
-        {
-            "start": g["ts"].first(),
-            "end": g["ts"].last(),
-            "n": g.size(),
-            "mic": g["mic"].sum(),
-        }
-    )
+    # Segment starts; position 0 opens a segment for the grouping even when
+    # it continues the carried session (that first segment merges below).
+    seg = np.flatnonzero(is_new)
+    if len(seg) == 0 or seg[0] != 0:
+        seg = np.concatenate([[0], seg])
+    ends = np.concatenate([seg[1:], [len(ts_us)]])
+    s_start = ts_us[seg]
+    s_end = ts_us[ends - 1]
+    s_n = ends - seg
+    s_mic = np.add.reduceat(mic, seg)
+
     if state.exists and not is_new[0]:
         # Merge carried aggregates into the first session of this batch.
-        sess.iloc[0, sess.columns.get_loc("start")] = min(
-            int(start_us), int(sess.iloc[0]["start"])
-        )
-        sess.iloc[0, sess.columns.get_loc("end")] = max(
-            int(last_us), int(sess.iloc[0]["end"])
-        )
-        sess.iloc[0, sess.columns.get_loc("n")] += int(n0)
-        sess.iloc[0, sess.columns.get_loc("mic")] += int(mic0)
+        s_start[0] = min(int(start0), int(s_start[0]))
+        s_end[0] = max(int(last0), int(s_end[0]))
+        s_n[0] += int(n0)
+        s_mic[0] += int(mic0)
     elif state.exists:
         # Gap closed the carried session: emit it ahead of this batch's.
-        carried = pd.DataFrame(
-            {"start": [start_us], "end": [last_us], "n": [n0], "mic": [mic0]}
-        )
-        sess = pd.concat([carried, sess], ignore_index=True)
+        s_start = np.concatenate([[start0], s_start])
+        s_end = np.concatenate([[last0], s_end])
+        s_n = np.concatenate([[n0], s_n])
+        s_mic = np.concatenate([[mic0], s_mic])
 
-    open_row = sess.iloc[-1]
     state.update(
-        (int(open_row["start"]), int(open_row["end"]), int(open_row["n"]),
-         int(open_row["mic"]))
+        (int(s_start[-1]), int(s_end[-1]), int(s_n[-1]), int(s_mic[-1]))
     )
     # Close the open session once event time passes last_ts + gap. A
     # LATE batch (all events below the watermark — applyInPandasWithState
@@ -165,13 +183,14 @@ def close_user_sessions(
     # INVALID_TIMEOUT_TIMESTAMP, killing the whole query. Clamp to just
     # above the watermark: the session closes on the next watermark
     # advance, which is the earliest legal moment anyway.
-    timeout_ms = (int(open_row["end"]) + GAP_US) // 1000
+    timeout_ms = (int(s_end[-1]) + GAP_US) // 1000
     wm_ms = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
-    closed = sess.iloc[:-1]
-    if len(closed):
-        yield _emit_frame(user_id, closed)
+    if len(s_start) > 1:
+        yield _emit_frame(
+            user_id, s_start[:-1], s_end[:-1], s_n[:-1], s_mic[:-1]
+        )
 
 
 def sessionize_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
