@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Capture ONE iteration-round physical plan for the iterative operators
-whose registered entries return localCheckpoint handbacks (s26g, s24g) —
-the returned frame's explain shows only a checkpoint scan, so the loop
-body's shape is captured here instead: build the round-1 frame exactly as
-the loop composes it (old spelling vs current), write
+whose registered entries return localCheckpoint handbacks — the returned
+frame's explain shows only a checkpoint scan, so the loop body's shape is
+captured here instead: build the round-1 frame exactly as the loop
+composes it (old spelling vs current), write
 plans/r15/<name>_round_{before,after}.txt.
+
+Captured: s26g (the union-into-aggregate round SHIPPED there). The
+equivalent s24g experiment was measured a wash once corrected for the
+dangling-dst node-set semantics and was NOT shipped (pagerank keeps the
+r14 two-join round; full record in OPTIMIZATION_r15.md), so no s24g
+round capture exists here.
 
 The "before" spelling is reconstructed inline (the r14 two-join round);
 "after" comes from the shipped operators. Inputs are the same sf0.1
@@ -20,12 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from xgboost_ray_spark.catalog import load_table  # noqa: E402
-from xgboost_ray_spark.operators.graph import (  # noqa: E402
-    PR_BASE,
-    PR_DAMP_PCT,
-    PR_SCALE,
-)
 from xgboost_ray_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(
@@ -49,61 +49,6 @@ def write(name: str, text: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="capture_loop_round_plans")
-
-    # --- s24g pagerank round 1 (edge build elided: use the real edges) ---
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    base = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    out = edges.groupBy("src").agg(F.count("*").alias("od"))
-    esrc = edges.join(out, "src").persist()
-    nodes = esrc.select(F.col("src").alias("node")).distinct().persist()
-    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
-
-    # before: join + aggregate + re-attach left join
-    inc = (
-        esrc.join(ranks, esrc["src"] == ranks["node"])
-        .select(F.col("dst"), F.expr("rank div od").alias("c"))
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.sum("c").alias("inc"))
-    )
-    before = nodes.join(inc, "node", "left").select(
-        "node",
-        (
-            F.lit(PR_BASE)
-            + F.expr(f"({PR_DAMP_PCT} * coalesce(inc, cast(0 as bigint))) div 100")
-        ).alias("rank"),
-    )
-    write("s24g_pagerank_round_before.txt", fmt(before))
-
-    # after: union zero-leg into ONE aggregate
-    contrib = (
-        esrc.join(ranks, esrc["src"] == ranks["node"])
-        .select(F.col("dst").alias("node"), F.expr("rank div od").alias("c"))
-        .union(nodes.select("node", F.lit(0).cast("bigint").alias("c")))
-    )
-    after = (
-        contrib.groupBy("node")
-        .agg(F.sum("c").alias("inc"))
-        .select(
-            "node",
-            (F.lit(PR_BASE) + F.expr(f"({PR_DAMP_PCT} * inc) div 100")).alias(
-                "rank"
-            ),
-        )
-    )
-    write("s24g_pagerank_round_after.txt", fmt(after))
-    esrc.unpersist()
-    nodes.unpersist()
 
     # --- s26g CC round 1 over a stand-in edge frame ----------------------
     # The pair generator is shared with s26d and unchanged; the captured

@@ -74,30 +74,37 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # writes or count jobs).  An open-ended tolerance loop would need the
     # per-round persist + convergence-metric + lineage-checkpoint idiom —
     # that pattern lives in s26g (dedup.dup_clusters).
+    # Round shape note (r15): a union-zero-leg spelling that folds the
+    # nodes⟕inc re-attach join into the aggregate was measured here. The
+    # naive version (contributions ∪ one zero row per node, one sum) won
+    # −13% locally but is WRONG on dangling-dst graphs: the left join's
+    # other job, invisible until the pure-python mirror property test
+    # caught it, is restricting the result to the src-node set. The
+    # corrected version (an `own` membership flag riding the aggregate +
+    # a filter) measured a WASH over 8 order-alternating interleaved
+    # pairs (medians 3.93 vs 3.89 s, old holding the floor) — the
+    # removed broadcast join costs about what the wider union rows +
+    # max/filter add at bench scale. Kept as the r14 two-join spelling;
+    # at cluster scale (ranks beyond broadcast size) the flag spelling
+    # removes a real per-round shuffle and is the right deployment
+    # variant (OPTIMIZATION_r15.md "not yet optimized").
     for _ in range(iters):
-        # Contributions plus one zero row per node, summed in ONE
-        # aggregate: sum over the union equals coalesce(inc, 0) exactly
-        # (every node's zero leg keeps it in the result; bigint sum of
-        # contributions is unchanged), so the old nodes⟕inc re-attach
-        # join — whose only purpose was defaulting missing nodes to 0 —
-        # disappears from every round (guide §2.4: the aggregate can
-        # carry the default itself; one join + one aggregate per round).
-        contrib = (
+        inc = (
             esrc.join(ranks, esrc["src"] == ranks["node"])
             # Integral share: each neighbor receives floor(rank / od).
-            .select(F.col("dst").alias("node"), F.expr("rank div od").alias("c"))
-            .union(nodes.select("node", F.lit(0).cast("bigint").alias("c")))
-        )
-        ranks = (
-            contrib.groupBy("node")
+            .select(F.col("dst"), F.expr("rank div od").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("inc"))
-            .select(
-                "node",
-                (
-                    F.lit(PR_BASE)
-                    + F.expr(f"({PR_DAMP_PCT} * inc) div 100")
-                ).alias("rank"),
-            )
+        )
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + F.expr(
+                    f"({PR_DAMP_PCT} * coalesce(inc, cast(0 as bigint)))"
+                    " div 100"
+                )
+            ).alias("rank"),
         )
     # Hand back a localCheckpoint, NOT a persisted frame: consumers read
     # materialized blocks without re-running the loop, while nothing stays
