@@ -234,7 +234,14 @@ def main() -> None:
                 "samples": published_samples,
                 "load": load_points,
                 **contention_verdict(load_points, published_samples),
-                "cpus": os.cpu_count(),
+                # Effective core count — the master is local[$SPARK_GRAFT_CPUS]
+                # (session.py), so a driver run at a lower core count must be
+                # labeled with the count it actually ran at, not the host's.
+                # The contention floor stays on host_cpus: the load prongs
+                # measure pre-existing HOST contention, which is relative to
+                # host capacity regardless of how many cores the bench uses.
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4),
+                "host_cpus": os.cpu_count(),
                 "sf": sf,
             }
         )
