@@ -126,6 +126,23 @@ def contention_verdict(
     }
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line;
+    ``None`` off-Linux. Deltas between two samples give the hypervisor
+    steal percentage for that window — the r15 sessions proved this
+    host's stall bursts are demand-correlated steal (OPTIMIZATION_r15.md
+    run 7), so the artifact now carries the direct measurement alongside
+    loadavg (VERDICT r15 #7; additions-only, no timing-path change)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def timed_build(spark, specs, name: str, sf_dir: str) -> float:
     """ONE full-plan timed execution — the single timing core shared by
     bench.py (in-session numbers) and scripts/pin_standalone.py
@@ -158,7 +175,13 @@ def main() -> None:
         sf = sf_dir
 
     from xgboost_ray_spark.registry import all_queries
-    from xgboost_ray_spark.session import get_spark
+    from xgboost_ray_spark.session import effective_cpus, get_spark
+
+    # Resolve (and validate) $SPARK_GRAFT_CPUS ONCE, up front: a bad value
+    # now fails before any measurement instead of after the whole run, and
+    # the result record reuses this exact value so it cannot disagree with
+    # the master the session was built with (ADVICE r15).
+    cpus = effective_cpus()
 
     # Explicit pre-warmup load sample (ADVICE r14): taken before the
     # SparkSession exists, so the busy-start prong measures the HOST's
@@ -167,15 +190,27 @@ def main() -> None:
     # which is the honest wall-clock of the artifact.
     bench_t0 = time.time()
     load_points: list[dict] = []
+    prev_stat: list = [_cpu_stat()]
 
     def mark_load(label: str) -> None:
-        load_points.append(
-            {
-                "at": label,
-                "t": round(time.time() - bench_t0, 1),
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+        point = {
+            "at": label,
+            "t": round(time.time() - bench_t0, 1),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+        # Interval steal: % of cpu ticks stolen by the hypervisor since
+        # the PREVIOUS load point (None on the first point / off-Linux).
+        # The "pre" point has no interval, so it reports None — readers
+        # get per-window steal aligned with the loadavg evolution.
+        cur = _cpu_stat()
+        if cur is not None and prev_stat[0] is not None and label != "pre":
+            d_steal = cur[0] - prev_stat[0][0]
+            d_total = max(1, cur[1] - prev_stat[0][1])
+            point["steal_pct"] = round(100.0 * d_steal / d_total, 2)
+        else:
+            point["steal_pct"] = None
+        prev_stat[0] = cur
+        load_points.append(point)
 
     mark_load("pre")
 
@@ -240,7 +275,7 @@ def main() -> None:
                 # The contention floor stays on host_cpus: the load prongs
                 # measure pre-existing HOST contention, which is relative to
                 # host capacity regardless of how many cores the bench uses.
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4),
+                "cpus": cpus,
                 "host_cpus": os.cpu_count(),
                 "sf": sf,
             }

@@ -727,3 +727,35 @@ def test_dup_clusters_high_diameter_chain(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dup_clusters(chain, max_iter=3)
+
+
+def test_ppjoin_producer_leg_failure_propagates(spark, monkeypatch):
+    """The s26l builder runs its three independent producer legs (pref
+    spill, toks spill, injectivity audit) as concurrent jobs from a
+    ThreadPoolExecutor (guide §2.6). VERDICT r15 #6: a leg failure must
+    PROPAGATE to the caller as an exception — never hang the build or
+    silently return a plan over missing scratch. The with-block joins
+    all threads and .result() re-raises, so the failure mode is loud and
+    bounded by construction; this pins that contract against a future
+    respelling (e.g. fire-and-forget submits or a swallowed future)."""
+    import pytest
+
+    from xgboost_ray_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w5")],
+        "doc_id long, text string",
+    )
+
+    real_spill = dedup.spill
+
+    for failing_tag in ("ppjoin_pref", "ppjoin_toks"):
+        def exploding_spill(df, tag, key=None, _fail=failing_tag):
+            if tag == _fail:
+                raise RuntimeError(f"injected {_fail} producer failure")
+            return real_spill(df, tag, key=key)
+
+        monkeypatch.setattr(dedup, "spill", exploding_spill)
+        with pytest.raises(RuntimeError, match="injected"):
+            dedup.prefix_filtered_jaccard_pairs(docs, n=1, threshold=0.5)
+        monkeypatch.setattr(dedup, "spill", real_spill)

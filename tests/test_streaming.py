@@ -557,3 +557,55 @@ def test_sessionizer_kernel_multichunk_unsorted_segments():
     assert list(emitted["sum_value"]) == [3.75, 4.000001]
     # Open session carried: start == end == t0+5*gap, n == 1, 8.0 in micros.
     assert st.get == (t0 + GAP_US * 5, t0 + GAP_US * 5, 1, 8_000_000)
+
+
+def test_sessionizer_kernel_edge_guards():
+    """The two ADVICE r15 kernel edges: (1) a zero-row invocation
+    (iterator of only empty chunks) must not crash — it re-arms the
+    carried session's timeout and emits nothing; (2) a timestamp past
+    the datetime64[ns] horizon must fail LOUDLY (the old pd.to_datetime
+    raised OutOfBoundsDatetime; the numpy fast path would silently wrap
+    without the guard)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from xgboost_ray_spark.streaming.stateful import (
+        GAP_US,
+        _NS_HORIZON_US,
+        close_user_sessions,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype=np.int64),
+            "ts": pd.to_datetime(pd.Series([], dtype=np.int64), unit="us"),
+            "event_id": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64),
+        }
+    )
+
+    # Zero-row batch, no carried state: no output, no state, no timeout.
+    st = _FakeGroupState()
+    out = list(close_user_sessions((7,), iter([empty]), st))
+    assert out == [] and not st.exists and st.timeout_set_to is None
+
+    # Zero-row batch with carried state: state untouched, timeout re-armed
+    # to the same instant the last data batch armed (clamped above the
+    # watermark).
+    t0 = 1_700_000_000_000_000
+    carried = (t0, t0 + 60, 2, 2_000_000)
+    st = _FakeGroupState(value=carried, watermark_ms=0)
+    out = list(close_user_sessions((7,), iter([empty, empty]), st))
+    assert out == [] and st.get == carried
+    assert st.timeout_set_to == (t0 + 60 + GAP_US) // 1000
+
+    # Past-horizon timestamp: loud OverflowError, not a wrapped datetime.
+    # Driven through the timeout path (state carries the bad value, the
+    # timeout fires, _emit_frame must refuse) — constructing an
+    # over-horizon datetime64 INPUT column would itself wrap in numpy.
+    over = _NS_HORIZON_US + 10
+    st = _FakeGroupState(value=(over, over, 1, 1_000_000))
+    st.hasTimedOut = True
+    with pytest.raises(OverflowError, match="horizon"):
+        list(close_user_sessions((7,), iter([]), st))

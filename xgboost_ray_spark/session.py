@@ -13,6 +13,29 @@ import os
 
 from pyspark.sql import SparkSession
 
+def effective_cpus() -> int:
+    """Resolved ``$SPARK_GRAFT_CPUS`` — validated ONCE, shared by the
+    session factory and bench.py's result record (ADVICE r15: bench.py
+    parsed the env var independently at result-print time, so a
+    non-numeric value crashed AFTER the whole run completed and a
+    mid-process env change could make the JSON's ``cpus`` disagree with
+    the master the session actually ran on). Falls back to the host
+    count when unset; raises immediately (before any work) on a
+    non-numeric or non-positive value."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS")
+    if raw:
+        try:
+            cpus = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_CPUS must be an integer, got {raw!r}"
+            ) from None
+        if cpus < 1:
+            raise ValueError(f"SPARK_GRAFT_CPUS must be >= 1, got {cpus}")
+        return cpus
+    return os.cpu_count() or 4
+
+
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -46,7 +69,7 @@ def get_spark(
     same entry points run in tests and in the driver harness; on a real
     cluster the caller passes its own master / relies on spark-submit.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    cpus = effective_cpus()
     master = master or f"local[{cpus}]"
     builder = SparkSession.builder.master(master).appName(app_name)
     conf = dict(_DEFAULTS)

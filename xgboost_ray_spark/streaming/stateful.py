@@ -39,6 +39,11 @@ from pyspark.sql import types as T
 GAP_US = 30 * 60 * 1_000_000
 _Q6 = Decimal("0.000001")
 
+# Largest microsecond value representable as datetime64[ns] (year 2262):
+# the _emit_frame fast path multiplies us by 1000 into int64 nanoseconds,
+# which wraps silently past this horizon — guarded loudly instead.
+_NS_HORIZON_US = (2**63 - 1) // 1000
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -94,11 +99,21 @@ def _emit_frame(user_id, start_us, end_us, n, mic) -> pd.DataFrame:
     pandas' generic-inference entry twice per key), and the intermediate
     sessions DataFrame the old signature required is gone. Bit-identical
     output: us*1000 viewed as datetime64[ns] is exactly what
-    ``pd.to_datetime(unit="us")`` produced (fixture timestamps are far
-    below the year-2262 ns horizon).
+    ``pd.to_datetime(unit="us")`` produced — for values below the
+    year-2262 ns horizon, which the guard below enforces LOUDLY (ADVICE
+    r15: the raw multiply silently wraps on int64 overflow where the old
+    ``pd.to_datetime`` raised ``OutOfBoundsDatetime``; same loud failure
+    mode restored at the cost of one tiny ``max()`` per emitted batch).
     """
     start_us = np.asarray(start_us, dtype=np.int64)
     end_us = np.asarray(end_us, dtype=np.int64)
+    # end >= start per session by construction, so one max bounds both.
+    if len(end_us) and int(end_us.max()) > _NS_HORIZON_US:
+        raise OverflowError(
+            "session timestamp exceeds the datetime64[ns] horizon "
+            f"(max end_us={int(end_us.max())} > {_NS_HORIZON_US}); "
+            "the us->ns fast path cannot represent it"
+        )
     return pd.DataFrame(
         {
             "user_id": np.full(len(start_us), user_id, dtype=np.int64),
@@ -132,7 +147,21 @@ def close_user_sessions(
         yield _emit_frame(user_id, [start_us], [last_us], [n], [sum_mic])
         return
 
-    chunks = list(pdfs)
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        # Zero-row invocation (iterator yielded only empty chunks — ADVICE
+        # r15: the kernel previously raised IndexError at is_new[0], the
+        # pre-r15 pandas spelling crashed in its groupby too). Nothing to
+        # sessionize; re-arm the carried session's timeout (idempotent —
+        # the same instant the last data batch armed, clamped above the
+        # possibly-advanced watermark) and emit nothing.
+        if state.exists:
+            _, last0, _, _ = state.get
+            timeout_ms = (int(last0) + GAP_US) // 1000
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        return
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     ts_us = pdf["ts"].to_numpy().astype(np.int64, copy=False) // 1000
     order = np.lexsort((pdf["event_id"].to_numpy(), ts_us))
