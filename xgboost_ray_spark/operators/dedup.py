@@ -1547,6 +1547,8 @@ def prefix_filtered_jaccard_pairs(
     """
     from pyspark.sql import Window as W
 
+    from concurrent.futures import ThreadPoolExecutor
+
     grams = _gram_expr(n)
     num, den = _jaccard_rational(threshold)
     key = spill_key and f"{spill_key}|n={n}|t={threshold}"
@@ -1555,42 +1557,6 @@ def prefix_filtered_jaccard_pairs(
         "ppjoin_shingles",
         key=key,
     )
-    # The document-frequency table is consumed THREE times per build (the
-    # injectivity audit plus both self-join sides' rankings); before r15 each
-    # consumer re-ran the groupBy over the shingle spill. Spilling it makes
-    # the aggregation run ONCE, gives the audit a plain scan instead of a
-    # full re-aggregation, and hands the planner the spilled parquet's REAL
-    # size for the ranked join's broadcast decision (an aggregate's size
-    # ESTIMATE is what usually breaks that choice — optimization guide §3.1).
-    dfreq = spill(sh.groupBy("g").agg(F.count("*").alias("df")), "ppjoin_dfreq", key=key)
-    # df stays a separate partial-aggregate + join (NOT a count() window
-    # over g): a window cannot split a partition key, so a mega-hot
-    # shingle would serialize into one task, while the join keeps AQE's
-    # skew-split available on the fact side. The doc-size count, by
-    # contrast, rides the SAME doc_id window partitioning the ranking
-    # already pays for — a doc's shingle count is bounded by its text
-    # length, and folding it into the window removes a whole aggregation
-    # scan of the shingle frame plus a join per self-join side.
-    wdoc = W.partitionBy("doc_id")
-    ranked = sh.join(dfreq, "g").select(
-        "doc_id",
-        "g",
-        F.row_number().over(wdoc.orderBy("df", "g")).alias("r"),
-        F.count("*").over(wdoc).alias("sz"),
-    )
-    # p = sz - ceil(t*sz) + 1 in exact integer arithmetic:
-    # ceil((num/den)*sz) = (sz*num + den - 1) div den.
-    # The prefix frame is BOTH sides of the candidate self-join; left as a
-    # lazy plan, each side re-ran the whole scan -> dfreq-join -> sort ->
-    # double-window ranking subtree (the r14 plan shows the duplicated
-    # subtrees verbatim — plans/r15/s26l_prefix_filter_join_before.txt ops
-    # 1-17 vs 18-34). Spilling it computes the ranking ONCE and turns both
-    # join inputs into plain prefix-row scans (~half the shingle rows, four
-    # narrow columns) — guide §1.2: remove whole duplicate passes before
-    # tuning anything inside them.
-    pref_plan = ranked.filter(
-        F.col("r") <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
-    )
     if encode_verify:
         verify_src = sh.select("doc_id", F.xxhash64("g").alias("g"))
     else:
@@ -1598,24 +1564,68 @@ def prefix_filtered_jaccard_pairs(
     # Like pref, the token-array table feeds BOTH verify joins (doc_a and
     # doc_b side); spilled once, the collect_set aggregation over the full
     # shingle frame runs once instead of twice, and each join side is a
-    # plain scan of (doc_id, ts) rows.
+    # plain scan of (doc_id, ts) rows. It depends ONLY on the frozen
+    # shingle spill — not on dfreq — so since r16 its producer job is
+    # submitted BEFORE the dfreq spill and overlaps it (guide §2.6): the
+    # producer wall drops from sh + dfreq + max(pref, toks, audit) to
+    # sh + max(dfreq + max(pref, audit), toks).
     toks_plan = verify_src.groupBy("doc_id").agg(F.collect_set("g").alias("ts"))
-    # The three producer legs — prefix ranking, token arrays, and the
-    # injectivity audit — are mutually independent once dfreq is frozen,
-    # so they run as CONCURRENT jobs (guide §2.6: actions are only
-    # sequential because driver code calls them sequentially). Sequential
-    # spills cost one fixed job latency each; overlapped, the wall is
-    # max(legs), which is what makes the materialized-once layout cheaper
-    # than the r14 duplicated-subtree plan at bench scale too, not just
-    # at corpus scale. Failures propagate through result().
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        fut_pref = pool.submit(spill, pref_plan, "ppjoin_pref", key)
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
         fut_toks = pool.submit(
             spill, toks_plan, "ppjoin_toks",
             key and f"{key}|enc={bool(encode_verify)}",
         )
+        # The document-frequency table is consumed THREE times per build (the
+        # injectivity audit plus both self-join sides' rankings); before r15
+        # each consumer re-ran the groupBy over the shingle spill. Spilling it
+        # makes the aggregation run ONCE, gives the audit a plain scan instead
+        # of a full re-aggregation, and hands the planner the spilled
+        # parquet's REAL size for the ranked join's broadcast decision (an
+        # aggregate's size ESTIMATE is what usually breaks that choice —
+        # optimization guide §3.1).
+        dfreq = spill(
+            sh.groupBy("g").agg(F.count("*").alias("df")), "ppjoin_dfreq", key=key
+        )
+        # df stays a separate partial-aggregate + join (NOT a count() window
+        # over g): a window cannot split a partition key, so a mega-hot
+        # shingle would serialize into one task, while the join keeps AQE's
+        # skew-split available on the fact side. The doc-size count, by
+        # contrast, rides the SAME doc_id window partitioning the ranking
+        # already pays for — a doc's shingle count is bounded by its text
+        # length, and folding it into the window removes a whole aggregation
+        # scan of the shingle frame plus a join per self-join side.
+        wdoc = W.partitionBy("doc_id")
+        ranked = sh.join(dfreq, "g").select(
+            "doc_id",
+            "g",
+            F.row_number().over(wdoc.orderBy("df", "g")).alias("r"),
+            F.count("*").over(wdoc).alias("sz"),
+        )
+        # p = sz - ceil(t*sz) + 1 in exact integer arithmetic:
+        # ceil((num/den)*sz) = (sz*num + den - 1) div den.
+        # The prefix frame is BOTH sides of the candidate self-join; left as
+        # a lazy plan, each side re-ran the whole scan -> dfreq-join -> sort
+        # -> double-window ranking subtree (the r14 plan shows the duplicated
+        # subtrees verbatim — plans/r15/s26l_prefix_filter_join_before.txt
+        # ops 1-17 vs 18-34). Spilling it computes the ranking ONCE and turns
+        # both join inputs into plain prefix-row scans (~half the shingle
+        # rows, four narrow columns) — guide §1.2: remove whole duplicate
+        # passes before tuning anything inside them.
+        pref_plan = ranked.filter(
+            F.col("r") <= F.expr(f"sz - ((sz * {num} + {den - 1}) div {den}) + 1")
+        )
+        # The remaining producer legs — prefix ranking and the injectivity
+        # audit (the token arrays are already in flight, overlapping dfreq) —
+        # are mutually independent once dfreq is frozen, so they run as
+        # CONCURRENT jobs (guide §2.6: actions are only sequential because
+        # driver code calls them sequentially). Sequential spills cost one
+        # fixed job latency each; overlapped, the wall is max(legs), which is
+        # what makes the materialized-once layout cheaper than the r14
+        # duplicated-subtree plan at bench scale too, not just at corpus
+        # scale. Failures propagate through result(); the finally joins every
+        # thread, so a leg failure is loud and bounded, never a hang.
+        fut_pref = pool.submit(spill, pref_plan, "ppjoin_pref", key)
         fut_audit = (
             pool.submit(_audit_gid_injective, dfreq) if encode_verify else None
         )
@@ -1629,6 +1639,8 @@ def prefix_filtered_jaccard_pairs(
             # its price dropped from a full groupBy pass to one scan of
             # the df table, overlapped with the other producer legs).
             fut_audit.result()
+    finally:
+        pool.shutdown(wait=True)
     # Candidate pruning beyond the prefix theorem (both classic PPJoin
     # filters, both lossless, both exact-integer — proofs + sf1.0 sizing
     # in SCALE.md's r14 contract; at sf1.0 they cut the candidate set
