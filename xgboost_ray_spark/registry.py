@@ -467,19 +467,36 @@ def sql_davg(expr: str, alias: str) -> str:
 #   s04b s06c s06d s07c s07d s25b s25c s25f s25j s25k s27g s28e s28h
 #   s28l s30 s32b (s26l and s27j re-entered by the overrides).
 #   Pre-verification: dated note in SCALE.md §driver-window rotations.
+#   r16 window (this one, rotated 2026-08-18): VERDICT r15 #1 — the
+#   changed-plans-first override applied to the WHOLE r15 change set, not
+#   just the two entries the r15 rotation caught: every non-canonical
+#   entry whose executed plan or kernel changed in r15 without a driver
+#   re-hash takes a rotating slot (s26b s26c s26d s26e s26g s26h via the
+#   fan_out conditional/hash-key change, s28e s28g s28l via the same,
+#   s24g explode edge build + lazy persist, s25d numpy sessionizer
+#   kernel). The remaining 6 slots refill from the r8-era staleness tail
+#   per VERDICT r15 #8, stalest-first by the tool's order (s14d s28i
+#   s24f s24d s28j s14c); the seed's 3 last-ranked picks (s24e s05g
+#   s05f) are displaced to the r17 seed, the same precedent as r14/r15.
+#   Rotated out to 51+ (all driver-green r15): s27j s26l s26j s27e s27f
+#   s29f s29h s29i s29j s01b s01c s01d s01e s01f s01g s01h s01i.
+#   Pre-verification: dated note in SCALE.md §driver-window rotations.
 # Entries registered but not listed here (newly added operators) append at
 # the end in registration order, never displacing the curated window.
 # ---------------------------------------------------------------------------
 _DRIVER_ORDER = [
-    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r15 set: -----
-    # -- the third staleness leg — s26j + the 6 remaining r7-era rows +
-    # -- 8 of the 10 stalest r8-era rows, plus s26l and s27j by the
-    # -- changed-plans-first overrides (suffix-family filter and one-pass
-    # -- seeding adopted this round; displaced the refill's last-ranked
-    # -- picks s05g and s05f), roughly cost-ordered; the heavy
-    # -- re-verifies (SNM dedup, pandas-UDF family, streaming sim,
-    # -- linear train) sit late; s03 leads so the cheapest query absorbs
-    # -- JVM warmup -----------------------------------------------------------
+    # -- slots 1-50: 33 family canonicals + 17 rotating slots (r16 set: -----
+    # -- VERDICT r15 #1's changed-plans-first seats — the 11 non-canonical
+    # -- entries whose executed plan or kernel changed in r15 without a
+    # -- driver re-hash (s26b s26c s26d s26e s26g s26h via fan_out,
+    # -- s28e s28g s28l via fan_out, s24g explode build, s25d numpy
+    # -- kernel; s28 is a pinned canonical and s26j/s26l/s27j were
+    # -- re-hashed green in the r15 window) — plus the 6 stalest r8-era
+    # -- rows of the refill seed (s14d s28i s24f s24d s28j s14c); the
+    # -- seed's 3 last-ranked picks (s24e s05g s05f) are displaced, as
+    # -- in r14/r15. Roughly cost-ordered; heavy re-verifies (dup
+    # -- clusters, stateful sessions, pagerank) sit late; s03 leads so
+    # -- the cheapest query absorbs JVM warmup ------------------------------
     "s03_projection", "s28_token_stats", "s15_sort_limit",
     "s22_array_funcs", "s21_conditional", "s20_math_funcs",
     "s19_date_funcs", "s18_string_funcs", "s33_sequence_pack",
@@ -487,69 +504,73 @@ _DRIVER_ORDER = [
     "s23_json", "s04_filter", "s09d_argmax", "s11c_grouping_sets",
     "s14_window_analytic", "s13_window_rank", "s10_count_distinct",
     "s17_setops", "s24_tumbling_window", "s01_parquet_scan",
-    "s02_csv_scan", "s01g_jsonl_scan", "s01b_orc_scan",
-    "s01c_partition_pruning", "s01d_schema_evolution",
-    "s01h_zorder_layout", "s01f_binaryfile_scan", "s01e_compaction",
-    "s01i_dynamic_partition_pruning", "s05b_salted_join",
+    "s02_csv_scan", "s14d_point_in_time", "s28i_bigram_counts",
+    "s24f_user_sequences", "s24d_transition_counts", "s28j_feature_hash",
+    "s14c_scd2_intervals", "s26c_simhash", "s28l_unigram_logprob",
+    "s28g_repetition_score", "s05b_salted_join",
     "s06_outer_join", "s07_semi_anti_join", "s08_broadcast_join",
-    "s27j_kmeans", "s26l_prefix_filter_join", "s26f_canonical_dedup",
-    "s26j_fuzzy_snm", "s27c_embedding_neardup", "s27e_knn_classify",
-    "s27f_label_centroids", "s29_pandas_udf", "s29j_unicode_normalize",
-    "s29i_map_in_arrow", "s29h_grouped_agg_udaf",
-    "s29f_audio_window_rms", "s32_profile", "s30c_linear_model_train",
-    "s25e_stream_dedup",
-    # -- slots 51+: driver-green entries rotated out in r15 (s05f/s05g are --
-    # -- the refill's two last-ranked picks, displaced by the s26l and s27j --
-    # -- changed-plans overrides — they stay r8-era, joining the r16 seed) ---
+    "s26h_boilerplate_phrases", "s28e_tfidf_top_terms",
+    "s26b_minhash_lsh", "s26f_canonical_dedup",
+    "s27c_embedding_neardup", "s26e_hamming_pairs",
+    "s26d_ngram_jaccard", "s29_pandas_udf", "s32_profile",
+    "s30c_linear_model_train", "s25e_stream_dedup",
+    "s26g_dup_clusters", "s25d_stateful_sessions", "s24g_pagerank",
+    # -- slots 51+: driver-green entries rotated out in r16 (all hashed ----
+    # -- green in the r15 window, CORRECTNESS_r15 50/50) --------------------
+    "s27j_kmeans", "s26l_prefix_filter_join", "s26j_fuzzy_snm",
+    "s27e_knn_classify", "s27f_label_centroids",
+    "s29j_unicode_normalize", "s29i_map_in_arrow",
+    "s29h_grouped_agg_udaf", "s29f_audio_window_rms",
+    "s01g_jsonl_scan", "s01b_orc_scan", "s01c_partition_pruning",
+    "s01d_schema_evolution", "s01h_zorder_layout",
+    "s01f_binaryfile_scan", "s01e_compaction",
+    "s01i_dynamic_partition_pruning",
+    # -- driver-green entries rotated out in r15 (s05f/s05g/s24e are the ----
+    # -- r8-era leftover tail — the r17 refill seed) -------------------------
     "s05f_tpch_q7", "s05g_tpch_q8", "s04b_disjunctive_pushdown",
     "s07c_inactive_customers", "s07d_sole_fault_supplier",
     "s06d_outerjoin_histogram", "s06c_cdc_upsert",
-    "s28e_tfidf_top_terms", "s28h_pii_redact", "s28l_unigram_logprob",
+    "s28h_pii_redact",
     "s27g_lsh_neardup_pairs", "s32b_data_quality",
     "s25b_stream_sliding", "s25c_stream_watermark_append",
     "s25f_stream_static_join", "s25j_stream_trending",
     "s25k_stream_session_window", "s30_gbt_train_predict",
     # -- driver-green entries rotated out in r14 -----------------
     "s23c_variant", "s13b_distribution_ranks", "s31h_quantile_bins",
-    "s32d_outlier_flags", "s26h_boilerplate_phrases", "s26i_decontaminate",
+    "s32d_outlier_flags", "s26i_decontaminate",
     "s27_cosine_topk", "s27d_ivf_topk", "s30d_linear_model_score",
     "s30e_cv_ols", "s30f_learning_curve", "s26k_incremental_neardup",
     "s25h_file_sink_etl", "s25l_stream_outlier_guard",
-    "s25g_stream_stream_join", "s25i_stream_cdc_upsert", "s24g_pagerank",
+    "s25g_stream_stream_join", "s25i_stream_cdc_upsert",
     # -- driver-green entries rotated out in r13 -----------------
     "s22c_map_funcs", "s12b_having_join", "s16b_tpch_q15",
-    "s28g_repetition_score", "s29g_udtf_token_runs", "s07b_exists_subquery",
+    "s29g_udtf_token_runs", "s07b_exists_subquery",
     "s09e_quantile_filter", "s09f_scalar_subquery", "s09g_incremental_agg",
     "s14e_gaps_islands", "s24c_funnel", "s21c_tpch_q12",
     "s05d_tpch_q5", "s05e_tpch_q10", "s27b_lsh_topk",
-    "s25_stream_tumbling", "s25d_stateful_sessions",
+    "s25_stream_tumbling",
     # -- driver-green entries rotated out in r12 -----------------
     "s15b_sort_nulls", "s22b_array_hof", "s21b_promo_revenue",
     "s33b_chunk_overlap", "s31b_stratified_sample", "s31c_group_sample",
     "s31f_weighted_sample", "s23b_from_json", "s28b_lang_id",
     "s28c_quality_score", "s28d_fingerprint", "s28f_regex_tokens",
     "s04c_tpch_q6", "s29c_grouped_map", "s29e_frame_sample",
-    "s30b_ltr_rank", "s26e_hamming_pairs",
+    "s30b_ltr_rank",
     # -- driver-green entries rotated out in r11 ------------------
     "s10c_distinct_rows", "s11_rollup", "s11b_cube", "s11d_pivot",
     "s11e_unpivot", "s06b_full_outer_join", "s09b_stats_agg",
     "s09c_salted_agg", "s10b_approx_count_distinct", "s14b_range_frame",
-    "s08b_asof_join", "s26d_ngram_jaccard", "s08c_range_join",
+    "s08b_asof_join", "s08c_range_join",
     "s29b_multimodal_decode", "s29d_multimodal_resize",
-    "s26g_dup_clusters",  # (s27j moved up into the r15 window by the
-    # changed-plans-first override)
     # -- driver-green entries rotated out in r10 ------------------
     "s31e_temporal_split", "s31g_negative_pairs", "s31d_domain_mixture",
     "s28k_class_entropy", "s32c_drift_report", "s26_dedup_exact",
-    "s05_inner_join", "s26c_simhash", "s24b_sessionization",
-    "s27h_embedding_quantize", "s27i_quantized_topk", "s26b_minhash_lsh",
+    "s05_inner_join", "s24b_sessionization",
+    "s27h_embedding_quantize", "s27i_quantized_topk",
     "s05c_tpch_q3", "s09_groupby_agg", "s05h_tpch_q9",
-    # -- driver-green entries rotated out in r9 (the r8-era scan/join rows --
-    # -- of this group now sit in the r15 re-verify window above; the seven
-    # -- left are the r8-era leftover tail — the r16 refill seed) ------------
-    "s14c_scd2_intervals", "s14d_point_in_time", "s24d_transition_counts",
-    "s24e_retention_cohorts", "s24f_user_sequences",
-    "s28i_bigram_counts", "s28j_feature_hash",
+    # -- driver-green entries rotated out in r9 (only s24e is left of the --
+    # -- r8-era tail here; with s05f/s05g above it seeds the r17 refill) ----
+    "s24e_retention_cohorts",
 ]
 
 # How many leading entries of queries() the driver's correctness sweep reads.
