@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries to plans/r15/.
+"""Capture .explain("formatted") for headline queries to plans/<round>/.
 
 Usage: python scripts/capture_plans.py before|after [query ...]
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r16).
 
-Writes plans/r15/<query>_<label>.txt for each headline query (default) or
+Writes plans/<round>/<query>_<label>.txt for each headline query (default) or
 the named subset. Iterative operators (s26g, s24g, s27j) and ML training
 (s30) execute their loops at build time and return a localCheckpoint /
 small result frame, so their formatted plan shows the final stage only;
@@ -35,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
